@@ -1,0 +1,18 @@
+"""headson_ray — a Ray-Data-native streaming engine whose per-document
+transform reimplements the reference budget-driven tree summarizer, with a
+from-scratch CEP layer (windows, watermarks, stateful joins, exactly-once
+sinks) on top.
+"""
+
+from .core.api import headson, headson_many, summarize
+from .core.config import PriorityConfig, RenderConfig
+
+__all__ = [
+    "headson",
+    "headson_many",
+    "summarize",
+    "PriorityConfig",
+    "RenderConfig",
+]
+
+__version__ = "0.1.0"

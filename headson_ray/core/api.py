@@ -1,0 +1,124 @@
+"""Public per-document API: parse -> rank -> fit, plus the `summarize`
+convenience wrapper mirroring the reference's Python binding
+(/root/reference/python/src/lib.rs:95-124) and CLI derivations
+(/root/reference/src/main.rs:161-185,416-433).
+"""
+
+from __future__ import annotations
+
+from .config import (
+    PriorityConfig,
+    RenderConfig,
+    SAMPLER_DEFAULT,
+    SAMPLER_HEAD,
+    SAMPLER_TAIL,
+    STYLE_DEFAULT,
+    TEMPLATE_TEXT,
+    TEMPLATE_YAML,
+    map_json_template_for_style,
+)
+from .fit import find_largest_render_under_budget
+from .ingest_json import parse_json_many, parse_json_one
+from .ingest_text import parse_text_many, parse_text_one
+from .ingest_yaml import parse_yaml_many, parse_yaml_one
+from .order import build_order
+
+_PARSE_ONE = {
+    "json": parse_json_one,
+    "yaml": parse_yaml_one,
+    "text": parse_text_one,
+}
+_PARSE_MANY = {
+    "json": parse_json_many,
+    "yaml": parse_yaml_many,
+    "text": parse_text_many,
+}
+
+
+def headson(
+    data: bytes | str,
+    config: RenderConfig,
+    priority_cfg: PriorityConfig,
+    budget: int,
+    input_format: str = "json",
+) -> str:
+    """Single-document summarize (reference: src/lib.rs:41-115)."""
+    arena = _PARSE_ONE[input_format](data, priority_cfg)
+    order = build_order(arena, priority_cfg)
+    return find_largest_render_under_budget(order, config, budget)
+
+
+def headson_many(
+    inputs: list[tuple[str, bytes | str]],
+    config: RenderConfig,
+    priority_cfg: PriorityConfig,
+    budget: int,
+    input_format: str = "json",
+) -> str:
+    """Fileset summarize: one shared budget across named inputs."""
+    arena = _PARSE_MANY[input_format](inputs, priority_cfg)
+    order = build_order(arena, priority_cfg)
+    return find_largest_render_under_budget(order, config, budget)
+
+
+def _map_output_template(fmt: str, style: str) -> str:
+    f = fmt.lower()
+    if f in ("auto", "json"):
+        return map_json_template_for_style(style)
+    if f in ("yaml", "yml"):
+        return TEMPLATE_YAML
+    if f == "text":
+        return TEMPLATE_TEXT
+    raise ValueError(f"unknown format: {fmt}")
+
+
+def _parse_skew(skew: str) -> str:
+    s = skew.lower()
+    if s == "balanced":
+        return SAMPLER_DEFAULT
+    if s == "head":
+        return SAMPLER_HEAD
+    if s == "tail":
+        return SAMPLER_TAIL
+    raise ValueError(f"unknown skew: {skew}")
+
+
+def summarize(
+    text: str,
+    *,
+    format: str = "auto",
+    style: str = STYLE_DEFAULT,
+    character_budget: int | None = None,
+    skew: str = "balanced",
+    input_format: str = "json",
+) -> str:
+    """Drop-in equivalent of the reference's ``headson.summarize``
+    (python/src/lib.rs:95-124): budget default 500, string cap 500,
+    array cap = max(1, budget // 2)."""
+    sampler = _parse_skew(skew)
+    style = style.lower()
+    if style not in ("strict", "default", "detailed"):
+        raise ValueError(f"unknown style: {style}")
+    budget = 500 if character_budget is None else character_budget
+    prefer_tail = sampler == SAMPLER_TAIL
+    cfg = RenderConfig(
+        template=_map_output_template(format, style),
+        indent_unit="  ",
+        space=" ",
+        newline="\n",
+        prefer_tail_arrays=prefer_tail,
+        color_enabled=False,
+        style=style,
+    )
+    prio = PriorityConfig(
+        max_string_graphemes=500,
+        array_max_items=max(1, max(budget, 1) // 2),
+        prefer_tail_arrays=prefer_tail,
+        array_sampler=sampler,
+    )
+    ifmt = input_format.lower()
+    if ifmt == "yml":
+        ifmt = "yaml"
+    if ifmt not in _PARSE_ONE:
+        raise ValueError(f"unknown input_format: {input_format}")
+    return headson(text, cfg, prio, budget, input_format=ifmt)

@@ -1,0 +1,258 @@
+"""Priority ranking: best-first expansion of the arena into a ranked order.
+
+Re-expression of /root/reference/src/order/build.rs (min-heap on
+(score, insertion id), breadth-first with depth/sibling biases) and
+src/order/scoring.rs constants. Scores use Python ints (covers u128).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+from . import arena as A
+from .config import BIAS_HEAD, PriorityConfig
+from .graphemes import count_graphemes_capped
+
+# Scoring constants (reference: src/order/scoring.rs)
+SAFETY_CAP = 2_000_000
+ROOT_BASE_SCORE = 1
+ARRAY_CHILD_BASE_INCREMENT = 1
+ARRAY_INDEX_CUBIC_WEIGHT = 1_000_000_000_000
+OBJECT_CHILD_BASE_INCREMENT = 1
+STRING_CHILD_BASE_INCREMENT = 1
+STRING_CHILD_LINEAR_WEIGHT = 1
+STRING_INDEX_INFLECTION = 20
+STRING_INDEX_QUADRATIC_WEIGHT = 1
+
+# Ranked node types (reference: src/order/types.rs:60-87)
+N_ARRAY = 0
+N_OBJECT = 1
+N_SPLITTABLE = 2  # truncatable string leaf
+N_LEAFPART = 3  # synthetic per-grapheme child (never rendered)
+N_ATOMIC = 4  # null/bool/number token
+
+
+class PriorityOrder:
+    """Ranked view (reference: src/order/types.rs:129-143)."""
+
+    __slots__ = (
+        "node_type",
+        "key_in_object",
+        "payload",
+        "parent",
+        "children",
+        "index_in_parent_array",
+        "by_priority",
+        "total_nodes",
+        "root_is_fileset",
+        "m_array_len",
+        "m_object_len",
+        "m_string_len",
+        "m_string_truncated",
+    )
+
+    def __init__(self) -> None:
+        self.node_type: list[int] = []
+        self.key_in_object: list[str | None] = []
+        self.payload: list[str | None] = []
+        self.parent: list[int | None] = []
+        self.children: list[list[int]] = []
+        self.index_in_parent_array: list[int | None] = []
+        self.by_priority: list[int] = []
+        self.total_nodes = 0
+        self.root_is_fileset = False
+        self.m_array_len: list[int | None] = []
+        self.m_object_len: list[int | None] = []
+        self.m_string_len: list[int | None] = []
+        self.m_string_truncated: list[bool] = []
+
+
+_KIND_TO_TYPE = {
+    A.K_ARRAY: N_ARRAY,
+    A.K_OBJECT: N_OBJECT,
+    A.K_STRING: N_SPLITTABLE,
+    A.K_NULL: N_ATOMIC,
+    A.K_BOOL: N_ATOMIC,
+    A.K_NUMBER: N_ATOMIC,
+}
+
+
+def _array_extra(cfg: PriorityConfig, i: int, kept: int) -> int:
+    """Array-position bias (reference: src/order/build.rs:130-150)."""
+    if cfg.prefer_tail_arrays:
+        d = max(0, (kept - 1) - i) if kept > 0 else 0
+        return d * d * d * ARRAY_INDEX_CUBIC_WEIGHT
+    if cfg.array_bias == BIAS_HEAD:
+        return i * i * i * ARRAY_INDEX_CUBIC_WEIGHT
+    mid = (kept - 1) // 2 if kept > 0 else 0
+    d = min(i, (kept - 1) - i, abs(i - mid))
+    return d * d * d * ARRAY_INDEX_CUBIC_WEIGHT
+
+
+def build_order(arena: A.TreeArena, cfg: PriorityConfig) -> PriorityOrder:
+    """Best-first expansion (reference: src/order/build.rs:377-470)."""
+    o = PriorityOrder()
+    o.root_is_fileset = arena.is_fileset
+    nt = o.node_type
+    keys = o.key_in_object
+    payload = o.payload
+    parent = o.parent
+    children = o.children
+    in_arr = o.index_in_parent_array
+    mal = o.m_array_len
+    mol = o.m_object_len
+    msl = o.m_string_len
+    mst = o.m_string_truncated
+    order = o.by_priority
+
+    ak = arena.kind
+    a_tok = arena.atomic_token
+    a_str = arena.string_value
+    a_cs = arena.children_start
+    a_cl = arena.children_len
+    a_ks = arena.obj_keys_start
+    a_al = arena.array_len
+    a_ol = arena.object_len
+    a_children = arena.children
+    a_obj_keys = arena.obj_keys
+
+    def push_node(
+        ntype: int, key: str | None, pl: str | None,
+        par: int | None, idx_in_arr: int | None,
+    ) -> int:
+        nid = len(nt)
+        nt.append(ntype)
+        keys.append(key)
+        payload.append(pl)
+        parent.append(par)
+        children.append([])
+        in_arr.append(idx_in_arr)
+        mal.append(None)
+        mol.append(None)
+        msl.append(None)
+        mst.append(False)
+        return nid
+
+    # Seed root
+    root_ar = arena.root_id
+    rk = ak[root_ar]
+    push_node(
+        _KIND_TO_TYPE[rk],
+        None,
+        a_str[root_ar] if rk == A.K_STRING else a_tok[root_ar],
+        None,
+        None,
+    )
+    next_pq_id = 1
+    heap: list[tuple[int, int, int]] = [(ROOT_BASE_SCORE, 0, root_ar)]
+    # arena id -1 marks synthetic (LeafPart) entries
+    cap_graphemes = cfg.max_string_graphemes
+
+    while heap:
+        score, pq_id, ar_id = heapq.heappop(heap)
+        order.append(pq_id)
+        ntype = nt[pq_id]
+        if ar_id >= 0:
+            # Record metrics (reference: build.rs:86-128)
+            if ntype == N_ARRAY:
+                al = a_al[ar_id]
+                mal[pq_id] = al if al is not None else a_cl[ar_id]
+            elif ntype == N_OBJECT:
+                ol = a_ol[ar_id]
+                mol[pq_id] = ol if ol is not None else a_cl[ar_id]
+            elif ntype == N_SPLITTABLE:
+                cnt, trunc = count_graphemes_capped(
+                    payload[pq_id], cap_graphemes
+                )
+                msl[pq_id] = cnt
+                mst[pq_id] = trunc
+
+        if ntype == N_ARRAY:
+            kept = a_cl[ar_id]
+            cs = a_cs[ar_id]
+            my_children = children[pq_id]
+            for i in range(kept):
+                child_ar = a_children[cs + i]
+                ck = ak[child_ar]
+                cid = next_pq_id
+                next_pq_id += 1
+                orig_index = arena.orig_index(ar_id, i)
+                child_score = (
+                    score
+                    + ARRAY_CHILD_BASE_INCREMENT
+                    + _array_extra(cfg, i, kept)
+                )
+                push_node(
+                    _KIND_TO_TYPE[ck],
+                    None,
+                    a_str[child_ar] if ck == A.K_STRING else a_tok[child_ar],
+                    pq_id,
+                    orig_index,
+                )
+                my_children.append(cid)
+                heapq.heappush(heap, (child_score, cid, child_ar))
+                if next_pq_id >= SAFETY_CAP:
+                    break
+        elif ntype == N_OBJECT:
+            count = a_cl[ar_id]
+            cs = a_cs[ar_id]
+            ks = a_ks[ar_id]
+            # Children sorted by key (ties by original position)
+            items = sorted(
+                ((a_obj_keys[ks + i], ks + i, a_children[cs + i])
+                 for i in range(count)),
+                key=lambda t: (t[0], t[1]),
+            )
+            my_children = children[pq_id]
+            for key_text, _ki, child_ar in items:
+                ck = ak[child_ar]
+                cid = next_pq_id
+                next_pq_id += 1
+                child_score = score + OBJECT_CHILD_BASE_INCREMENT
+                push_node(
+                    _KIND_TO_TYPE[ck],
+                    key_text,
+                    a_str[child_ar] if ck == A.K_STRING else a_tok[child_ar],
+                    pq_id,
+                    None,
+                )
+                my_children.append(cid)
+                heapq.heappush(heap, (child_score, cid, child_ar))
+                if next_pq_id >= SAFETY_CAP:
+                    break
+        elif ntype == N_SPLITTABLE:
+            # One synthetic LeafPart per grapheme (build.rs:291-331)
+            full = payload[pq_id] or ""
+            count, _ = count_graphemes_capped(full, cap_graphemes)
+            my_children = children[pq_id]
+            for i in range(count):
+                cid = next_pq_id
+                next_pq_id += 1
+                if i > STRING_INDEX_INFLECTION:
+                    d = i - STRING_INDEX_INFLECTION
+                    extra = d * d * STRING_INDEX_QUADRATIC_WEIGHT
+                else:
+                    extra = 0
+                child_score = (
+                    score
+                    + STRING_CHILD_BASE_INCREMENT
+                    + i * STRING_CHILD_LINEAR_WEIGHT
+                    + extra
+                )
+                push_node(N_LEAFPART, None, None, pq_id, None)
+                my_children.append(cid)
+                heapq.heappush(heap, (child_score, cid, -1))
+                if next_pq_id >= SAFETY_CAP:
+                    break
+
+        if next_pq_id >= SAFETY_CAP:
+            # Drain remaining heap entries into the order for consistency
+            # with the reference (which stops expanding but has already
+            # allocated ids for queued nodes).
+            break
+
+    # Any nodes still queued after a safety-cap break keep their slots but
+    # are not appended to by_priority — matching the reference, where the
+    # loop exits and by_priority only holds processed entries.
+    o.total_nodes = next_pq_id
+    return o
