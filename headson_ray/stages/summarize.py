@@ -1,0 +1,142 @@
+"""Summarizer stage: the reference's per-document transform as a stateful
+Ray Data map_batches actor over zero-copy Arrow batches.
+
+Usage:
+    ds.map_batches(
+        Summarizer,
+        fn_constructor_kwargs=dict(budget=500, style="default"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(2, 8),
+        batch_size=256,
+    )
+
+Config/compiled state lives in __init__ (once per actor, reference main.rs
+config derivation); __call__ handles one Arrow batch. Per-row parse errors
+become (preview=None, error=<msg>) instead of failing the task — at
+10^12-document scale a poison row must never kill the job.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..core.api import headson
+from ..core.config import (
+    PriorityConfig,
+    RenderConfig,
+    SAMPLER_DEFAULT,
+    SAMPLER_HEAD,
+    SAMPLER_TAIL,
+    TEMPLATE_TEXT,
+    TEMPLATE_YAML,
+    map_json_template_for_style,
+)
+from ..core.ingest_json import JsonParseError
+from ..core.ingest_yaml import YamlParseError
+
+
+class Summarizer:
+    """Callable-class stage; one instance per actor-pool worker."""
+
+    def __init__(
+        self,
+        *,
+        budget: int = 500,
+        style: str = "default",
+        format: str = "auto",
+        input_format: str = "auto",
+        skew: str = "balanced",
+        string_cap: int = 500,
+        text_column: str = "text",
+        output_column: str = "preview",
+        error_column: str = "summarize_error",
+    ) -> None:
+        sampler = {
+            "balanced": SAMPLER_DEFAULT,
+            "head": SAMPLER_HEAD,
+            "tail": SAMPLER_TAIL,
+        }[skew]
+        prefer_tail = sampler == SAMPLER_TAIL
+        fmt = format.lower()
+        if fmt in ("auto", "json"):
+            template = map_json_template_for_style(style)
+        elif fmt in ("yaml", "yml"):
+            template = TEMPLATE_YAML
+        else:
+            template = TEMPLATE_TEXT
+        self.render_cfg = RenderConfig(
+            template=template,
+            indent_unit="  ",
+            space=" ",
+            newline="\n",
+            prefer_tail_arrays=prefer_tail,
+            color_enabled=False,
+            style=style,
+        )
+        self.priority_cfg = PriorityConfig(
+            max_string_graphemes=string_cap,
+            array_max_items=max(1, max(budget, 1) // 2),
+            prefer_tail_arrays=prefer_tail,
+            array_sampler=sampler,
+        )
+        self.budget = budget
+        self.input_format = input_format.lower()
+        self.text_column = text_column
+        self.output_column = output_column
+        self.error_column = error_column
+        self.text_render_cfg = self.render_cfg.copy_with(
+            template=TEMPLATE_TEXT
+        )
+
+    def _summarize_one(self, text: str) -> tuple[str | None, str | None]:
+        ifmt = self.input_format
+        try:
+            if ifmt == "auto":
+                # Engine extension: content-based dispatch (the reference
+                # dispatches on filename only, src/main.rs:274-287) — try
+                # JSON, fall back to the text path.
+                try:
+                    return (
+                        headson(
+                            text, self.render_cfg, self.priority_cfg,
+                            self.budget, input_format="json",
+                        ),
+                        None,
+                    )
+                except JsonParseError:
+                    return (
+                        headson(
+                            text, self.text_render_cfg, self.priority_cfg,
+                            self.budget, input_format="text",
+                        ),
+                        None,
+                    )
+            return (
+                headson(
+                    text, self.render_cfg, self.priority_cfg, self.budget,
+                    input_format=ifmt,
+                ),
+                None,
+            )
+        except (JsonParseError, YamlParseError, ValueError, RecursionError) as e:
+            return None, str(e)[:200]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        previews: list[str | None] = []
+        errors: list[str | None] = []
+        for t in texts:
+            if t is None:
+                previews.append(None)
+                errors.append("null input")
+                continue
+            p, e = self._summarize_one(t)
+            previews.append(p)
+            errors.append(e)
+        batch = batch.append_column(
+            self.output_column, pa.array(previews, pa.string())
+        )
+        return batch.append_column(
+            self.error_column, pa.array(errors, pa.string())
+        )
