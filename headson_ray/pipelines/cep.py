@@ -1,0 +1,286 @@
+"""Streaming CEP engine: micro-batch driver with event-time watermarks,
+keyed actor state (dedup + prior-crawl delta join), exactly-once sink and
+checkpoint/resume.
+
+Dataflow per micro-batch (a group of parquet shards — the event-time-ordered
+page stream):
+
+    read_parquet(shards)                        # pruned columns
+      -> map_batches(prepare)                   # domain, window_id, fp (vectorized)
+      -> map_batches(Router(actors))            # salted hash(domain,url) routing
+    actors.update(...)                          # panes, dedup sets, delta join
+    watermark = max event ts seen - allowed_lateness
+    actors.finalize_upto(watermark_window)      # pop finalized partial panes
+    driver merges partials (2nd phase of salted two-phase aggregation)
+      -> ExactlyOnceSink.write_windows + commit(lineage)
+    actors.snapshot(batch)                      # atomic state checkpoint
+
+A killed run resumes from the last committed batch: actor state restores
+from that batch's snapshot, committed batches are skipped, and the replayed
+batch regenerates byte-identical window files (deterministic merge order).
+
+Late rows whose window already finalized are counted and dropped (standard
+allowed-lateness semantics); `n_late` is reported in lineage.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..sinks.parquet import ExactlyOnceSink
+from ..state.store import PANE_FIELDS, StateStoreActor, route_partition
+from ..stages.derive import add_domain
+
+
+def text_fingerprint_column(texts: pa.ChunkedArray) -> pa.Array:
+    """Stable per-row content fingerprint (crc32) for change detection."""
+    fps = [
+        zlib.crc32(t.encode()) if t is not None else 0
+        for t in texts.to_pylist()
+    ]
+    return pa.array(fps, pa.int64())
+
+
+def _prepare(size_us: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = add_domain(batch)
+        micros = pc.cast(batch.column("warc_ts"), pa.int64())
+        wid = pc.divide(micros, pa.scalar(size_us, pa.int64()))
+        batch = batch.append_column("window_id", wid)
+        batch = batch.append_column(
+            "n_chars", pc.cast(pc.utf8_length(batch.column("text")), pa.int64())
+        )
+        batch = batch.append_column(
+            "text_fp", text_fingerprint_column(batch.column("text"))
+        )
+        return batch.select(
+            ["domain", "window_id", "url", "n_chars", "text_fp", "warc_ts"]
+        )
+
+    return fn
+
+
+class Router:
+    """map_batches stage that scatters rows to the state actors by
+    hash(domain, url) and returns per-batch (max_ts, n) for the watermark."""
+
+    def __init__(self, actors: list):
+        self.actors = actors
+        self.p = len(actors)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        domains = batch.column("domain").to_pylist()
+        urls = batch.column("url").to_pylist()
+        wids = batch.column("window_id").to_pylist()
+        chars = batch.column("n_chars").to_pylist()
+        fps = batch.column("text_fp").to_pylist()
+        parts: list[dict] = [
+            {"domain": [], "window_id": [], "url": [], "n_chars": [],
+             "text_fp": []}
+            for _ in range(self.p)
+        ]
+        for d, u, w, c, f in zip(domains, urls, wids, chars, fps):
+            slot = parts[route_partition(d or "", u, self.p)]
+            slot["domain"].append(d)
+            slot["window_id"].append(w)
+            slot["url"].append(u)
+            slot["n_chars"].append(c)
+            slot["text_fp"].append(f)
+        refs = [
+            self.actors[i].update.remote(parts[i])
+            for i in range(self.p)
+            if parts[i]["url"]
+        ]
+        # Block until delivered: gives backpressure and guarantees all rows
+        # are in actor state before the driver advances the watermark.
+        ray.get(refs)
+        max_ts = pc.max(pc.cast(batch.column("warc_ts"), pa.int64())).as_py()
+        return pa.table(
+            {
+                "max_ts": pa.array([max_ts], pa.int64()),
+                "n": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+
+def _merge_pane_partials(tables: list[pa.Table]) -> pa.Table:
+    nonempty = [t for t in tables if t.num_rows > 0]
+    if not nonempty:
+        return tables[0]
+    merged = pa.concat_tables(nonempty)
+    agg = merged.group_by(["domain", "window_id"]).aggregate(
+        [(f, "sum") for f in PANE_FIELDS]
+    )
+    agg = agg.rename_columns(
+        [c[:-4] if c.endswith("_sum") else c for c in agg.column_names]
+    )
+    idx = pc.sort_indices(
+        agg, sort_keys=[("window_id", "ascending"), ("domain", "ascending")]
+    )
+    return agg.take(idx)
+
+
+class CepEngine:
+    """Owns the actor pool + sink; one instance per streaming run."""
+
+    def __init__(
+        self,
+        *,
+        out_dir: str,
+        checkpoint_dir: str,
+        num_state_actors: int = 4,
+        window_size_s: int = 3600,
+        allowed_lateness_s: int = 60,
+    ):
+        self.sink = ExactlyOnceSink(out_dir)
+        self.checkpoint_dir = checkpoint_dir
+        self.window_size_us = window_size_s * 1_000_000
+        self.lateness_us = allowed_lateness_s * 1_000_000
+        self.actors = [
+            StateStoreActor.remote(i, checkpoint_dir)
+            for i in range(num_state_actors)
+        ]
+        self.watermark = -1
+
+    def load_prior_crawl(self, paths: list[str]) -> int:
+        """Broadcast the prior-crawl index into the actor pool (join side)."""
+        ds = ray.data.read_parquet(paths, columns=["url", "text"])
+        total = 0
+        for batch in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+            batch = batch.append_column(
+                "text_fp", text_fingerprint_column(batch.column("text"))
+            )
+            urls = batch.column("url").to_pylist()
+            fps = batch.column("text_fp").to_pylist()
+            parts: list[tuple[list, list]] = [
+                ([], []) for _ in range(len(self.actors))
+            ]
+            for u, f in zip(urls, fps):
+                d = u.split("/")[2] if "://" in u else ""
+                slot = parts[route_partition(d, u, len(self.actors))]
+                slot[0].append(u)
+                slot[1].append(f)
+            ray.get(
+                [
+                    self.actors[i].load_prior.remote(parts[i][0], parts[i][1])
+                    for i in range(len(self.actors))
+                    if parts[i][0]
+                ]
+            )
+            total += batch.num_rows
+        return total
+
+    def run(
+        self,
+        shard_groups: list[list[str]],
+        *,
+        final_flush: bool = True,
+    ) -> dict:
+        """Process micro-batches; resume-safe. Returns run metrics."""
+        committed = self.sink.committed_batches()
+        start_batch = 0
+        if committed:
+            last = max(committed)
+            # restore state as of the last committed batch
+            ok = ray.get(
+                [a.restore.remote(last) for a in self.actors]
+            )
+            if not all(ok):
+                raise RuntimeError(
+                    f"checkpoint for committed batch {last} missing"
+                )
+            start_batch = last + 1
+            # recover watermark from manifest lineage
+            import json
+
+            with open(self.sink.manifest_path) as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    if rec.get("kind") == "commit" and rec["batch"] <= last:
+                        self.watermark = max(self.watermark, rec["watermark"])
+        n_batches = len(shard_groups)
+        windows_emitted = 0
+        rows_processed = 0
+        for b in range(start_batch, n_batches):
+            shards = shard_groups[b]
+            ds = ray.data.read_parquet(
+                shards, columns=["url", "warc_ts", "text"]
+            )
+            ds = ds.map_batches(
+                _prepare(self.window_size_us),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            stats = ds.map_batches(
+                Router,
+                fn_constructor_kwargs=dict(actors=self.actors),
+                batch_format="pyarrow",
+                concurrency=(1, max(1, len(self.actors))),
+                batch_size=4096,
+                num_cpus=0.5,
+            )
+            # NOTE: consume exactly once (take_all). to_arrow_refs() executes
+            # the plan twice, which would double-deliver to the state actors.
+            stat_rows = stats.take_all()
+            batch_max_ts = max(r["max_ts"] for r in stat_rows)
+            batch_rows = sum(r["n"] for r in stat_rows)
+            rows_processed += batch_rows
+            self.watermark = max(self.watermark, batch_max_ts)
+            wm = self.watermark - self.lateness_us
+            max_window = wm // self.window_size_us - 1
+            partials = ray.get(
+                [a.finalize_upto.remote(max_window) for a in self.actors]
+            )
+            finalized = _merge_pane_partials(partials)
+            path = self.sink.write_windows(b, finalized)
+            ray.get([a.snapshot.remote(b) for a in self.actors])
+            self.sink.commit(
+                b,
+                {
+                    "shards": shards,
+                    "rows": int(batch_rows),
+                    "watermark": int(self.watermark),
+                    "windows_finalized": int(
+                        finalized.num_rows if finalized is not None else 0
+                    ),
+                    "max_window": int(max_window),
+                    "out_file": path,
+                    "state_version": b,
+                },
+            )
+            windows_emitted += finalized.num_rows
+        if final_flush and n_batches > start_batch:
+            b = n_batches
+            if b not in self.sink.committed_batches():
+                partials = ray.get(
+                    [a.finalize_upto.remote(2**62) for a in self.actors]
+                )
+                finalized = _merge_pane_partials(partials)
+                path = self.sink.write_windows(b, finalized)
+                ray.get([a.snapshot.remote(b) for a in self.actors])
+                self.sink.commit(
+                    b,
+                    {
+                        "shards": [],
+                        "rows": 0,
+                        "watermark": int(self.watermark),
+                        "windows_finalized": int(finalized.num_rows),
+                        "max_window": 2**62,
+                        "out_file": path,
+                        "state_version": b,
+                    },
+                )
+                windows_emitted += finalized.num_rows
+        actor_stats = ray.get([a.stats.remote() for a in self.actors])
+        return {
+            "rows_processed": rows_processed,
+            "windows_emitted": windows_emitted,
+            "watermark": self.watermark,
+            "actor_stats": actor_stats,
+        }

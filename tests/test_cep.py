@@ -1,0 +1,166 @@
+"""CEP engine tests: windowed pane contents vs a single-process oracle,
+exactly-once row counts across kill/resume, and delta-join semantics."""
+
+from __future__ import annotations
+
+import collections
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from headson_ray.sources.pages import generate_shard
+from headson_ray.pipelines.cep import CepEngine, text_fingerprint_column
+
+WINDOW_S = 600
+LATENESS_S = 60
+
+
+@pytest.fixture(scope="module")
+def pages_shards(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cep-pages")
+    paths = []
+    tables = []
+    for s in range(4):
+        t = generate_shard(s, 400)
+        p = root / f"shard-{s}.parquet"
+        pq.write_table(t, p)
+        paths.append(str(p))
+        tables.append(t)
+    return paths, pa.concat_tables(tables)
+
+
+@pytest.fixture(scope="module")
+def prior_crawl(tmp_path_factory, pages_shards):
+    _, src = pages_shards
+    root = tmp_path_factory.mktemp("cep-prior")
+    urls = src.column("url").to_pylist()
+    texts = src.column("text").to_pylist()
+    n = len(urls)
+    # first third unchanged, second third changed, last third absent (new)
+    p_urls = urls[: n // 3] + urls[n // 3 : 2 * n // 3]
+    p_texts = texts[: n // 3] + [t + "X" for t in texts[n // 3 : 2 * n // 3]]
+    t = pa.table({"url": p_urls, "text": p_texts})
+    path = root / "prior.parquet"
+    pq.write_table(t, path)
+    return str(path), set(urls[: n // 3]), set(urls[n // 3 : 2 * n // 3])
+
+
+def _oracle_panes(src: pa.Table, prior_path: str):
+    """Single-process oracle for the full-run pane table."""
+    prior_t = pq.read_table(prior_path)
+    prior = dict(
+        zip(
+            prior_t.column("url").to_pylist(),
+            text_fingerprint_column(prior_t.column("text")).to_pylist(),
+        )
+    )
+    fps = text_fingerprint_column(src.column("text")).to_pylist()
+    panes = collections.defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    seen = collections.defaultdict(set)
+    size_us = WINDOW_S * 1_000_000
+    for url, ts, text, fp in zip(
+        src.column("url").to_pylist(),
+        src.column("warc_ts").to_pylist(),
+        src.column("text").to_pylist(),
+        fps,
+    ):
+        domain = url.split("/")[2]
+        w = int(ts.timestamp() * 1_000_000) // size_us
+        pane = panes[(domain, w)]
+        pane[0] += 1
+        if url in seen[domain]:
+            pane[1] += 1
+            continue
+        seen[domain].add(url)
+        pane[5] += len(text)
+        pfp = prior.get(url)
+        if pfp is None:
+            pane[2] += 1
+        elif pfp != fp:
+            pane[3] += 1
+        else:
+            pane[4] += 1
+    return panes
+
+
+def _pane_dict(table: pa.Table):
+    out = {}
+    for row in table.to_pylist():
+        out[(row["domain"], row["window_id"])] = [
+            row["n_pages"], row["n_dup"], row["n_new"],
+            row["n_changed"], row["n_unchanged"], row["total_chars"],
+        ]
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cep_full_run_matches_oracle(pages_shards, prior_crawl, tmp_path):
+    paths, src = pages_shards
+    prior_path, unchanged_urls, changed_urls = prior_crawl
+    eng = CepEngine(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_state_actors=3,
+        window_size_s=WINDOW_S,
+        allowed_lateness_s=LATENESS_S,
+    )
+    eng.load_prior_crawl([prior_path])
+    metrics = eng.run([[p] for p in paths])
+    assert metrics["rows_processed"] == src.num_rows
+    got = _pane_dict(eng.sink.read_all_windows())
+    exp = _oracle_panes(src, prior_path)
+    assert got == dict(exp)
+    # delta-join categories all exercised
+    total_new = sum(v[2] for v in got.values())
+    total_changed = sum(v[3] for v in got.values())
+    total_unchanged = sum(v[4] for v in got.values())
+    assert total_new > 0 and total_changed > 0 and total_unchanged > 0
+    assert total_changed == len(changed_urls)
+    assert total_unchanged == len(unchanged_urls)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cep_kill_resume_exactly_once(pages_shards, prior_crawl, tmp_path):
+    paths, src = pages_shards
+    prior_path, _, _ = prior_crawl
+    groups = [[p] for p in paths]
+
+    # clean full run
+    clean = CepEngine(
+        out_dir=str(tmp_path / "out-clean"),
+        checkpoint_dir=str(tmp_path / "ckpt-clean"),
+        num_state_actors=3,
+        window_size_s=WINDOW_S,
+        allowed_lateness_s=LATENESS_S,
+    )
+    clean.load_prior_crawl([prior_path])
+    clean.run(groups)
+    clean_windows = _pane_dict(clean.sink.read_all_windows())
+
+    # "killed" run: process only first two micro-batches, then abandon
+    eng1 = CepEngine(
+        out_dir=str(tmp_path / "out-resume"),
+        checkpoint_dir=str(tmp_path / "ckpt-resume"),
+        num_state_actors=3,
+        window_size_s=WINDOW_S,
+        allowed_lateness_s=LATENESS_S,
+    )
+    eng1.load_prior_crawl([prior_path])
+    eng1.run(groups[:2], final_flush=False)
+
+    # fresh engine (new actors) resumes from the checkpoint + manifest
+    eng2 = CepEngine(
+        out_dir=str(tmp_path / "out-resume"),
+        checkpoint_dir=str(tmp_path / "ckpt-resume"),
+        num_state_actors=3,
+        window_size_s=WINDOW_S,
+        allowed_lateness_s=LATENESS_S,
+    )
+    eng2.load_prior_crawl([prior_path])
+    metrics = eng2.run(groups)
+    resumed_windows = _pane_dict(eng2.sink.read_all_windows())
+    assert resumed_windows == clean_windows  # no dup/lost windows
+    # resumed run only processed the remaining batches
+    assert metrics["rows_processed"] == src.num_rows - 800

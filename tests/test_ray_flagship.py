@@ -41,11 +41,9 @@ def test_flagship_matches_single_process_oracle(tmp_path):
         base_dir=str(tmp_path / "pages"),
     )
     ds = summarize_pages(paths, concurrency=2, batch_size=200)
-    out = ds.to_arrow_refs()
-    import ray
-
-    tables = [ray.get(r) for r in out]
-    table = pa.concat_tables(tables)
+    table = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow", batch_size=4096)
+    )
     assert table.num_rows == 2000
     got = dict(
         zip(table.column("url").to_pylist(), table.column("preview").to_pylist())
