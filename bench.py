@@ -1,0 +1,168 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, ...}
+
+--scaling runs the headline pipeline at two parallelism levels (8 and 32
+CPUs by default) in fresh subprocesses on the same input and reports both
+throughputs + scaling efficiency (the N vs 4N cluster-size stand-in).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf() -> float:
+    name = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def _pages_rows() -> int:
+    # summarizer bench sized down vs lineitem scale: the per-doc transform
+    # is the expensive stage (Python algorithm, ~1-3 ms/doc)
+    return max(2000, int(_sf() * 600_000))
+
+
+def run_benchmarks(num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+    from headson_ray.pipelines.cep import CepEngine
+    from headson_ray.pipelines.flagship import summarize_pages
+    from headson_ray.pipelines.queries import QUERIES
+    from headson_ray.sources.pages import materialize_pages
+
+    results: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- headline 1: summarized-docs/sec ---------------------------------
+    rows = _pages_rows()
+    paths = materialize_pages(rows, tag=f"bench-{rows}")
+    t0 = time.time()
+    ds = summarize_pages(
+        paths,
+        budget=500,
+        concurrency=(2, max(2, num_cpus)),
+        batch_size=128,
+    )
+    n = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        n += b.num_rows
+    dt = time.time() - t0
+    results["summarize_pages"] = dt
+    extras["summarize_docs_per_sec"] = n / dt
+    extras["summarize_rows"] = n
+
+    # --- headline 2: windows-finalized/sec (streaming CEP) ---------------
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="headson-bench-cep-")
+    try:
+        t0 = time.time()
+        eng = CepEngine(
+            out_dir=f"{work}/out",
+            checkpoint_dir=f"{work}/ckpt",
+            num_state_actors=max(2, num_cpus // 4),
+            window_size_s=600,
+            allowed_lateness_s=60,
+        )
+        groups = [paths[i : i + 8] for i in range(0, len(paths), 8)]
+        m = eng.run(groups)
+        dt = time.time() - t0
+        results["cep_stream"] = dt
+        extras["windows_finalized_per_sec"] = m["windows_emitted"] / dt
+        extras["cep_rows_per_sec"] = m["rows_processed"] / dt
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # --- catalog queries --------------------------------------------------
+    for name in [
+        "tumbling_events", "sliding_events", "session_events",
+        "dedup_exact", "token_stats", "knn_topk", "lineitem_agg",
+        "orders_by_segment", "minhash_near_dups",
+    ]:
+        t0 = time.time()
+        res = QUERIES[name](SF_DIR)
+        if hasattr(res, "iter_batches"):
+            for _ in res.iter_batches(batch_format="pyarrow", batch_size=8192):
+                pass
+        results[name] = time.time() - t0
+
+    ray.shutdown()
+    return {"queries": results, "extras": extras}
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        lows, highs = 8, 32
+        out = {}
+        for cpus in (lows, highs):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--single", str(cpus)],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            out[cpus] = json.loads(line)
+        tp_low = out[lows]["extras"]["summarize_docs_per_sec"]
+        tp_high = out[highs]["extras"]["summarize_docs_per_sec"]
+        eff = (tp_high / tp_low) / (highs / lows)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": eff,
+                    "unit": "ratio",
+                    "low_cpus": lows,
+                    "high_cpus": highs,
+                    "docs_per_sec_low": tp_low,
+                    "docs_per_sec_high": tp_high,
+                    "sf": _sf(),
+                }
+            )
+        )
+        return
+
+    if "--single" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--single") + 1])
+    else:
+        cpus = NUM_CPUS
+    r = run_benchmarks(cpus)
+    total = sum(r["queries"].values())
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": r["queries"],
+                "extras": r["extras"],
+                "sf": _sf(),
+                "num_cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,626 @@
+"""Driver-facing query catalog: one Ray-Data pipeline per operator from
+SURVEY.md §2 (+ the training-data ops), each with a DuckDB oracle where
+SQL can express it.
+
+Conventions:
+- every callable takes sf_dir and returns a pyarrow Table / Dataset;
+- monetary doubles are emitted as integer cents (deterministic hashing);
+- column names match the oracle SQL aliases exactly.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..stages.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    simhash_signatures,
+)
+from ..stages.similarity import brute_force_topk, embedding_near_dup_pairs
+from ..stages.summarize import Summarizer
+from ..stages.textstats import (
+    STOPWORDS,
+    add_fingerprint,
+    add_lang_id,
+    add_quality_score,
+    add_token_stats,
+)
+
+DAY_US = 86_400_000_000
+HOUR_US = 3_600_000_000
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        str(Path(sf_dir) / f"{table}.parquet"), columns=columns
+    )
+
+
+def _cents(col, factor: float = 100.0):
+    # half_towards_infinity == SQL round() (half away from zero); pyarrow's
+    # default half_to_even would drift one cent on exact-half values.
+    return pc.cast(
+        pc.round(
+            pc.multiply(col, factor), round_mode="half_towards_infinity"
+        ),
+        pa.int64(),
+    )
+
+
+def _two_phase_sum(ds, keys, partial_fn, sum_cols):
+    """Partial pyarrow group_by inside map_batches, then a small Ray
+    groupby merge — the shuffle only moves pre-aggregated rows."""
+    partials = ds.map_batches(
+        partial_fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+# --------------------------------------------------------------------------
+# Windowed aggregations over `events`
+# --------------------------------------------------------------------------
+def q_tumbling_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        wid = pc.divide(pc.cast(b.column("ts"), pa.int64()), DAY_US)
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "window_id": wid,
+                "cents": _cents(b.column("value")),
+            }
+        )
+        g = t.group_by(["event_type", "window_id"]).aggregate(
+            [([], "count_all"), ("cents", "sum")]
+        )
+        return g.rename_columns(["event_type", "window_id", "n", "val_cents"])
+
+    return _two_phase_sum(
+        ds, ["event_type", "window_id"], partial, ["n", "val_cents"]
+    )
+
+
+SQL_TUMBLING_EVENTS = f"""
+SELECT event_type,
+       epoch_us(ts) // {DAY_US} AS window_id,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS val_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_sliding_events(sf_dir: str):
+    # size = 2 days, slide = 1 day -> each event in exactly 2 windows
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        last = pc.divide(pc.cast(b.column("ts"), pa.int64()), DAY_US)
+        pieces = []
+        for j in (0, 1):
+            wid = pc.subtract(last, pa.scalar(j, pa.int64()))
+            pieces.append(
+                pa.table(
+                    {
+                        "event_type": b.column("event_type"),
+                        "window_id": wid,
+                        "cents": _cents(b.column("value")),
+                    }
+                )
+            )
+        t = pa.concat_tables(pieces)
+        t = t.filter(pc.greater_equal(t.column("window_id"), 0))
+        g = t.group_by(["event_type", "window_id"]).aggregate(
+            [([], "count_all"), ("cents", "sum")]
+        )
+        return g.rename_columns(["event_type", "window_id", "n", "val_cents"])
+
+    return _two_phase_sum(
+        ds, ["event_type", "window_id"], partial, ["n", "val_cents"]
+    )
+
+
+SQL_SLIDING_EVENTS = f"""
+SELECT event_type,
+       (epoch_us(ts) // {DAY_US}) - j AS window_id,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS val_cents
+FROM events, (SELECT unnest([0, 1]) AS j)
+WHERE (epoch_us(ts) // {DAY_US}) - j >= 0
+GROUP BY 1, 2
+"""
+
+SESSION_GAP_US = 2 * HOUR_US
+
+
+def q_session_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group.column("ts"))
+        tus = pc.take(pc.cast(group.column("ts"), pa.int64()), idx).to_pylist()
+        cents = pc.take(_cents(group.column("value")), idx).to_pylist()
+        uid = group.column("user_id")[0].as_py()
+        rows = {
+            "user_id": [], "session_start": [], "session_end": [],
+            "n": [], "val_cents": [],
+        }
+        start = prev = None
+        n = 0
+        vs = 0
+        for t, c in zip(tus, cents):
+            if prev is not None and t - prev > SESSION_GAP_US:
+                rows["user_id"].append(uid)
+                rows["session_start"].append(start)
+                rows["session_end"].append(prev)
+                rows["n"].append(n)
+                rows["val_cents"].append(vs)
+                start, n, vs = None, 0, 0
+            if start is None:
+                start = t
+            n += 1
+            vs += c
+            prev = t
+        if start is not None:
+            rows["user_id"].append(uid)
+            rows["session_start"].append(start)
+            rows["session_end"].append(prev)
+            rows["n"].append(n)
+            rows["val_cents"].append(vs)
+        return pa.table(
+            {
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "session_start": pa.array(rows["session_start"], pa.int64()),
+                "session_end": pa.array(rows["session_end"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "val_cents": pa.array(rows["val_cents"], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+SQL_SESSION_EVENTS = f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tu
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM t
+)
+SELECT user_id, min(tu) AS session_start, max(tu) AS session_end,
+       count(*) AS n, sum(cents) AS val_cents
+FROM s GROUP BY user_id, sess
+"""
+
+LATENESS_US = HOUR_US
+
+
+def q_finalized_tumbling_events(sf_dir: str):
+    """Tumbling windows finalized under watermark = max(ts) - lateness —
+    the batch oracle of the streaming engine's finalization rule."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    max_ts = ds.map_batches(
+        lambda b: pa.table(
+            {"m": [pc.max(pc.cast(b.column("ts"), pa.int64())).as_py()]}
+        ),
+        batch_format="pyarrow",
+    ).max("m")
+    max_wid = (max_ts - LATENESS_US) // DAY_US - 1
+    agg = q_tumbling_events(sf_dir)
+    return agg.filter(expr=f"window_id <= {max_wid}")
+
+
+SQL_FINALIZED_TUMBLING_EVENTS = f"""
+SELECT event_type,
+       epoch_us(ts) // {DAY_US} AS window_id,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS val_cents
+FROM events
+GROUP BY 1, 2
+HAVING window_id <= (SELECT (max(epoch_us(ts)) - {LATENESS_US}) // {DAY_US} - 1
+                     FROM events)
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup / text ops over `documents`
+# --------------------------------------------------------------------------
+def q_dedup_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds, key_column="text", id_column="doc_id")
+    return out.select_columns(["keep_id"])
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS keep_id FROM documents GROUP BY text
+"""
+
+
+def q_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = add_token_stats(b)
+        t = pa.table(
+            {
+                "lang": b.column("lang"),
+                "token_count": b.column("token_count"),
+                "stopword_count": b.column("stopword_count"),
+            }
+        )
+        g = t.group_by(["lang"]).aggregate(
+            [([], "count_all"), ("token_count", "sum"), ("stopword_count", "sum")]
+        )
+        return g.rename_columns(["lang", "docs", "tokens", "stopwords"])
+
+    return _two_phase_sum(ds, ["lang"], partial, ["docs", "tokens", "stopwords"])
+
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+SQL_TOKEN_STATS = f"""
+WITH t AS (
+  SELECT lang,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT lang, count(*) AS docs,
+       sum(len(toks)) AS tokens,
+       sum(len(list_filter(toks, x -> x IN ({_SW})))) AS stopwords
+FROM t GROUP BY lang
+"""
+
+
+def q_doc_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: add_token_stats(b).select(
+            ["doc_id", "token_count", "stopword_count"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return out
+
+
+SQL_DOC_TOKEN_COUNTS = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, len(toks) AS token_count,
+       len(list_filter(toks, x -> x IN ({_SW}))) AS stopword_count
+FROM t
+"""
+
+
+def q_quality_scores(sf_dir: str):
+    """Quality scoring (rows-only: float score column)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_quality_score(b).select(["doc_id", "quality_score"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_lang_id(sf_dir: str):
+    """Language-ID heuristic (rows-only; synthetic text is English-like)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_lang_id(b).select(["doc_id", "lang_pred"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints (rows-only: custom hash)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_fingerprint(b).select(["doc_id", "doc_fp"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_minhash_near_dups(sf_dir: str):
+    """MinHash+LSH near-dup pairs (rows-only: custom signatures)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_near_dups(ds, threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        simhash_signatures, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_summarize_documents(sf_dir: str):
+    """The flagship per-document transform over the documents table
+    (rows-only: previews have no SQL equivalent)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        Summarizer,
+        fn_constructor_kwargs=dict(budget=200, input_format="text"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+        batch_size=512,
+        num_cpus=1,
+    )
+    return out.select_columns(["doc_id", "preview"])
+
+
+# --------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# --------------------------------------------------------------------------
+N_QUERIES = 5
+TOPK = 10
+
+
+def q_knn_topk(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = (
+        ds.filter(expr=f"vec_id < {N_QUERIES}")
+        .take_all()
+    )
+    qrows.sort(key=lambda r: r["vec_id"])
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [r["vec_id"] for r in qrows]
+    return brute_force_topk(
+        ds, queries, k=TOPK, query_ids=qids, exclude_self=True
+    )
+
+
+SQL_KNN_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank"
+FROM r WHERE rnk <= {TOPK}
+"""
+
+NEAR_DUP_TAU = 0.4
+
+
+def q_embedding_near_dups(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup_pairs(
+        ds, threshold=NEAR_DUP_TAU, block_column=None
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.emb, b.emb) >= {NEAR_DUP_TAU}
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational operators over the TPC-H-ish tables
+# --------------------------------------------------------------------------
+def q_lineitem_agg(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty": pc.cast(b.column("l_quantity"), pa.int64()),
+                "price_cents": _cents(b.column("l_extendedprice")),
+                "disc_cents": _cents(disc_price),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [([], "count_all"), ("qty", "sum"), ("price_cents", "sum"),
+             ("disc_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "n", "sum_qty",
+             "sum_price_cents", "sum_disc_cents"]
+        )
+
+    return _two_phase_sum(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        partial,
+        ["n", "sum_qty", "sum_price_cents", "sum_disc_cents"],
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS sum_disc_cents
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast join: the small customer->segment map is put in the object
+    store once and read per batch — no shuffle of the orders stream."""
+    import ray as _ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    lookup = {}
+    for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536):
+        lookup.update(
+            zip(
+                b.column("c_custkey").to_pylist(),
+                b.column("c_mktsegment").to_pylist(),
+            )
+        )
+    lookup_ref = _ray.put(lookup)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lk = _ray.get(lookup_ref)
+        segs = [lk.get(c) for c in b.column("o_custkey").to_pylist()]
+        t = pa.table(
+            {
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "cents": _cents(b.column("o_totalprice")),
+            }
+        )
+        g = t.group_by(["c_mktsegment"]).aggregate(
+            [([], "count_all"), ("cents", "sum")]
+        )
+        return g.rename_columns(["c_mktsegment", "n_orders", "total_cents"])
+
+    return _two_phase_sum(
+        orders, ["c_mktsegment"], partial, ["n_orders", "total_cents"]
+    )
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(10)
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "total_cents": _cents(b.column("o_totalprice")),
+            }
+        )
+
+    return top.map_batches(shape, batch_format="pyarrow")
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_events_per_user(sf_dir: str):
+    """Plain groupby (count/min/max) — exercises Ray aggregate kernels."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "tu": pc.cast(b.column("ts"), pa.int64()),
+            }
+        )
+        g = t.group_by(["user_id"]).aggregate(
+            [([], "count_all"), ("tu", "min"), ("tu", "max")]
+        )
+        return g.rename_columns(["user_id", "n", "first_ts", "last_ts"])
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("user_id").aggregate(
+        Sum("n", alias_name="n"),
+        Min("first_ts", alias_name="first_ts"),
+        Max("last_ts", alias_name="last_ts"),
+    )
+
+
+SQL_EVENTS_PER_USER = """
+SELECT user_id, count(*) AS n,
+       min(epoch_us(ts)) AS first_ts,
+       max(epoch_us(ts)) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "tumbling_events": q_tumbling_events,
+    "sliding_events": q_sliding_events,
+    "session_events": q_session_events,
+    "finalized_tumbling_events": q_finalized_tumbling_events,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "doc_token_counts": q_doc_token_counts,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash": q_simhash,
+    "summarize_documents": q_summarize_documents,
+    "knn_topk": q_knn_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "lineitem_agg": q_lineitem_agg,
+    "orders_by_segment": q_orders_by_segment,
+    "top_orders": q_top_orders,
+    "events_per_user": q_events_per_user,
+}
+
+ORACLE_SQL = {
+    "tumbling_events": SQL_TUMBLING_EVENTS,
+    "sliding_events": SQL_SLIDING_EVENTS,
+    "session_events": SQL_SESSION_EVENTS,
+    "finalized_tumbling_events": SQL_FINALIZED_TUMBLING_EVENTS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_stats": SQL_TOKEN_STATS,
+    "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
+    "knn_topk": SQL_KNN_TOPK,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "lineitem_agg": SQL_LINEITEM_AGG,
+    "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+    "top_orders": SQL_TOP_ORDERS,
+    "events_per_user": SQL_EVENTS_PER_USER,
+}

@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All stages are vectorized-or-cheap map_batches functions over Arrow
+batches; token/quality semantics are chosen to be expressible in ANSI SQL
+so the DuckDB oracle can verify them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# Tiny per-language character/word profiles for the n-gram heuristic.
+# Deliberately simple and deterministic (no model downloads).
+_LANG_MARKERS = {
+    "en": (" the ", " and ", " of ", " is "),
+    "de": (" der ", " die ", " und ", " ist "),
+    "fr": (" le ", " la ", " et ", " est "),
+    "es": (" el ", " la ", " y ", " es "),
+    "ja": ("の", "に", "は", "を"),
+}
+
+
+def add_token_stats(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Append token_count (whitespace tokens) and stopword_count.
+
+    SQL equivalent:
+      token_count  = len(list_filter(string_split_regex(text,'\\s+'), x -> x<>''))
+      stopword_cnt = len(list_filter(..., x -> x in STOPWORDS))
+    """
+    token_counts = []
+    stop_counts = []
+    for t in batch.column(text_column).to_pylist():
+        if not t:
+            token_counts.append(0)
+            stop_counts.append(0)
+            continue
+        toks = t.split()
+        token_counts.append(len(toks))
+        stop_counts.append(sum(1 for x in toks if x in STOPWORDS))
+    batch = batch.append_column(
+        "token_count", pa.array(token_counts, pa.int64())
+    )
+    return batch.append_column(
+        "stopword_count", pa.array(stop_counts, pa.int64())
+    )
+
+
+def add_quality_score(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Heuristic quality score in [0,1]: length + stopword-ratio blend
+    (Gopher/C4-style length/stopword filters, simplified)."""
+    if "token_count" not in batch.column_names:
+        batch = add_token_stats(batch, text_column)
+    n = pc.cast(batch.column("token_count"), pa.float64())
+    sw = pc.cast(batch.column("stopword_count"), pa.float64())
+    len_score = pc.min_element_wise(
+        pc.divide(n, pa.scalar(100.0)), pa.scalar(1.0)
+    )
+    ratio = pc.divide(sw, pc.max_element_wise(n, pa.scalar(1.0)))
+    sw_score = pc.min_element_wise(
+        pc.divide(ratio, pa.scalar(0.05)), pa.scalar(1.0)
+    )
+    score = pc.add(
+        pc.multiply(len_score, pa.scalar(0.5)),
+        pc.multiply(sw_score, pa.scalar(0.5)),
+    )
+    return batch.append_column("quality_score", score)
+
+
+def add_lang_id(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Append lang_pred via marker-n-gram voting (deterministic heuristic)."""
+    preds = []
+    for t in batch.column(text_column).to_pylist():
+        s = f" {t} " if t else ""
+        best, best_score = "und", 0
+        for lang, markers in _LANG_MARKERS.items():
+            score = sum(s.count(m) for m in markers)
+            if score > best_score:
+                best, best_score = lang, score
+        preds.append(best)
+    return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+def _rolling_fp(text: str, window: int = 8) -> int:
+    """Rolling-hash document fingerprint: XOR of Rabin-Karp window hashes."""
+    MOD = (1 << 61) - 1
+    B = 1_000_003
+    h = 0
+    acc = 0
+    power = pow(B, window - 1, MOD)
+    data = text.encode()
+    for i, b in enumerate(data):
+        h = (h * B + b) % MOD
+        if i >= window - 1:
+            acc ^= h
+            h = (h - data[i - window + 1] * power) % MOD
+    return acc
+
+
+def add_fingerprint(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    fps = [
+        _rolling_fp(t) if t else 0
+        for t in batch.column(text_column).to_pylist()
+    ]
+    return batch.append_column("doc_fp", pa.array(fps, pa.int64()))
