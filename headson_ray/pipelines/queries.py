@@ -94,7 +94,7 @@ SQL_TUMBLING_EVENTS = f"""
 SELECT event_type,
        epoch_us(ts) // {DAY_US} AS window_id,
        count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS val_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
 FROM events
 GROUP BY 1, 2
 """
@@ -134,7 +134,7 @@ SQL_SLIDING_EVENTS = f"""
 SELECT event_type,
        (epoch_us(ts) // {DAY_US}) - j AS window_id,
        count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS val_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
 FROM events, (SELECT unnest([0, 1]) AS j)
 WHERE (epoch_us(ts) // {DAY_US}) - j >= 0
 GROUP BY 1, 2
@@ -205,7 +205,7 @@ WITH t AS (
   FROM t
 )
 SELECT user_id, min(tu) AS session_start, max(tu) AS session_end,
-       count(*) AS n, sum(cents) AS val_cents
+       count(*) AS n, CAST(sum(cents) AS BIGINT) AS val_cents
 FROM s GROUP BY user_id, sess
 """
 
@@ -231,7 +231,7 @@ SQL_FINALIZED_TUMBLING_EVENTS = f"""
 SELECT event_type,
        epoch_us(ts) // {DAY_US} AS window_id,
        count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS val_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
 FROM events
 GROUP BY 1, 2
 HAVING window_id <= (SELECT (max(epoch_us(ts)) - {LATENESS_US}) // {DAY_US} - 1
@@ -281,8 +281,8 @@ WITH t AS (
   FROM documents
 )
 SELECT lang, count(*) AS docs,
-       sum(len(toks)) AS tokens,
-       sum(len(list_filter(toks, x -> x IN ({_SW})))) AS stopwords
+       CAST(sum(len(toks)) AS BIGINT) AS tokens,
+       CAST(sum(len(list_filter(toks, x -> x IN ({_SW})))) AS BIGINT) AS stopwords
 FROM t GROUP BY lang
 """
 
@@ -474,10 +474,10 @@ def q_lineitem_agg(sf_dir: str):
 SQL_LINEITEM_AGG = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-           AS sum_disc_cents
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS BIGINT) AS sum_disc_cents
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
@@ -521,7 +521,7 @@ def q_orders_by_segment(sf_dir: str):
 
 SQL_ORDERS_BY_SEGMENT = """
 SELECT c_mktsegment, count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
