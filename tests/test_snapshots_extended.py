@@ -1,0 +1,178 @@
+"""Extended conformance vs the reference snapshot corpus beyond the e2e
+grids covered in test_snapshots.py:
+
+- the full yaml-test-suite snapshot grid (1053 snaps: ~351 fixtures x
+  budgets {120, 600, 1e6}) from /root/reference/tests/yaml_suite_snapshots.rs
+- misc live snapshots (combined_limits, fileset compact, text, yaml stdin,
+  forced-color renders) re-derived from their producing reference tests.
+
+insta trims trailing newlines when storing snapshots, so comparisons
+normalize both sides to exactly one trailing newline (the reference's own
+text_snapshots.rs:13-17 does the same).
+
+Orphan snapshots whose producing tests were removed upstream
+(priority_queue__*, *_head_style_headers, combined_limits_two_files,
+yaml_fileset_mapping) are intentionally not covered.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from headson_ray.core.cli import CliOptions, run_files, run_stdin
+
+REF = Path("/root/reference")
+SNAP = REF / "tests" / "snapshots"
+YAML_SUITE = REF / "tests" / "fixtures" / "yaml" / "yaml-test-suite"
+EXPLICIT = REF / "tests" / "fixtures" / "explicit"
+
+BUDGETS = {"tight": 120, "med": 600, "full": 1_000_000}
+
+
+def _snap_body(path: Path) -> str:
+    text = path.read_text()
+    second = text.index("---\n", 4)
+    return text[second + 4:]
+
+
+def _norm(s: str) -> str:
+    # The corpus mixes insta generations with 1 vs 2 trailing newlines; the
+    # reference's own tests normalize (text_snapshots.rs:13-17). Content is
+    # still compared byte-exactly.
+    return s.rstrip("\n") + "\n"
+
+
+def _yaml_suite_cases():
+    cases = []
+    for f in sorted(YAML_SUITE.glob("*.yaml")):
+        for tag, n in BUDGETS.items():
+            sp = SNAP / f"yaml_suite_snapshots__yaml_suite_{f.stem}_{tag}.snap"
+            if sp.exists():
+                cases.append(pytest.param(f, sp, n, id=f"{f.stem}_{tag}"))
+    return cases
+
+
+_YAML_CASES = _yaml_suite_cases()
+
+
+def test_yaml_suite_corpus_found():
+    assert len(_YAML_CASES) >= 1050, len(_YAML_CASES)
+
+
+@pytest.mark.parametrize("fixture,snap,budget", _YAML_CASES)
+def test_yaml_suite_snapshot(fixture, snap, budget):
+    # reference invocation (tests/yaml_suite_snapshots.rs:8-27):
+    # --no-color -n {budget} --string-cap 1000000 -f yaml -t detailed -i yaml
+    opts = CliOptions(
+        budget=budget,
+        format="yaml",
+        style="detailed",
+        input_format="yaml",
+        string_cap=1_000_000,
+        color=False,
+    )
+    out = run_stdin(opts, fixture.read_bytes())
+    assert _norm(out) == _snap_body(snap)
+
+
+def _entries(*rel_paths: str):
+    return [(p, (REF / p).read_bytes()) for p in rel_paths]
+
+
+def _check(snap_name: str, out: str):
+    assert _norm(out) == _norm(_snap_body(SNAP / snap_name))
+
+
+def test_combined_limits_single_file_pseudo_min80():
+    # tests/combined_limits.rs:58-67: -f json -t default -n 80 -N 200 <file>
+    out = run_files(
+        CliOptions(budget=80, global_budget=200, format="json", style="default"),
+        _entries("tests/fixtures/explicit/string_escaping.json"),
+    )
+    _check("combined_limits__combined_limits_single_file_pseudo_min80.snap", out)
+    # and the documented -n+-N == -N=min equivalence
+    out_min = run_files(
+        CliOptions(global_budget=80, format="json", style="default"),
+        _entries("tests/fixtures/explicit/string_escaping.json"),
+    )
+    assert out == out_min
+
+
+def test_yaml_fileset_compact_snapshot():
+    # tests/fileset_yaml.rs yaml_fileset_compact_snapshot: -n 500 -f yaml -m
+    out = run_files(
+        CliOptions(budget=500, format="yaml", compact=True),
+        _entries(
+            "tests/fixtures/explicit/object_small.json",
+            "tests/fixtures/explicit/array_numbers_50.json",
+        ),
+    )
+    _check("fileset_yaml__yaml_fileset_compact.snap", out)
+
+
+def test_text_stdin_snapshot():
+    # tests/text_snapshots.rs:4-18: -i text -f text, stdin a\r\nb\r\nc\r\n
+    out = run_stdin(
+        CliOptions(format="text", input_format="text"), b"a\r\nb\r\nc\r\n"
+    )
+    _check("text_snapshots__text_stdin_snapshot.snap", out)
+
+
+def test_fileset_text_files_snapshot():
+    # tests/text_snapshots.rs:22-38: -n 10000 -f auto a.txt b.log
+    out = run_files(
+        CliOptions(budget=10_000, format="auto"),
+        [("a.txt", b"one\ntwo\n"), ("b.log", b"alpha\nbeta\n")],
+    )
+    _check("text_snapshots__fileset_text_files_snapshot.snap", out)
+
+
+def test_yaml_stdin_basic():
+    # tests/yaml_input.rs:24-27: -n 10000 -f yaml -i yaml.
+    # The bare `yaml_stdin_basic.snap` twin is a stale pre-key-sort
+    # generation (keys in insertion order, contradicting the current
+    # renderer and its own sibling snapshot) — orphaned, not covered.
+    out = run_stdin(
+        CliOptions(budget=10_000, format="yaml", input_format="yaml"),
+        "foo:\n  - list1\n  - 2\nbar: true\n",
+    )
+    _check("yaml_input__yaml_stdin_basic.snap", out)
+
+
+@pytest.mark.parametrize(
+    "snap_name,text,input_format",
+    [
+        ("yaml_snapshots__yaml_snapshot_basic_stdin.snap",
+         "a: 1\narr:\n  - x\n  - y\n", "yaml"),
+        ("yaml_snapshots__yaml_snapshot_multidoc_stdin.snap",
+         "---\na: 1\n---\n- z\n", "yaml"),
+        ("yaml_snapshots__yaml_snapshot_json_input_quoting_digit_key.snap",
+         '{"010": "010"}', "json"),
+        ("yaml_snapshots__yaml_snapshot_json_input_reserved_value.snap",
+         '{"reserved": "yes"}', "json"),
+    ],
+)
+def test_yaml_snapshots(snap_name, text, input_format):
+    # tests/yaml_snapshots.rs via test_support run_template_budget:
+    # -n 100000 -f yaml [-i yaml]
+    out = run_stdin(
+        CliOptions(budget=100_000, format="yaml", input_format=input_format),
+        text,
+    )
+    _check(snap_name, out)
+
+
+@pytest.mark.parametrize("tmpl", ["json", "pseudo", "js"])
+@pytest.mark.parametrize(
+    "kind,text",
+    [("string", '"hello"'), ("object_kv", '{"k":"v"}')],
+)
+def test_color_snapshots(tmpl, kind, text):
+    # tests/strings_color_param.rs: --color -n 1000 + template expansion
+    style = {"json": "strict", "pseudo": "default", "js": "detailed"}[tmpl]
+    out = run_stdin(
+        CliOptions(budget=1000, format="json", style=style, color=True), text
+    )
+    _check(f"strings_color_param__color_{kind}_{tmpl}.snap", out)
