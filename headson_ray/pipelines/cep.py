@@ -1,6 +1,15 @@
 """Streaming CEP engine: micro-batch driver with event-time watermarks,
-keyed actor state (dedup + prior-crawl delta join), exactly-once sink and
-checkpoint/resume.
+keyed actor state (dedup + prior-crawl delta join), tumbling + sliding +
+session windows, exactly-once sink and checkpoint/resume.
+
+Window kinds (all event-time, watermark-finalized):
+- tumbling: (domain, window_id=ts//size) panes with dedup/delta-join
+  metrics; salted across actors, merged two-phase.
+- sliding: size = slide_count x tumbling size, slide = tumbling size;
+  additive metrics (n_pages, total_chars) summed over member slides.
+- session: per-domain gap-merged [start, end] fragments, routed by
+  hash(domain) so each domain's session state lives on exactly one actor;
+  a session finalizes when watermark passes end + gap.
 
 Dataflow per micro-batch (a group of parquet shards — the event-time-ordered
 page stream):
@@ -34,7 +43,12 @@ import ray
 import ray.data
 
 from ..sinks.parquet import ExactlyOnceSink
-from ..state.store import PANE_FIELDS, StateStoreActor, route_partition
+from ..state.store import (
+    PANE_FIELDS,
+    StateStoreActor,
+    route_domain,
+    route_partition,
+)
 from ..stages.derive import add_domain
 
 
@@ -85,17 +99,32 @@ class Router:
              "text_fp": []}
             for _ in range(self.p)
         ]
-        for d, u, w, c, f in zip(domains, urls, wids, chars, fps):
+        ts_us = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
+        # session flow routes by domain only (session state for a domain
+        # must live on one actor); the pane/dedup flow stays salted.
+        sess_parts: list[tuple[list, list, list]] = [
+            ([], [], []) for _ in range(self.p)
+        ]
+        for d, u, w, c, f, t in zip(domains, urls, wids, chars, fps, ts_us):
             slot = parts[route_partition(d or "", u, self.p)]
             slot["domain"].append(d)
             slot["window_id"].append(w)
             slot["url"].append(u)
             slot["n_chars"].append(c)
             slot["text_fp"].append(f)
+            sp = sess_parts[route_domain(d or "", self.p)]
+            sp[0].append(d)
+            sp[1].append(t)
+            sp[2].append(c)
         refs = [
             self.actors[i].update.remote(parts[i])
             for i in range(self.p)
             if parts[i]["url"]
+        ]
+        refs += [
+            self.actors[i].update_sessions.remote(*sess_parts[i])
+            for i in range(self.p)
+            if sess_parts[i][0]
         ]
         # Block until delivered: gives backpressure and guarantees all rows
         # are in actor state before the driver advances the watermark.
@@ -126,6 +155,39 @@ def _merge_pane_partials(tables: list[pa.Table]) -> pa.Table:
     return agg.take(idx)
 
 
+def _merge_sliding_partials(tables: list[pa.Table]) -> pa.Table:
+    """Second phase of the salted two-phase sliding aggregation: sum the
+    per-actor partials for each (domain, window_id)."""
+    nonempty = [t for t in tables if t.num_rows > 0]
+    if not nonempty:
+        return tables[0]
+    merged = pa.concat_tables(nonempty)
+    agg = merged.group_by(["domain", "window_id"]).aggregate(
+        [("n_pages", "sum"), ("total_chars", "sum")]
+    )
+    agg = agg.rename_columns(
+        [c[:-4] if c.endswith("_sum") else c for c in agg.column_names]
+    )
+    idx = pc.sort_indices(
+        agg, sort_keys=[("window_id", "ascending"), ("domain", "ascending")]
+    )
+    return agg.take(idx)
+
+
+def _merge_session_partials(tables: list[pa.Table]) -> pa.Table:
+    """Sessions are domain-local to one actor: concat + deterministic sort
+    (no cross-actor merge needed)."""
+    nonempty = [t for t in tables if t.num_rows > 0]
+    if not nonempty:
+        return tables[0]
+    merged = pa.concat_tables(nonempty)
+    idx = pc.sort_indices(
+        merged,
+        sort_keys=[("domain", "ascending"), ("session_start", "ascending")],
+    )
+    return merged.take(idx)
+
+
 class CepEngine:
     """Owns the actor pool + sink; one instance per streaming run."""
 
@@ -137,16 +199,27 @@ class CepEngine:
         num_state_actors: int = 4,
         window_size_s: int = 3600,
         allowed_lateness_s: int = 60,
+        slide_count: int = 3,
+        session_gap_s: int = 1800,
     ):
         self.sink = ExactlyOnceSink(out_dir)
         self.checkpoint_dir = checkpoint_dir
         self.window_size_us = window_size_s * 1_000_000
         self.lateness_us = allowed_lateness_s * 1_000_000
+        self.slide_count = slide_count
+        self.session_gap_us = session_gap_s * 1_000_000
         self.actors = [
-            StateStoreActor.remote(i, checkpoint_dir)
+            StateStoreActor.remote(
+                i,
+                checkpoint_dir,
+                slide_count=slide_count,
+                session_gap_us=self.session_gap_us,
+            )
             for i in range(num_state_actors)
         ]
         self.watermark = -1
+        # highest window id already emitted for the sliding flow
+        self.sliding_frontier = -(1 << 62)
 
     def load_prior_crawl(self, paths: list[str]) -> int:
         """Broadcast the prior-crawl index into the actor pool (join side)."""
@@ -204,8 +277,13 @@ class CepEngine:
                     rec = json.loads(line)
                     if rec.get("kind") == "commit" and rec["batch"] <= last:
                         self.watermark = max(self.watermark, rec["watermark"])
+                        self.sliding_frontier = max(
+                            self.sliding_frontier, rec["max_window"]
+                        )
         n_batches = len(shard_groups)
         windows_emitted = 0
+        sliding_emitted = 0
+        sessions_emitted = 0
         rows_processed = 0
         for b in range(start_batch, n_batches):
             shards = shard_groups[b]
@@ -238,7 +316,21 @@ class CepEngine:
                 [a.finalize_upto.remote(max_window) for a in self.actors]
             )
             finalized = _merge_pane_partials(partials)
+            slide_partials = ray.get(
+                [
+                    a.finalize_sliding.remote(self.sliding_frontier, max_window)
+                    for a in self.actors
+                ]
+            )
+            sliding = _merge_sliding_partials(slide_partials)
+            sess_parts = ray.get(
+                [a.finalize_sessions.remote(wm) for a in self.actors]
+            )
+            sessions = _merge_session_partials(sess_parts)
+            self.sliding_frontier = max(self.sliding_frontier, max_window)
             path = self.sink.write_windows(b, finalized)
+            self.sink.write_windows(b, sliding, kind="sliding")
+            self.sink.write_windows(b, sessions, kind="sessions")
             ray.get([a.snapshot.remote(b) for a in self.actors])
             self.sink.commit(
                 b,
@@ -249,12 +341,16 @@ class CepEngine:
                     "windows_finalized": int(
                         finalized.num_rows if finalized is not None else 0
                     ),
+                    "sliding_finalized": int(sliding.num_rows),
+                    "sessions_finalized": int(sessions.num_rows),
                     "max_window": int(max_window),
                     "out_file": path,
                     "state_version": b,
                 },
             )
             windows_emitted += finalized.num_rows
+            sliding_emitted += sliding.num_rows
+            sessions_emitted += sessions.num_rows
         if final_flush and n_batches > start_batch:
             b = n_batches
             if b not in self.sink.committed_batches():
@@ -262,7 +358,21 @@ class CepEngine:
                     [a.finalize_upto.remote(2**62) for a in self.actors]
                 )
                 finalized = _merge_pane_partials(partials)
+                slide_partials = ray.get(
+                    [
+                        a.finalize_sliding.remote(self.sliding_frontier, 2**62)
+                        for a in self.actors
+                    ]
+                )
+                sliding = _merge_sliding_partials(slide_partials)
+                sess_parts = ray.get(
+                    [a.finalize_sessions.remote(2**62) for a in self.actors]
+                )
+                sessions = _merge_session_partials(sess_parts)
+                self.sliding_frontier = 2**62
                 path = self.sink.write_windows(b, finalized)
+                self.sink.write_windows(b, sliding, kind="sliding")
+                self.sink.write_windows(b, sessions, kind="sessions")
                 ray.get([a.snapshot.remote(b) for a in self.actors])
                 self.sink.commit(
                     b,
@@ -271,16 +381,22 @@ class CepEngine:
                         "rows": 0,
                         "watermark": int(self.watermark),
                         "windows_finalized": int(finalized.num_rows),
+                        "sliding_finalized": int(sliding.num_rows),
+                        "sessions_finalized": int(sessions.num_rows),
                         "max_window": 2**62,
                         "out_file": path,
                         "state_version": b,
                     },
                 )
                 windows_emitted += finalized.num_rows
+                sliding_emitted += sliding.num_rows
+                sessions_emitted += sessions.num_rows
         actor_stats = ray.get([a.stats.remote() for a in self.actors])
         return {
             "rows_processed": rows_processed,
             "windows_emitted": windows_emitted,
+            "sliding_emitted": sliding_emitted,
+            "sessions_emitted": sessions_emitted,
             "watermark": self.watermark,
             "actor_stats": actor_stats,
         }

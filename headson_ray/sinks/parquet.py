@@ -36,11 +36,14 @@ class ExactlyOnceSink:
                         done.add(rec["batch"])
         return done
 
-    def write_windows(self, batch_idx: int, table: pa.Table) -> str | None:
-        """Write one micro-batch's finalized windows (deterministic name)."""
+    def write_windows(
+        self, batch_idx: int, table: pa.Table, kind: str = "windows"
+    ) -> str | None:
+        """Write one micro-batch's finalized windows (deterministic name).
+        `kind` tags the window flow: windows | sliding | sessions."""
         if table.num_rows == 0:
             return None
-        path = self.out_dir / f"windows-b{batch_idx:06d}.parquet"
+        path = self.out_dir / f"{kind}-b{batch_idx:06d}.parquet"
         tmp = path.with_suffix(".tmp")
         pq.write_table(table, tmp)
         os.replace(tmp, path)
@@ -58,11 +61,11 @@ class ExactlyOnceSink:
         finally:
             os.close(fd)
 
-    def read_all_windows(self) -> pa.Table | None:
+    def read_all_windows(self, kind: str = "windows") -> pa.Table | None:
         committed = self.committed_batches()
         tables = []
         for b in sorted(committed):
-            p = self.out_dir / f"windows-b{b:06d}.parquet"
+            p = self.out_dir / f"{kind}-b{b:06d}.parquet"
             if p.exists():
                 tables.append(pq.read_table(p))
         if not tables:

@@ -164,3 +164,133 @@ def test_cep_kill_resume_exactly_once(pages_shards, prior_crawl, tmp_path):
     assert resumed_windows == clean_windows  # no dup/lost windows
     # resumed run only processed the remaining batches
     assert metrics["rows_processed"] == src.num_rows - 800
+
+
+SLIDE_COUNT = 3
+SESSION_GAP_S = 30
+
+
+def _oracle_sliding(src: pa.Table):
+    """Single-process oracle: window w sums slides [w-k+1, w]."""
+    size_us = WINDOW_S * 1_000_000
+    slides = collections.defaultdict(lambda: [0, 0])
+    for url, ts, text in zip(
+        src.column("url").to_pylist(),
+        src.column("warc_ts").to_pylist(),
+        src.column("text").to_pylist(),
+    ):
+        domain = url.split("/")[2]
+        s = int(ts.timestamp() * 1_000_000) // size_us
+        v = slides[(domain, s)]
+        v[0] += 1
+        v[1] += len(text)
+    out = collections.defaultdict(lambda: [0, 0])
+    for (d, s), v in slides.items():
+        for w in range(s, s + SLIDE_COUNT):
+            out[(d, w)][0] += v[0]
+            out[(d, w)][1] += v[1]
+    return dict(out)
+
+
+def _oracle_sessions(src: pa.Table):
+    """Single-process oracle: per-domain sorted gap-split sessions."""
+    gap_us = SESSION_GAP_S * 1_000_000
+    events = collections.defaultdict(list)
+    for url, ts, text in zip(
+        src.column("url").to_pylist(),
+        src.column("warc_ts").to_pylist(),
+        src.column("text").to_pylist(),
+    ):
+        domain = url.split("/")[2]
+        events[domain].append((int(ts.timestamp() * 1_000_000), len(text)))
+    sessions = {}
+    for d, evs in events.items():
+        evs.sort()
+        start = prev = None
+        n = ch = 0
+        for t, c in evs:
+            if prev is not None and t - prev > gap_us:
+                sessions[(d, start)] = (prev, n, ch)
+                start, n, ch = None, 0, 0
+            if start is None:
+                start = t
+            n += 1
+            ch += c
+            prev = t
+        if start is not None:
+            sessions[(d, start)] = (prev, n, ch)
+    return sessions
+
+
+def _make_engine(tmp_path, name):
+    return CepEngine(
+        out_dir=str(tmp_path / f"out-{name}"),
+        checkpoint_dir=str(tmp_path / f"ckpt-{name}"),
+        num_state_actors=3,
+        window_size_s=WINDOW_S,
+        allowed_lateness_s=LATENESS_S,
+        slide_count=SLIDE_COUNT,
+        session_gap_s=SESSION_GAP_S,
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cep_sliding_and_session_windows_match_oracle(
+    pages_shards, prior_crawl, tmp_path
+):
+    paths, src = pages_shards
+    prior_path, _, _ = prior_crawl
+    eng = _make_engine(tmp_path, "slidesess")
+    eng.load_prior_crawl([prior_path])
+    metrics = eng.run([[p] for p in paths])
+    assert metrics["sliding_emitted"] > 0
+    assert metrics["sessions_emitted"] > 0
+
+    sliding = eng.sink.read_all_windows(kind="sliding")
+    got_slide = {
+        (r["domain"], r["window_id"]): [r["n_pages"], r["total_chars"]]
+        for r in sliding.to_pylist()
+    }
+    assert got_slide == _oracle_sliding(src)
+    # no window emitted twice
+    assert sliding.num_rows == len(got_slide)
+
+    sessions = eng.sink.read_all_windows(kind="sessions")
+    got_sess = {
+        (r["domain"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["total_chars"]
+        )
+        for r in sessions.to_pylist()
+    }
+    assert got_sess == _oracle_sessions(src)
+    assert sessions.num_rows == len(got_sess)
+    # multiple sessions exist for at least one domain (gap actually splits)
+    domains = [r["domain"] for r in sessions.to_pylist()]
+    assert len(domains) > len(set(domains))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cep_kill_resume_sliding_sessions_exactly_once(
+    pages_shards, prior_crawl, tmp_path
+):
+    paths, src = pages_shards
+    prior_path, _, _ = prior_crawl
+    groups = [[p] for p in paths]
+
+    clean = _make_engine(tmp_path, "clean2")
+    clean.load_prior_crawl([prior_path])
+    clean.run(groups)
+
+    eng1 = _make_engine(tmp_path, "resume2")
+    eng1.load_prior_crawl([prior_path])
+    eng1.run(groups[:2], final_flush=False)
+    eng2 = _make_engine(tmp_path, "resume2")  # same dirs: resumes
+    eng2.load_prior_crawl([prior_path])
+    eng2.run(groups)
+
+    for kind in ("windows", "sliding", "sessions"):
+        a = clean.sink.read_all_windows(kind=kind)
+        b = eng2.sink.read_all_windows(kind=kind)
+        assert a.sort_by([(c, "ascending") for c in a.column_names]).equals(
+            b.sort_by([(c, "ascending") for c in b.column_names])
+        ), kind
