@@ -22,9 +22,14 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from ..stages.dedup import (
     exact_dedup,
     minhash_near_dups,
+    ngram_jaccard_pairs,
     simhash_signatures,
 )
-from ..stages.similarity import brute_force_topk, embedding_near_dup_pairs
+from ..stages.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+)
 from ..stages.summarize import Summarizer
 from ..stages.textstats import (
     STOPWORDS,
@@ -347,6 +352,13 @@ def q_minhash_near_dups(sf_dir: str):
     return minhash_near_dups(ds, threshold=0.5)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs via distributed inverted index
+    (rows-only: custom hash shingles)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5)
+
+
 def q_simhash(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
@@ -411,6 +423,17 @@ FROM r WHERE rnk <= {TOPK}
 """
 
 NEAR_DUP_TAU = 0.4
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate top-k (rows-only; recall vs brute force is
+    asserted in tests)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = ds.filter(expr=f"vec_id < {N_QUERIES}").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [r["vec_id"] for r in qrows]
+    return ivf_topk(ds, queries, k=TOPK, query_ids=qids)
 
 
 def q_embedding_near_dups(sf_dir: str):
@@ -587,6 +610,388 @@ FROM events GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Joins / set ops / per-group top-k
+# --------------------------------------------------------------------------
+def _broadcast_lookup(ds, key_col: str, val_col: str):
+    """Collect a SMALL keyed table into a dict and ray.put it once.
+
+    Scale note: only used for dimension-sized sides (region/nation/customer
+    keys, bucket boundaries). The big fact stream is never collected."""
+    import ray as _ray
+
+    lookup = {}
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        lookup.update(
+            zip(b.column(key_col).to_pylist(), b.column(val_col).to_pylist())
+        )
+    return _ray.put(lookup)
+
+
+def q_suppliers_by_region(sf_dir: str):
+    """supplier JOIN nation JOIN region via broadcast of the two tiny
+    dimension tables; two-phase aggregate by region name."""
+    import ray as _ray
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    n2r = {}
+    for b in nation.iter_batches(batch_format="pyarrow"):
+        n2r.update(
+            zip(
+                b.column("n_nationkey").to_pylist(),
+                b.column("n_regionkey").to_pylist(),
+            )
+        )
+    r2name = {}
+    for b in region.iter_batches(batch_format="pyarrow"):
+        r2name.update(
+            zip(
+                b.column("r_regionkey").to_pylist(),
+                b.column("r_name").to_pylist(),
+            )
+        )
+    lookup_ref = _ray.put({n: r2name[r] for n, r in n2r.items()})
+    supplier = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lk = _ray.get(lookup_ref)
+        names = [lk.get(n) for n in b.column("s_nationkey").to_pylist()]
+        t = pa.table(
+            {
+                "r_name": pa.array(names, pa.string()),
+                "cents": _cents(b.column("s_acctbal")),
+            }
+        )
+        g = t.group_by(["r_name"]).aggregate(
+            [([], "count_all"), ("cents", "sum")]
+        )
+        return g.rename_columns(["r_name", "n_suppliers", "acctbal_cents"])
+
+    return _two_phase_sum(
+        supplier, ["r_name"], partial, ["n_suppliers", "acctbal_cents"]
+    )
+
+
+SQL_SUPPLIERS_BY_REGION = """
+SELECT r_name, count(*) AS n_suppliers,
+       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_distinct_part_types(sf_dir: str):
+    """DISTINCT via two-phase: per-batch pyarrow distinct count, then a
+    small groupby merge (the shuffle moves one row per (type, batch))."""
+    ds = _read(sf_dir, "part", ["p_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["p_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["p_type", "n_parts"])
+
+    return _two_phase_sum(ds, ["p_type"], partial, ["n_parts"])
+
+
+SQL_DISTINCT_PART_TYPES = """
+SELECT p_type, count(*) AS n_parts FROM part GROUP BY p_type
+"""
+
+
+def q_order_customers_without_events(sf_dir: str):
+    """Anti-join: distinct order custkeys with no event activity. The
+    distinct event-user set (bounded, dimension-sized) is pre-deduped
+    two-phase and broadcast once; the orders stream dedups per batch then
+    merges through one small groupby."""
+    import ray as _ray
+
+    events = _read(sf_dir, "events", ["user_id"])
+
+    def distinct_users(b: pa.Table) -> pa.Table:
+        return b.group_by(["user_id"]).aggregate([])
+
+    users = set()
+    for b in (
+        events.map_batches(distinct_users, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=65536)
+    ):
+        users.update(b.column("user_id").to_pylist())
+    users_ref = _ray.put(users)
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def anti(b: pa.Table) -> pa.Table:
+        us = _ray.get(users_ref)
+        mask = pa.array(
+            [c not in us for c in b.column("o_custkey").to_pylist()]
+        )
+        return b.filter(mask).group_by(["o_custkey"]).aggregate([])
+
+    deduped = orders.map_batches(
+        anti, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return deduped.groupby("o_custkey").count().select_columns(["o_custkey"])
+
+
+SQL_ORDER_CUSTOMERS_WITHOUT_EVENTS = """
+SELECT DISTINCT o_custkey FROM orders
+WHERE o_custkey NOT IN (SELECT user_id FROM events)
+"""
+
+
+def q_top3_orders_per_segment(sf_dir: str):
+    """Per-group top-k: broadcast customer->segment, then per-segment
+    top-3 orders by price via groupby(segment).map_groups. Partials are
+    pre-trimmed to 3 rows per (segment, batch) inside map_batches so the
+    shuffle moves at most 3 rows per segment per block."""
+    import ray as _ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    lookup_ref = _broadcast_lookup(cust, "c_custkey", "c_mktsegment")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lk = _ray.get(lookup_ref)
+        segs = [lk.get(c) for c in b.column("o_custkey").to_pylist()]
+        t = pa.table(
+            {
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "o_orderkey": b.column("o_orderkey"),
+                "total_cents": _cents(b.column("o_totalprice")),
+            }
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("c_mktsegment", "ascending"),
+                ("total_cents", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        keep = []
+        count: dict[str, int] = {}
+        for i, s in enumerate(t.column("c_mktsegment").to_pylist()):
+            c = count.get(s, 0)
+            if c < 3:
+                keep.append(i)
+                count[s] = c + 1
+        return t.take(pa.array(keep, pa.int64()))
+
+    partials = orders.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def top3(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("total_cents", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        t = group.take(idx).slice(0, 3)
+        ranks = pa.array(range(1, t.num_rows + 1), pa.int64())
+        return t.append_column("rnk", ranks)
+
+    return partials.groupby("c_mktsegment").map_groups(
+        top3, batch_format="pyarrow"
+    )
+
+
+SQL_TOP3_ORDERS_PER_SEGMENT = """
+WITH j AS (
+  SELECT c_mktsegment, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY c_mktsegment
+      ORDER BY total_cents DESC, o_orderkey) AS rnk
+  FROM j
+)
+SELECT c_mktsegment, o_orderkey, total_cents, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+def q_asof_latest_order_per_event(sf_dir: str):
+    """As-of join (an operator Ray Data lacks natively): for each event,
+    the customer's most recent order with o_orderdate <= ts. Implemented
+    as union-of-streams -> groupby(key).map_groups with a per-key ordered
+    sweep. Partitioning assumption: one customer's rows fit in memory
+    (orders+events per key are bounded); hot keys would need salting by
+    time range with boundary handoff."""
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ev_shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("user_id"),
+                "t_us": pc.cast(b.column("ts"), pa.int64()),
+                "event_id": b.column("event_id"),
+                "o_orderkey": pa.nulls(b.num_rows, pa.int64()),
+                "is_event": pa.array([True] * b.num_rows),
+            }
+        )
+
+    def ord_shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("o_custkey"),
+                "t_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "event_id": pa.nulls(b.num_rows, pa.int64()),
+                "o_orderkey": b.column("o_orderkey"),
+                "is_event": pa.array([False] * b.num_rows),
+            }
+        )
+
+    unioned = events.map_batches(
+        ev_shape, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(
+            ord_shape, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        # order rows first at equal timestamps (<=), break order ties by
+        # orderkey so "latest" is deterministic: max date then max key
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("t_us", "ascending"),
+                ("is_event", "ascending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        t = group.take(idx)
+        out_ev, out_ok = [], []
+        current = None
+        for ev, is_ev, ok in zip(
+            t.column("event_id").to_pylist(),
+            t.column("is_event").to_pylist(),
+            t.column("o_orderkey").to_pylist(),
+        ):
+            if is_ev:
+                out_ev.append(ev)
+                out_ok.append(current)
+            else:
+                current = ok
+        return pa.table(
+            {
+                "event_id": pa.array(out_ev, pa.int64()),
+                "o_orderkey": pa.array(out_ok, pa.int64()),
+            }
+        )
+
+    return unioned.groupby("key").map_groups(sweep, batch_format="pyarrow")
+
+
+SQL_ASOF_LATEST_ORDER_PER_EVENT = """
+SELECT e.event_id,
+       (SELECT max(o.o_orderkey)
+        FROM orders o
+        WHERE o.o_custkey = e.user_id
+          AND epoch_us(o.o_orderdate) = (
+            SELECT max(epoch_us(o2.o_orderdate))
+            FROM orders o2
+            WHERE o2.o_custkey = e.user_id
+              AND epoch_us(o2.o_orderdate) <= epoch_us(e.ts))
+       ) AS o_orderkey
+FROM events e
+"""
+
+
+VALUE_BUCKETS = [0.0, 10.0, 25.0, 50.0, 100.0, 250.0, 1000.0]
+
+
+def q_events_value_ranges(sf_dir: str):
+    """Range join against a small static bucket table (broadcast): count
+    events whose value falls in [lo, hi)."""
+    ds = _read(sf_dir, "events", ["value"])
+    edges = VALUE_BUCKETS
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b.column("value").to_numpy(zero_copy_only=False)
+        bucket = np.searchsorted(np.array(edges), vals, side="right") - 1
+        mask = (bucket >= 0) & (bucket < len(edges) - 1)
+        t = pa.table(
+            {"bucket": pa.array(bucket[mask].astype("int64"), pa.int64())}
+        )
+        g = t.group_by(["bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["bucket", "n"])
+
+    return _two_phase_sum(ds, ["bucket"], partial, ["n"])
+
+
+_BUCKET_ROWS = ", ".join(
+    f"({i}, {lo}, {hi})"
+    for i, (lo, hi) in enumerate(zip(VALUE_BUCKETS, VALUE_BUCKETS[1:]))
+)
+SQL_EVENTS_VALUE_RANGES = f"""
+SELECT b.bucket, count(*) AS n
+FROM events e
+JOIN (VALUES {_BUCKET_ROWS}) AS b(bucket, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.bucket
+"""
+
+
+def q_union_distinct_orderkeys(sf_dir: str):
+    """UNION + global distinct count, two-phase: per-batch distinct, one
+    shuffled groupby over pre-deduped keys, then a count aggregate."""
+    o = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        lambda b: b.rename_columns(["k"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        lambda b: b.rename_columns(["k"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(["k"]).aggregate([])
+
+    deduped = o.union(li).map_batches(distinct, batch_format="pyarrow")
+    n = deduped.groupby("k").count().count()
+    return pa.table({"n_keys": pa.array([n], pa.int64())})
+
+
+SQL_UNION_DISTINCT_ORDERKEYS = """
+SELECT count(DISTINCT k) AS n_keys FROM (
+  SELECT o_orderkey AS k FROM orders
+  UNION ALL
+  SELECT l_orderkey AS k FROM lineitem
+)
+"""
+
+
+def q_click_events_filtered(sf_dir: str):
+    """Filter + project with column pruning at the read."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    ds = ds.filter(expr="event_type == 'click' and value > 50.0")
+    return ds.map_batches(
+        lambda b: pa.table(
+            {"event_id": b.column("event_id"), "cents": _cents(b.column("value"))}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_CLICK_EVENTS_FILTERED = """
+SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+FROM events WHERE event_type = 'click' AND value > 50.0
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -599,14 +1004,24 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "minhash_near_dups": q_minhash_near_dups,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
     "simhash": q_simhash,
     "summarize_documents": q_summarize_documents,
     "knn_topk": q_knn_topk,
+    "ivf_topk": q_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "lineitem_agg": q_lineitem_agg,
     "orders_by_segment": q_orders_by_segment,
     "top_orders": q_top_orders,
     "events_per_user": q_events_per_user,
+    "suppliers_by_region": q_suppliers_by_region,
+    "distinct_part_types": q_distinct_part_types,
+    "order_customers_without_events": q_order_customers_without_events,
+    "top3_orders_per_segment": q_top3_orders_per_segment,
+    "asof_latest_order_per_event": q_asof_latest_order_per_event,
+    "events_value_ranges": q_events_value_ranges,
+    "union_distinct_orderkeys": q_union_distinct_orderkeys,
+    "click_events_filtered": q_click_events_filtered,
 }
 
 ORACLE_SQL = {
@@ -623,4 +1038,12 @@ ORACLE_SQL = {
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
     "top_orders": SQL_TOP_ORDERS,
     "events_per_user": SQL_EVENTS_PER_USER,
+    "suppliers_by_region": SQL_SUPPLIERS_BY_REGION,
+    "distinct_part_types": SQL_DISTINCT_PART_TYPES,
+    "order_customers_without_events": SQL_ORDER_CUSTOMERS_WITHOUT_EVENTS,
+    "top3_orders_per_segment": SQL_TOP3_ORDERS_PER_SEGMENT,
+    "asof_latest_order_per_event": SQL_ASOF_LATEST_ORDER_PER_EVENT,
+    "events_value_ranges": SQL_EVENTS_VALUE_RANGES,
+    "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
+    "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
 }

@@ -222,6 +222,103 @@ def minhash_near_dups(
     )
 
 
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    bucket_cap: int = 64,
+) -> "ray.data.Dataset":
+    """Exact word-n-gram Jaccard near-dup pairs via a distributed inverted
+    index (no MinHash approximation):
+
+    1. flat-map each doc to (shingle_hash, doc_id) rows;
+    2. groupby shingle -> candidate pairs per posting list (lists longer
+       than `bucket_cap` are skipped: a shingle shared by that many docs
+       carries no dedup signal, standard prefix-filtering practice — at
+       threshold t, a qualifying pair shares >= t/(1+t) of its shingles,
+       so rare shingles always surface it);
+    3. dedup pairs, verify exact Jaccard with broadcast shingle sets.
+    """
+
+    def postings(b: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for i, t in zip(
+            b.column(id_column).to_pylist(), b.column(text_column).to_pylist()
+        ):
+            for h in word_shingles(t or "", shingle_k):
+                ids.append(i)
+                hs.append(h & 0x7FFFFFFFFFFFFFFF)  # fit int64
+        return pa.table(
+            {
+                "shingle": pa.array(hs, pa.int64()),
+                id_column: pa.array(ids, pa.int64()),
+            }
+        )
+
+    posts = ds.map_batches(
+        postings, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column(id_column).to_pylist()))
+        out_a, out_b = [], []
+        if 1 < len(ids) <= bucket_cap:
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    out_a.append(ids[x])
+                    out_b.append(ids[y])
+        return pa.table(
+            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
+        )
+
+    pairs = (
+        posts.groupby("shingle")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Min("a", alias_name="_m"))
+        .drop_columns(["_m"])
+    )
+    cand = pairs.take_all()
+    if not cand:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    need = {r["a"] for r in cand} | {r["b"] for r in cand}
+    shingle_map = {}
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        for i, t in zip(
+            batch.column(id_column).to_pylist(),
+            batch.column(text_column).to_pylist(),
+        ):
+            if i in need:
+                shingle_map[i] = word_shingles(t or "", shingle_k)
+    out_a, out_b, out_j = [], [], []
+    for r in sorted(cand, key=lambda r: (r["a"], r["b"])):
+        j = jaccard(shingle_map[r["a"]], shingle_map[r["b"]])
+        if j >= threshold:
+            out_a.append(r["a"])
+            out_b.append(r["b"])
+            out_j.append(j)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+    )
+
+
 def simhash_signatures(
     batch: pa.Table, *, id_column: str = "doc_id", text_column: str = "text"
 ) -> pa.Table:

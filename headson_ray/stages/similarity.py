@@ -146,6 +146,80 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 2048,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    seed: int = 42,
+    query_ids: list[int] | None = None,
+) -> pa.Table:
+    """IVF (inverted-file) approximate top-k — the scale path for ANN:
+
+    1. train `num_centroids` centroids with a few k-means iterations over a
+       bounded sample (driver-side numpy, deterministic seed);
+    2. broadcast centroids; each batch keeps only vectors whose nearest
+       centroid is among the union of every query's `nprobe` closest
+       centroids (at scale: partition the corpus by centroid id once and
+       read only the probed partitions);
+    3. exact cosine top-k over the surviving ~nprobe/num_centroids of the
+       corpus.
+    """
+    sample = ds.limit(train_sample)
+    train = _normalize(
+        np.concatenate(
+            [
+                _matrix(b, vec_column)
+                for b in sample.iter_batches(
+                    batch_format="pyarrow", batch_size=train_sample
+                )
+            ]
+        )
+    )
+    rng = np.random.RandomState(seed)
+    cents = train[rng.choice(len(train), num_centroids, replace=False)]
+    for _ in range(8):  # Lloyd iterations; deterministic
+        assign = np.argmax(train @ cents.T, axis=1)
+        for c in range(num_centroids):
+            members = train[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = set()
+    for row in qn @ cents.T:
+        probe.update(np.argsort(-row)[:nprobe].tolist())
+    cents_ref = ray.put(cents)
+    probe_ref = ray.put(probe)
+
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cents_ref)
+        pr = ray.get(probe_ref)
+        m = _normalize(_matrix(batch, vec_column))
+        nearest = np.argmax(m @ cs.T, axis=1)
+        mask = np.array([int(c) in pr for c in nearest])
+        return batch.filter(pa.array(mask))
+
+    filtered = ds.map_batches(
+        probe_filter, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return brute_force_topk(
+        filtered,
+        queries,
+        k=k,
+        id_column=id_column,
+        vec_column=vec_column,
+        query_ids=query_ids,
+    )
+
+
 def embedding_near_dup_pairs(
     ds: "ray.data.Dataset",
     *,

@@ -71,3 +71,44 @@ def test_rows_only_queries_run(name):
     if name in ("summarize_documents", "quality_scores", "lang_id",
                 "fingerprints", "simhash"):
         assert len(got) == 500  # one row per document at sf0.001
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_topk_recall_vs_brute_force():
+    """IVF ANN must reach high recall against the exact top-k."""
+    exact = _to_frame(QUERIES["knn_topk"](SF_DIR))
+    approx = _to_frame(QUERIES["ivf_topk"](SF_DIR))
+    exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_pairs_exact_vs_brute_force():
+    """The inverted-index pipeline must find exactly the brute-force
+    above-threshold pairs (shingle sets here are small, so every pair
+    shares a sub-cap shingle)."""
+    import pyarrow.parquet as pq
+
+    from headson_ray.stages.dedup import jaccard, word_shingles
+
+    docs = pq.read_table(
+        Path(SF_DIR) / "documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    sh = {i: word_shingles(t or "", 3) for i, t in zip(ids, texts)}
+    expected = set()
+    sids = sorted(sh)
+    for x in range(len(sids)):
+        for y in range(x + 1, len(sids)):
+            a, b = sids[x], sids[y]
+            if sh[a] and sh[b] and jaccard(sh[a], sh[b]) >= 0.5:
+                expected.add((a, b))
+    got = _to_frame(QUERIES["ngram_jaccard_pairs"](SF_DIR))
+    got_pairs = set(zip(got["a"], got["b"]))
+    assert got_pairs == expected
