@@ -32,11 +32,15 @@ def _sf() -> float:
 
 def _pages_rows() -> int:
     # summarizer bench sized down vs lineitem scale: the per-doc transform
-    # is the expensive stage (Python algorithm, ~1-3 ms/doc)
-    return max(2000, int(_sf() * 600_000))
+    # is the expensive stage (Python algorithm, ~1-3 ms/doc).
+    # GRAFT_ROWS_MULT (set by --scaling) enlarges the job so per-run fixed
+    # costs (pool startup, per-micro-batch scheduling) amortize the way a
+    # long-running cluster job would.
+    mult = int(os.environ.get("GRAFT_ROWS_MULT", "1"))
+    return max(2000, int(_sf() * 1_200_000)) * mult
 
 
-def run_benchmarks(num_cpus: int) -> dict:
+def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
     import ray
 
     ray.init(
@@ -55,12 +59,16 @@ def run_benchmarks(num_cpus: int) -> dict:
 
     # --- headline 1: summarized-docs/sec ---------------------------------
     rows = _pages_rows()
-    paths = materialize_pages(rows, tag=f"bench-{rows}")
+    paths = materialize_pages(
+        rows, tag=f"bench-{rows}", num_shards=max(8, rows // 10_000)
+    )
     t0 = time.time()
     ds = summarize_pages(
         paths,
         budget=500,
-        concurrency=(2, max(2, num_cpus)),
+        # fixed-size actor pool: autoscaling from a small floor leaves the
+        # pool under-provisioned for most of a short run
+        concurrency=max(2, num_cpus - 2),
         batch_size=128,
     )
     n = 0
@@ -81,11 +89,16 @@ def run_benchmarks(num_cpus: int) -> dict:
         eng = CepEngine(
             out_dir=f"{work}/out",
             checkpoint_dir=f"{work}/ckpt",
-            num_state_actors=max(2, num_cpus // 4),
+            num_state_actors=max(2, num_cpus // 8),
             window_size_s=600,
             allowed_lateness_s=60,
+            # realistic end-to-end stream: summarize every page (exactly-
+            # once preview output), then window/dedup/join the results
+            summarize_budget=300,
+            summarizer_concurrency=max(2, num_cpus - 2),
         )
-        groups = [paths[i : i + 8] for i in range(0, len(paths), 8)]
+        n_g = max(1, len(paths) // 4)
+        groups = [paths[i : i + n_g] for i in range(0, len(paths), n_g)]
         m = eng.run(groups)
         dt = time.time() - t0
         results["cep_stream"] = dt
@@ -95,7 +108,7 @@ def run_benchmarks(num_cpus: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
     # --- catalog queries --------------------------------------------------
-    for name in [
+    for name in [] if headline_only else [
         "tumbling_events", "sliding_events", "session_events",
         "dedup_exact", "token_stats", "knn_topk", "lineitem_agg",
         "orders_by_segment", "minhash_near_dups",
@@ -117,16 +130,21 @@ def main() -> None:
         out = {}
         for cpus in (lows, highs):
             proc = subprocess.run(
-                [sys.executable, __file__, "--single", str(cpus)],
+                [sys.executable, __file__, "--single", str(cpus),
+                 "--headline-only"],
                 capture_output=True,
                 text=True,
-                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus),
+                     "GRAFT_ROWS_MULT": "4"},
             )
             line = proc.stdout.strip().splitlines()[-1]
             out[cpus] = json.loads(line)
         tp_low = out[lows]["extras"]["summarize_docs_per_sec"]
         tp_high = out[highs]["extras"]["summarize_docs_per_sec"]
         eff = (tp_high / tp_low) / (highs / lows)
+        cep_low = out[lows]["extras"]["cep_rows_per_sec"]
+        cep_high = out[highs]["extras"]["cep_rows_per_sec"]
+        cep_eff = (cep_high / cep_low) / (highs / lows)
         print(
             json.dumps(
                 {
@@ -137,6 +155,15 @@ def main() -> None:
                     "high_cpus": highs,
                     "docs_per_sec_low": tp_low,
                     "docs_per_sec_high": tp_high,
+                    "cep_rows_per_sec_low": cep_low,
+                    "cep_rows_per_sec_high": cep_high,
+                    "cep_scaling_efficiency": cep_eff,
+                    "windows_per_sec_low": out[lows]["extras"][
+                        "windows_finalized_per_sec"
+                    ],
+                    "windows_per_sec_high": out[highs]["extras"][
+                        "windows_finalized_per_sec"
+                    ],
                     "sf": _sf(),
                 }
             )
@@ -147,7 +174,7 @@ def main() -> None:
         cpus = int(sys.argv[sys.argv.index("--single") + 1])
     else:
         cpus = NUM_CPUS
-    r = run_benchmarks(cpus)
+    r = run_benchmarks(cpus, headline_only="--headline-only" in sys.argv)
     total = sum(r["queries"].values())
     print(
         json.dumps(

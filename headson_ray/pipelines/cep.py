@@ -16,7 +16,7 @@ page stream):
 
     read_parquet(shards)                        # pruned columns
       -> map_batches(prepare)                   # domain, window_id, fp (vectorized)
-      -> map_batches(Router(actors))            # salted hash(domain,url) routing
+      -> map_batches(make_router(actors))       # salted hash(domain,url) routing
     actors.update(...)                          # panes, dedup sets, delta join
     watermark = max event ts seen - allowed_lateness
     actors.finalize_upto(watermark_window)      # pop finalized partial panes
@@ -46,7 +46,6 @@ from ..sinks.parquet import ExactlyOnceSink
 from ..state.store import (
     PANE_FIELDS,
     StateStoreActor,
-    route_domain,
     route_partition,
 )
 from ..stages.derive import add_domain
@@ -80,52 +79,69 @@ def _prepare(size_us: int):
     return fn
 
 
-class Router:
-    """map_batches stage that scatters rows to the state actors by
-    hash(domain, url) and returns per-batch (max_ts, n) for the watermark."""
+def make_router(actors: list):
+    """Task-stage factory: scatters rows to the persistent state actors by
+    content hash and returns per-batch (max_ts, n) for the watermark.
+    A plain function (task pool) — actor-pool map_batches stages would pay
+    pool startup/teardown on every micro-batch Dataset execution, which
+    anti-scales with pool size."""
+    p = len(actors)
 
-    def __init__(self, actors: list):
-        self.actors = actors
-        self.p = len(actors)
+    def route(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import zlib
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
         domains = batch.column("domain").to_pylist()
         urls = batch.column("url").to_pylist()
-        wids = batch.column("window_id").to_pylist()
-        chars = batch.column("n_chars").to_pylist()
-        fps = batch.column("text_fp").to_pylist()
-        parts: list[dict] = [
-            {"domain": [], "window_id": [], "url": [], "n_chars": [],
-             "text_fp": []}
-            for _ in range(self.p)
-        ]
-        ts_us = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
+        n = len(urls)
+        # one C-speed crc32 call per row, then Arrow-native filter per
+        # partition (no per-row python appends)
+        part_du = np.fromiter(
+            (
+                zlib.crc32(f"{d or ''}\x00{u}".encode()) % p
+                for d, u in zip(domains, urls)
+            ),
+            dtype=np.int64,
+            count=n,
+        )
         # session flow routes by domain only (session state for a domain
         # must live on one actor); the pane/dedup flow stays salted.
-        sess_parts: list[tuple[list, list, list]] = [
-            ([], [], []) for _ in range(self.p)
-        ]
-        for d, u, w, c, f, t in zip(domains, urls, wids, chars, fps, ts_us):
-            slot = parts[route_partition(d or "", u, self.p)]
-            slot["domain"].append(d)
-            slot["window_id"].append(w)
-            slot["url"].append(u)
-            slot["n_chars"].append(c)
-            slot["text_fp"].append(f)
-            sp = sess_parts[route_domain(d or "", self.p)]
-            sp[0].append(d)
-            sp[1].append(t)
-            sp[2].append(c)
-        refs = [
-            self.actors[i].update.remote(parts[i])
-            for i in range(self.p)
-            if parts[i]["url"]
-        ]
-        refs += [
-            self.actors[i].update_sessions.remote(*sess_parts[i])
-            for i in range(self.p)
-            if sess_parts[i][0]
-        ]
+        part_d = np.fromiter(
+            (zlib.crc32((d or "").encode()) % p for d in domains),
+            dtype=np.int64,
+            count=n,
+        )
+        ts_col = pc.cast(batch.column("warc_ts"), pa.int64())
+        refs = []
+        for i in range(p):
+            mask = part_du == i
+            if mask.any():
+                sub = batch.filter(pa.array(mask))
+                refs.append(
+                    actors[i].update.remote(
+                        {
+                            "domain": sub.column("domain").to_pylist(),
+                            "window_id": sub.column("window_id").to_pylist(),
+                            "url": sub.column("url").to_pylist(),
+                            "n_chars": sub.column("n_chars").to_pylist(),
+                            "text_fp": sub.column("text_fp").to_pylist(),
+                        }
+                    )
+                )
+            smask = part_d == i
+            if smask.any():
+                pam = pa.array(smask)
+                refs.append(
+                    actors[i].update_sessions.remote(
+                        pc.array_filter(
+                            batch.column("domain"), pam
+                        ).to_pylist(),
+                        pc.array_filter(ts_col, pam).to_pylist(),
+                        pc.array_filter(
+                            batch.column("n_chars"), pam
+                        ).to_pylist(),
+                    )
+                )
         # Block until delivered: gives backpressure and guarantees all rows
         # are in actor state before the driver advances the watermark.
         ray.get(refs)
@@ -136,6 +152,8 @@ class Router:
                 "n": pa.array([batch.num_rows], pa.int64()),
             }
         )
+
+    return route
 
 
 def _merge_pane_partials(tables: list[pa.Table]) -> pa.Table:
@@ -201,6 +219,8 @@ class CepEngine:
         allowed_lateness_s: int = 60,
         slide_count: int = 3,
         session_gap_s: int = 1800,
+        summarize_budget: int | None = None,
+        summarizer_concurrency: int | tuple = 4,
     ):
         self.sink = ExactlyOnceSink(out_dir)
         self.checkpoint_dir = checkpoint_dir
@@ -220,6 +240,13 @@ class CepEngine:
         self.watermark = -1
         # highest window id already emitted for the sliding flow
         self.sliding_frontier = -(1 << 62)
+        # optional per-document summarize stage chained ahead of the window
+        # flow: previews are written exactly-once per micro-batch and the
+        # window stage consumes the durable preview output.
+        self.summarize_budget = summarize_budget
+        if isinstance(summarizer_concurrency, tuple):
+            summarizer_concurrency = summarizer_concurrency[-1]
+        self.summarizer_concurrency = summarizer_concurrency
 
     def load_prior_crawl(self, paths: list[str]) -> int:
         """Broadcast the prior-crawl index into the actor pool (join side)."""
@@ -248,6 +275,46 @@ class CepEngine:
             )
             total += batch.num_rows
         return total
+
+    def _summarize_batch(self, ds, b: int):
+        """Per-document summarize stage chained ahead of the window flow,
+        fused into the SAME streaming execution as prepare/route (no
+        mid-pipeline materialize). Each task writes its own previews file
+        (parallel IO) under out/previews/b{b}, content-addressed by the
+        crc32 of its url list; the whole directory is wiped before a
+        non-committed batch (re)runs, so replays converge exactly-once."""
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq_mod
+
+        prev_dir = str(self.sink.out_dir / "previews" / f"b{b:06d}")
+        shutil.rmtree(prev_dir, ignore_errors=True)
+        os.makedirs(prev_dir, exist_ok=True)
+        from ..stages.summarize import Summarizer
+
+        budget = self.summarize_budget
+
+        def summarize_fn(batch: pa.Table) -> pa.Table:
+            # stateless TASK stage: config build is microseconds against
+            # ~1s of per-batch summarize work, and task pools don't pay
+            # the per-micro-batch actor-pool startup/teardown that made
+            # larger pools anti-scale (the flagship pipeline runs ONE
+            # Dataset execution and uses the stateful actor-pool form)
+            out = Summarizer(budget=budget)(batch)
+            urls = "\n".join(out.column("url").to_pylist()).encode()
+            name = f"part-{zlib.crc32(urls):08x}.parquet"
+            tmp = os.path.join(prev_dir, name + ".tmp")
+            pq_mod.write_table(out, tmp)
+            os.replace(tmp, os.path.join(prev_dir, name))
+            return out.select(["url", "warc_ts", "text"])
+
+        return ds.map_batches(
+            summarize_fn,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1024,
+        )
 
     def run(
         self,
@@ -290,16 +357,16 @@ class CepEngine:
             ds = ray.data.read_parquet(
                 shards, columns=["url", "warc_ts", "text"]
             )
+            if self.summarize_budget is not None:
+                ds = self._summarize_batch(ds, b)
             ds = ds.map_batches(
                 _prepare(self.window_size_us),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
             stats = ds.map_batches(
-                Router,
-                fn_constructor_kwargs=dict(actors=self.actors),
+                make_router(self.actors),
                 batch_format="pyarrow",
-                concurrency=(1, max(1, len(self.actors))),
                 batch_size=4096,
                 num_cpus=0.5,
             )

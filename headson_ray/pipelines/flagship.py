@@ -50,6 +50,47 @@ def summarize_pages(
     return ds
 
 
+def summarize_to_parquet(
+    paths: list[str],
+    out_dir: str,
+    *,
+    shards_per_chunk: int = 8,
+    budget: int = 500,
+    concurrency=8,
+    batch_size: int = 256,
+) -> dict:
+    """Resumable partitioned output: input shards are processed in chunks,
+    each chunk writing to its own directory with a _SUCCESS marker. A
+    failed run reruns only unfinished chunks (partial output is wiped
+    before the rerun), so output converges without duplicates — the
+    batch-mode counterpart of the CEP engine's exactly-once sink."""
+    import os
+    import shutil
+
+    done = skipped = 0
+    root = os.path.abspath(out_dir)
+    os.makedirs(root, exist_ok=True)
+    for ci in range(0, len(paths), shards_per_chunk):
+        chunk = paths[ci:ci + shards_per_chunk]
+        cdir = os.path.join(root, f"chunk-{ci // shards_per_chunk:05d}")
+        marker = os.path.join(cdir, "_SUCCESS")
+        if os.path.exists(marker):
+            skipped += 1
+            continue
+        shutil.rmtree(cdir, ignore_errors=True)
+        ds = summarize_pages(
+            chunk,
+            budget=budget,
+            concurrency=concurrency,
+            batch_size=batch_size,
+        )
+        ds.write_parquet(cdir)
+        with open(marker, "w") as fh:
+            fh.write("")
+        done += 1
+    return {"chunks_written": done, "chunks_skipped": skipped}
+
+
 def sniff_pages(paths: list[str]) -> "ray.data.Dataset":
     """Binary-sniff pipeline over the html payload (S2 in SURVEY §2)."""
     ds = ray.data.read_parquet(paths, columns=["url", "html"])

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import zlib
 from bisect import bisect_left
 from collections import defaultdict
 
@@ -33,24 +34,16 @@ import pyarrow as pa
 import ray
 
 
-def fnv1a64(data: bytes) -> int:
-    """Stable 64-bit FNV-1a (python hash() is per-process salted)."""
-    h = 0xCBF29CE484222325
-    for b in data:
-        h ^= b
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
 def route_partition(domain: str, url: str, num_partitions: int) -> int:
     """Salted routing: same (domain,url) always lands on one actor while a
-    hot domain spreads across the pool."""
-    return fnv1a64(f"{domain}\x00{url}".encode()) % num_partitions
+    hot domain spreads across the pool. crc32 is stable across processes
+    (python hash() is per-process salted) and C-speed in the hot path."""
+    return zlib.crc32(f"{domain}\x00{url}".encode()) % num_partitions
 
 
 def route_domain(domain: str, num_partitions: int) -> int:
     """Unsalted per-domain routing (session state must be co-located)."""
-    return fnv1a64(domain.encode()) % num_partitions
+    return zlib.crc32(domain.encode()) % num_partitions
 
 
 PANE_FIELDS = [

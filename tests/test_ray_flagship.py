@@ -3,6 +3,8 @@ parity with the single-process core (per-url byte-identical previews)."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pyarrow as pa
 import pytest
 
@@ -77,3 +79,28 @@ def test_sniff_flags_binary_rows(tmp_path):
     table = sniff_pages(paths).to_pandas()
     frac = table["skipped"].mean()
     assert 0.05 < frac < 0.15  # ~10% of rows carry the binary prefix
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_summarize_to_parquet_resumable(tmp_path):
+    import pyarrow.parquet as pq
+    from headson_ray.pipelines.flagship import summarize_to_parquet
+    from headson_ray.sources.pages import materialize_pages
+
+    paths = materialize_pages(800, num_shards=4, tag="resume-out")
+    out = str(tmp_path / "out")
+    m1 = summarize_to_parquet(
+        paths, out, shards_per_chunk=2, budget=120, concurrency=2
+    )
+    assert m1 == {"chunks_written": 2, "chunks_skipped": 0}
+    # simulate a crashed chunk: delete one marker, corrupt its dir
+    marker = Path(out) / "chunk-00001" / "_SUCCESS"
+    marker.unlink()
+    m2 = summarize_to_parquet(
+        paths, out, shards_per_chunk=2, budget=120, concurrency=2
+    )
+    assert m2 == {"chunks_written": 1, "chunks_skipped": 1}
+    total = sum(
+        pq.read_table(p).num_rows for p in Path(out).rglob("*.parquet")
+    )
+    assert total == 800

@@ -1,0 +1,191 @@
+"""Python-binding parity: mirrors the reference's tests_py suite
+(tests_py/test_summarize.py, test_text_mode.py, test_yaml_styles.py)
+against our `headson_ray.summarize`, which is a drop-in equivalent of the
+reference's `headson.summarize` (python/src/lib.rs:95-124).
+"""
+
+from __future__ import annotations
+
+import json
+import textwrap
+
+import pytest
+
+from headson_ray import summarize
+
+
+def test_summarize_json_roundtrip():
+    out = summarize(
+        '{"a": 1, "b": {"c": 2}}',
+        format="json", style="strict", character_budget=10_000,
+    )
+    obj = json.loads(out)
+    assert obj["a"] == 1 and obj["b"]["c"] == 2
+
+
+@pytest.mark.parametrize(
+    "fmt,style",
+    [("json", "strict"), ("json", "default"), ("json", "detailed"),
+     ("yaml", "default")],
+)
+def test_summarize_budget_affects_length(fmt, style):
+    text = json.dumps({"arr": list(range(100))})
+    small = summarize(text, format=fmt, style=style, character_budget=40)
+    large = summarize(text, format=fmt, style=style, character_budget=400)
+    assert len(small) <= len(large)
+
+
+def test_pseudo_shows_ellipsis_on_truncation():
+    text = json.dumps({"arr": list(range(50))})
+    out = summarize(text, format="json", style="default", character_budget=30)
+    assert "…" in out
+
+
+def test_js_shows_comment_on_truncation():
+    text = json.dumps({"arr": list(range(50))})
+    out = summarize(text, format="json", style="detailed", character_budget=30)
+    assert "/*" in out and "more" in out
+
+
+def test_exact_string_output_json_template():
+    assert summarize(
+        '"hello"', format="json", style="strict", character_budget=100
+    ) == '"hello"'
+
+
+def test_tail_affects_arrays_pseudo():
+    text = json.dumps(list(range(50)))
+    out_tail = summarize(
+        text, format="json", style="default", character_budget=30, skew="tail"
+    )
+    out_head = summarize(
+        text, format="json", style="default", character_budget=30,
+        skew="balanced",
+    )
+    assert out_tail != out_head
+    lines = out_tail.splitlines()
+    idx = next(i for i, line in enumerate(lines) if line.strip() == "[")
+    following = next(
+        (line.strip() for line in lines[idx + 1:] if line.strip()), ""
+    )
+    assert following.startswith("…"), out_tail
+
+
+def test_tail_json_remains_strict():
+    text = json.dumps(list(range(50)))
+    out = summarize(
+        text, format="json", style="strict", character_budget=30, skew="tail"
+    )
+    json.loads(out)
+    assert "…" not in out and "/*" not in out
+
+
+def test_head_affects_arrays_pseudo():
+    text = json.dumps(list(range(50)))
+    out = summarize(
+        text, format="json", style="default", character_budget=30, skew="head"
+    )
+    lines = out.splitlines()
+    idx = max(i for i, line in enumerate(lines) if line.strip() == "]")
+    preceding = next(
+        (line.strip() for line in reversed(lines[:idx]) if line.strip()), ""
+    )
+    assert preceding.startswith("…"), out
+
+
+def test_head_json_remains_strict():
+    text = json.dumps(list(range(50)))
+    out = summarize(
+        text, format="json", style="strict", character_budget=30, skew="head"
+    )
+    json.loads(out)
+    assert "…" not in out and "/*" not in out
+
+
+# --- text mode (tests_py/test_text_mode.py) -------------------------------
+
+def test_text_mode_basic_lines_default_style():
+    out = summarize(
+        "one\ntwo\nthree\n",
+        format="text", style="default", input_format="text",
+        character_budget=100,
+    )
+    assert out.splitlines()[:3] == ["one", "two", "three"]
+    assert '"one"' not in out
+
+
+def test_text_mode_omission_marker_under_budget():
+    text = "\n".join(f"line{i}" for i in range(20)) + "\n"
+    out = summarize(
+        text, format="text", style="default", input_format="text",
+        character_budget=20,
+    )
+    assert "…\n" in out
+
+
+def test_text_mode_strict_truncates_without_marker():
+    text = "\n".join(f"line{i}" for i in range(50)) + "\n"
+    out = summarize(
+        text, format="text", style="strict", input_format="text",
+        character_budget=30,
+    )
+    assert " more lines " not in out
+    assert "line49\n" not in out
+
+
+def test_text_mode_detailed_shows_count():
+    text = "\n".join(f"line{i}" for i in range(50)) + "\n"
+    out = summarize(
+        text, format="text", style="detailed", input_format="text",
+        character_budget=30,
+    )
+    assert "…" in out and " more lines " in out
+
+
+def test_text_mode_tail_places_marker_at_start():
+    text = "\n".join(f"line{i}" for i in range(30)) + "\n"
+    out = summarize(
+        text, format="text", style="default", input_format="text",
+        skew="tail", character_budget=40,
+    )
+    assert (out.splitlines()[0] if out else "") == "…"
+
+
+# --- yaml styles (tests_py/test_yaml_styles.py) ----------------------------
+
+def _yaml_sample() -> str:
+    return textwrap.dedent(
+        """
+        root:
+          items: [1,2,3,4,5,6,7,8,9,10]
+          obj:
+            a: 1
+            b: 2
+            c: 3
+            d: 4
+        """
+    ).strip()
+
+
+def test_yaml_default_uses_ellipsis_comment():
+    out = summarize(
+        _yaml_sample(), format="yaml", style="default", input_format="yaml",
+        character_budget=60,
+    )
+    assert "# …" in out, out
+
+
+def test_yaml_strict_has_no_comments():
+    out = summarize(
+        _yaml_sample(), format="yaml", style="strict", input_format="yaml",
+        character_budget=60,
+    )
+    assert "#" not in out, out
+
+
+def test_yaml_detailed_shows_counts():
+    out = summarize(
+        _yaml_sample(), format="yaml", style="detailed", input_format="yaml",
+        character_budget=60,
+    )
+    assert "more items" in out or "more properties" in out, out
