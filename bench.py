@@ -54,6 +54,9 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
     from headson_ray.pipelines.queries import QUERIES
     from headson_ray.sources.pages import materialize_pages
 
+    import shutil
+    import tempfile
+
     results: dict[str, float] = {}
     extras: dict[str, float] = {}
 
@@ -71,18 +74,24 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         concurrency=max(2, num_cpus - 2),
         batch_size=128,
     )
-    n = 0
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-        n += b.num_rows
+    # realistic consumption: parallel parquet sink (read -> map -> write)
+    out_dir = tempfile.mkdtemp(prefix="headson-bench-flagship-")
+    ds.write_parquet(out_dir)
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    n = sum(
+        _pq.ParquetFile(p).metadata.num_rows
+        for p in glob.glob(out_dir + "/*.parquet")
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
     dt = time.time() - t0
     results["summarize_pages"] = dt
     extras["summarize_docs_per_sec"] = n / dt
     extras["summarize_rows"] = n
 
     # --- headline 2: windows-finalized/sec (streaming CEP) ---------------
-    import shutil
-    import tempfile
-
     work = tempfile.mkdtemp(prefix="headson-bench-cep-")
     try:
         t0 = time.time()

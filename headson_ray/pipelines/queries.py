@@ -366,6 +366,30 @@ def q_simhash(sf_dir: str):
     )
 
 
+def q_image_features(sf_dir: str):
+    """Multimodal plumbing over the pages' binary html payload: actor-pool
+    feature extraction (rows-only; decode kernel is a deterministic fake,
+    see stages/multimodal.py)."""
+    import ray.data as _rd
+
+    from ..sources.pages import materialize_pages, rows_for_sf_dir
+    from ..stages.multimodal import ImageFeatureExtractor
+
+    rows = min(rows_for_sf_dir(sf_dir), 5000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    ds = _rd.read_parquet(paths, columns=["url", "html"])
+    out = ds.map_batches(
+        ImageFeatureExtractor,
+        fn_constructor_kwargs=dict(dim=16),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+        batch_size=64,
+        num_cpus=1,
+    )
+    return out.select_columns(["url", "features"])
+
+
 def q_summarize_documents(sf_dir: str):
     """The flagship per-document transform over the documents table
     (rows-only: previews have no SQL equivalent)."""
@@ -1007,6 +1031,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "simhash": q_simhash,
     "summarize_documents": q_summarize_documents,
+    "image_features": q_image_features,
     "knn_topk": q_knn_topk,
     "ivf_topk": q_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,

@@ -1,0 +1,172 @@
+"""Coverage for the generic window-operator library (stages/windows.py)
+against DuckDB oracles, and the multimodal plumbing (stages/multimodal.py):
+actor-pool feature extraction over binary payloads, frame-sample plans,
+and the clearly-stubbed real-decode path.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from headson_ray.stages.multimodal import (
+    ImageFeatureExtractor,
+    fake_image_table,
+    frame_sample_plan,
+)
+from headson_ray.stages.windows import (
+    finalized_windows,
+    session_windows,
+    window_aggregate,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+DAY_US = 86_400_000_000
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{Path(SF_DIR) / 'events.parquet'}')"
+    )
+    return c
+
+
+def _events():
+    return ray.data.read_parquet(
+        str(Path(SF_DIR) / "events.parquet"),
+        columns=["ts", "user_id", "event_type"],
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_aggregate_tumbling_matches_oracle(con):
+    got = (
+        window_aggregate(
+            _events(), size_s=86_400, keys=("event_type",), ts_column="ts"
+        )
+        .to_pandas()
+        .sort_values(["event_type", "window_id"])
+        .reset_index(drop=True)
+    )
+    exp = con.execute(
+        f"""SELECT event_type, epoch_us(ts) // {DAY_US} AS window_id,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).df()
+    assert got[["event_type", "window_id"]].equals(
+        exp[["event_type", "window_id"]]
+    )
+    assert list(got["n"]) == list(exp["n"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_aggregate_sliding_matches_oracle(con):
+    got = (
+        window_aggregate(
+            _events(), size_s=2 * 86_400, slide_s=86_400,
+            keys=("event_type",), ts_column="ts",
+        )
+        .to_pandas()
+        .sort_values(["event_type", "window_id"])
+        .reset_index(drop=True)
+    )
+    exp = con.execute(
+        f"""SELECT event_type, (epoch_us(ts) // {DAY_US}) - j AS window_id,
+                   count(*) AS n
+            FROM events, (SELECT unnest([0, 1]) AS j)
+            WHERE (epoch_us(ts) // {DAY_US}) - j >= 0
+            GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).df()
+    assert list(got["n"]) == list(exp["n"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session_windows_match_oracle(con):
+    gap_s = 7200
+    got = (
+        session_windows(_events(), key="user_id", gap_s=gap_s, ts_column="ts")
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    exp = con.execute(
+        f"""WITH t AS (
+              SELECT user_id, epoch_us(ts) AS tu,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > {gap_s * 1_000_000}
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tu
+                            ROWS UNBOUNDED PRECEDING) AS sess
+              FROM t
+            )
+            SELECT user_id, min(tu) AS session_start, max(tu) AS session_end,
+                   count(*) AS n
+            FROM s GROUP BY user_id, sess
+            ORDER BY user_id, session_start"""
+    ).df()
+    assert len(got) == len(exp)
+    assert list(got["session_start"]) == list(exp["session_start"])
+    assert list(got["n"]) == list(exp["n"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_finalized_windows_subset_of_all(con):
+    fin = finalized_windows(
+        _events(), size_s=86_400, allowed_lateness_s=3600,
+        keys=("event_type",), ts_column="ts",
+    ).to_pandas()
+    all_w = window_aggregate(
+        _events(), size_s=86_400, keys=("event_type",), ts_column="ts"
+    ).to_pandas()
+    assert len(fin) < len(all_w)
+    max_ts = con.execute("SELECT max(epoch_us(ts)) FROM events").fetchone()[0]
+    max_wid = (max_ts - 3600 * 1_000_000) // DAY_US - 1
+    assert fin["window_id"].max() <= max_wid
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_feature_actor_stage():
+    tbl = fake_image_table(64)
+    ds = ray.data.from_arrow(tbl)
+    out = ds.map_batches(
+        ImageFeatureExtractor,
+        fn_constructor_kwargs=dict(dim=8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+        batch_size=16,  # small: payload x batch x concurrency bounds heap
+        num_cpus=1,
+    ).to_pandas()
+    assert len(out) == 64
+    assert all(len(f) == 8 for f in out["features"])
+    # determinism: same payload -> same features
+    again = ImageFeatureExtractor(dim=8)(tbl).to_pandas()
+    assert list(map(list, out.sort_values("img_id")["features"])) == list(
+        map(list, again["features"])
+    )
+
+
+def test_real_decoder_is_clearly_stubbed():
+    ex = ImageFeatureExtractor(dim=4, use_real_decoder=True)
+    with pytest.raises(NotImplementedError):
+        ex._features(b"payload")
+
+
+def test_frame_sample_plan():
+    batch = pa.table({"n_frames": pa.array([0, 1, 90, 91], pa.int64())})
+    out = frame_sample_plan(batch, every_n=30)
+    plans = out.column("sample_frames").to_pylist()
+    assert plans == [[], [0], [0, 30, 60], [0, 30, 60, 90]]
