@@ -44,7 +44,7 @@ def headson(
 ) -> str:
     """Single-document summarize (reference: src/lib.rs:41-115)."""
     arena = _PARSE_ONE[input_format](data, priority_cfg)
-    order = build_order(arena, priority_cfg)
+    order = build_order(arena, priority_cfg, stop_after=max(budget, 1))
     return find_largest_render_under_budget(order, config, budget)
 
 
@@ -57,7 +57,7 @@ def headson_many(
 ) -> str:
     """Fileset summarize: one shared budget across named inputs."""
     arena = _PARSE_MANY[input_format](inputs, priority_cfg)
-    order = build_order(arena, priority_cfg)
+    order = build_order(arena, priority_cfg, stop_after=max(budget, 1))
     return find_largest_render_under_budget(order, config, budget)
 
 

@@ -27,8 +27,6 @@ def find_largest_render_under_budget(
         return ""
     lo = 1
     hi = min(total, max(char_budget, 1))
-    flags = [0] * total
-    rid = 1
     best_k = None
     measure_cfg = (
         config if not config.color_enabled
@@ -38,8 +36,7 @@ def find_largest_render_under_budget(
     # binary_search_max (src/utils/search.rs:2-18)
     while lo <= hi:
         mid = lo + (hi - lo) // 2
-        s = render_top_k(order, mid, flags, rid, measure_cfg)
-        rid += 1
+        s = render_top_k(order, mid, measure_cfg)
         if _byte_len(s) <= char_budget:
             best_k = mid
             lo = mid + 1
@@ -47,4 +44,4 @@ def find_largest_render_under_budget(
             hi = mid - 1
 
     k = best_k if best_k is not None else 1
-    return render_top_k(order, k, flags, rid, config)
+    return render_top_k(order, k, config)

@@ -49,6 +49,8 @@ class PriorityOrder:
         "m_object_len",
         "m_string_len",
         "m_string_truncated",
+        "inc_rank",
+        "sorted_child_ranks",
     )
 
     def __init__(self) -> None:
@@ -65,6 +67,29 @@ class PriorityOrder:
         self.m_object_len: list[int | None] = []
         self.m_string_len: list[int | None] = []
         self.m_string_truncated: list[bool] = []
+        # lazy render-support caches (see render.render_top_k):
+        # inc_rank[nid] = min priority rank over nid's subtree; a node is
+        # in the inclusion set for top-k iff inc_rank[nid] < k (equivalent
+        # to the reference's mark-top-k-and-ancestors, graph.rs:41-61,
+        # because ancestors inherit the min rank of their descendants)
+        self.inc_rank: list[int] | None = None
+        self.sorted_child_ranks: dict[int, list[int]] = {}
+
+    def ensure_inc_rank(self) -> list[int]:
+        inc = self.inc_rank
+        if inc is None:
+            n_ids = len(self.parent)
+            inf = n_ids + 1
+            inc = [inf] * n_ids
+            for r, nid in enumerate(self.by_priority):
+                inc[nid] = r
+            parent = self.parent
+            for nid in reversed(self.by_priority):
+                p = parent[nid]
+                if p is not None and inc[nid] < inc[p]:
+                    inc[p] = inc[nid]
+            self.inc_rank = inc
+        return inc
 
 
 _KIND_TO_TYPE = {
@@ -89,8 +114,22 @@ def _array_extra(cfg: PriorityConfig, i: int, kept: int) -> int:
     return d * d * d * ARRAY_INDEX_CUBIC_WEIGHT
 
 
-def build_order(arena: A.TreeArena, cfg: PriorityConfig) -> PriorityOrder:
-    """Best-first expansion (reference: src/order/build.rs:377-470)."""
+def build_order(
+    arena: A.TreeArena, cfg: PriorityConfig, stop_after: int | None = None
+) -> PriorityOrder:
+    """Best-first expansion (reference: src/order/build.rs:377-470).
+
+    ``stop_after`` bounds the number of processed (popped) nodes: the
+    budget fit only ever includes ranks < min(total, char_budget), so
+    processing past ``char_budget`` pops cannot change any render. Output
+    is byte-identical to the unbounded build for every k <= stop_after;
+    at 100 TB scale this keeps a giant document (500 MB html cell) from
+    expanding millions of nodes for a 500-char preview. Same-score
+    sibling pushes (object children, string grapheme parts) are capped by
+    the remaining pop quota for the same reason; array children are NOT
+    capped because the head/mid/tail bias makes their scores
+    non-monotonic in sibling order (the sampler already bounds them).
+    """
     o = PriorityOrder()
     o.root_is_fileset = arena.is_fileset
     nt = o.node_type
@@ -167,6 +206,11 @@ def build_order(arena: A.TreeArena, cfg: PriorityConfig) -> PriorityOrder:
                 msl[pq_id] = cnt
                 mst[pq_id] = trunc
 
+        # rank len(order)-1 just became final; deeper pops can never be
+        # included once the quota is met, so skip expanding further
+        if stop_after is not None and len(order) >= stop_after:
+            break
+
         if ntype == N_ARRAY:
             kept = a_cl[ar_id]
             cs = a_cs[ar_id]
@@ -204,6 +248,8 @@ def build_order(arena: A.TreeArena, cfg: PriorityConfig) -> PriorityOrder:
                 key=lambda t: (t[0], t[1]),
             )
             my_children = children[pq_id]
+            if stop_after is not None:
+                items = items[: max(0, stop_after - len(order))]
             for key_text, _ki, child_ar in items:
                 ck = ak[child_ar]
                 cid = next_pq_id
@@ -225,7 +271,10 @@ def build_order(arena: A.TreeArena, cfg: PriorityConfig) -> PriorityOrder:
             full = payload[pq_id] or ""
             count, _ = count_graphemes_capped(full, cap_graphemes)
             my_children = children[pq_id]
-            for i in range(count):
+            push_count = count
+            if stop_after is not None:
+                push_count = min(count, max(0, stop_after - len(order)))
+            for i in range(push_count):
                 cid = next_pq_id
                 next_pq_id += 1
                 if i > STRING_INDEX_INFLECTION:

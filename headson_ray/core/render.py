@@ -8,6 +8,7 @@ per-document UDF; the result is a plain string.
 from __future__ import annotations
 
 import json
+from functools import lru_cache
 
 from .config import (
     RenderConfig,
@@ -42,11 +43,13 @@ _GREEN = "\x1b[32m"
 _DARK_GRAY = "\x1b[90m"
 
 
+@lru_cache(maxsize=65536)
 def json_string(s: str) -> str:
     """JSON string literal with escapes (reference: src/utils/json.rs:4-11).
 
     serde_json escapes exactly: control chars, quote, backslash; non-ASCII
-    kept verbatim — matching ensure_ascii=False.
+    kept verbatim — matching ensure_ascii=False. Cached: object keys
+    repeat across documents in a batch (pure function of s).
     """
     return json.dumps(s, ensure_ascii=False)
 
@@ -128,25 +131,32 @@ def _has_newline(s: str) -> bool:
 
 class Renderer:
     """Template-driven writer over an inclusion set
-    (reference: src/serialization/mod.rs RenderScope)."""
+    (reference: src/serialization/mod.rs RenderScope). Inclusion for
+    top-k is tested via subtree-min-rank (inc_rank[nid] < k), which is
+    equivalent to the reference's mark-top-k-and-ancestors flags
+    (src/utils/graph.rs:41-61) without per-probe marking work."""
 
     def __init__(
         self,
         order: PriorityOrder,
-        flags: list[int],
-        render_set_id: int,
+        k: int,
         config: RenderConfig,
     ) -> None:
         self.o = order
-        self.flags = flags
-        self.rid = render_set_id
+        self.inc = order.ensure_inc_rank()
+        self.k = k
         self.cfg = config
 
     # --- inclusion / omission helpers -----------------------------------
     def _count_kept_children(self, nid: int) -> int:
-        rid = self.rid
-        flags = self.flags
-        return sum(1 for c in self.o.children[nid] if flags[c] == rid)
+        from bisect import bisect_left
+
+        sr = self.o.sorted_child_ranks.get(nid)
+        if sr is None:
+            inc = self.inc
+            sr = sorted(inc[c] for c in self.o.children[nid])
+            self.o.sorted_child_ranks[nid] = sr
+        return bisect_left(sr, self.k)
 
     def _omitted_for(self, nid: int, kept: int) -> int:
         o = self.o
@@ -222,12 +232,12 @@ class Renderer:
     ) -> tuple[list[tuple[int, int, str]], int]:
         """Returns ([(orig_index, child_type, rendered)], kept)."""
         o = self.o
-        rid = self.rid
-        flags = self.flags
+        k = self.k
+        inc = self.inc
         pairs = []
         kept = 0
         for i, cid in enumerate(o.children[nid]):
-            if flags[cid] != rid:
+            if inc[cid] >= k:
                 continue
             kept += 1
             rendered = self.render_node(cid, depth + 1, False, template)
@@ -239,12 +249,12 @@ class Renderer:
         self, nid: int, depth: int, template: str
     ) -> tuple[list[tuple[str, str]], int]:
         o = self.o
-        rid = self.rid
-        flags = self.flags
+        k = self.k
+        inc = self.inc
         pairs = []
         kept = 0
         for cid in o.children[nid]:
-            if flags[cid] != rid:
+            if inc[cid] >= k:
                 continue
             kept += 1
             key = json_string(o.key_in_object[cid] or "")
@@ -609,7 +619,7 @@ class Renderer:
         kept = 0
         children_ids = o.children[ROOT_PQ_ID]
         for cid in children_ids:
-            if self.flags[cid] != self.rid:
+            if self.inc[cid] >= self.k:
                 continue
             if kept > 0:
                 parts.append(nl + nl)
@@ -697,37 +707,17 @@ def _yaml_value_needs_quotes(s: str) -> bool:
 
 
 # --- top-level render entry points (mod.rs:531-592) -----------------------
-def mark_top_k_and_ancestors(
-    order: PriorityOrder, k: int, flags: list[int], rid: int
-) -> None:
-    """Inclusion set = top-k by priority + ancestors
-    (reference: src/utils/graph.rs:41-61)."""
-    parent = order.parent
-    stack = []
-    for nid in order.by_priority[:k]:
-        if flags[nid] != rid:
-            flags[nid] = rid
-            stack.append(nid)
-    while stack:
-        nid = stack.pop()
-        p = parent[nid]
-        if p is not None and flags[p] != rid:
-            flags[p] = rid
-            stack.append(p)
-
-
 def render_top_k(
     order: PriorityOrder,
     top_k: int,
-    flags: list[int],
-    rid: int,
     config: RenderConfig,
 ) -> str:
-    if len(flags) < order.total_nodes:
-        flags.extend([0] * (order.total_nodes - len(flags)))
+    """Render the inclusion set = top-k by priority + their ancestors
+    (reference: src/utils/graph.rs:41-61 + src/serialization/mod.rs:552-592).
+    Membership is evaluated as inc_rank[nid] < k — the subtree-min-rank is
+    computed once per document and shared by every budget-fit probe."""
     k = min(top_k, order.total_nodes)
-    mark_top_k_and_ancestors(order, k, flags, rid)
-    r = Renderer(order, flags, rid, config)
+    r = Renderer(order, k, config)
     out = Out(config)
     r.write_root(out)
     return out.value()
