@@ -294,3 +294,51 @@ def test_cep_kill_resume_sliding_sessions_exactly_once(
         assert a.sort_by([(c, "ascending") for c in a.column_names]).equals(
             b.sort_by([(c, "ascending") for c in b.column_names])
         ), kind
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cep_hot_domain_skew_two_phase(tmp_path):
+    """A severely skewed stream (one domain holding ~half the rows) must
+    (a) still match the single-process oracle exactly — the salted
+    two-phase pane aggregation merges per-actor partials correctly — and
+    (b) actually spread the hot domain's rows across the actor pool."""
+    import pyarrow.parquet as pq
+
+    rows = 2000
+    base = generate_shard(0, rows)
+    # overwrite half the urls with one hot domain
+    urls = base.column("url").to_pylist()
+    hot = [
+        f"https://wikipedia.org/page/{i}" if i % 2 == 0 else u
+        for i, u in enumerate(urls)
+    ]
+    skewed = base.set_column(
+        base.schema.get_field_index("url"), "url", pa.array(hot)
+    )
+    shards = []
+    for s in range(4):
+        p = tmp_path / f"skew-{s}.parquet"
+        pq.write_table(skewed.slice(s * 500, 500), p)
+        shards.append(str(p))
+
+    eng = CepEngine(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_state_actors=4,
+        window_size_s=WINDOW_S,
+        allowed_lateness_s=LATENESS_S,
+    )
+    metrics = eng.run([[p] for p in shards])
+    got = _pane_dict(eng.sink.read_all_windows())
+
+    # oracle over the skewed table with empty prior
+    prior = tmp_path / "empty-prior.parquet"
+    pq.write_table(pa.table({"url": pa.array([], pa.string()),
+                             "text": pa.array([], pa.string())}), prior)
+    exp = _oracle_panes(skewed, str(prior))
+    assert got == dict(exp)
+
+    # hot-domain rows really are salted across all actors
+    per_actor = [a["rows_seen"] for a in metrics["actor_stats"]]
+    assert min(per_actor) > 0
+    assert max(per_actor) < rows * 0.6  # no single actor got the hot half
