@@ -4,12 +4,24 @@ from-scratch CEP layer (windows, watermarks, stateful joins, exactly-once
 sinks) on top.
 """
 
-from .core.api import headson, headson_many, summarize
+from .core.api import (
+    headson,
+    headson_many,
+    headson_many_text,
+    headson_many_yaml,
+    headson_text,
+    headson_yaml,
+    summarize,
+)
 from .core.config import PriorityConfig, RenderConfig
 
 __all__ = [
     "headson",
     "headson_many",
+    "headson_many_text",
+    "headson_many_yaml",
+    "headson_text",
+    "headson_yaml",
     "summarize",
     "PriorityConfig",
     "RenderConfig",

@@ -61,6 +61,26 @@ def headson_many(
     return find_largest_render_under_budget(order, config, budget)
 
 
+def headson_yaml(data, config, priority_cfg, budget):
+    """Drop-in alias for the reference's `headson_yaml` (src/lib.rs:60-68)."""
+    return headson(data, config, priority_cfg, budget, input_format="yaml")
+
+
+def headson_text(data, config, priority_cfg, budget):
+    """Drop-in alias for the reference's `headson_text` (src/lib.rs:88-96)."""
+    return headson(data, config, priority_cfg, budget, input_format="text")
+
+
+def headson_many_yaml(inputs, config, priority_cfg, budget):
+    """Alias for the reference's `headson_many_yaml` (src/lib.rs:70-86)."""
+    return headson_many(inputs, config, priority_cfg, budget, input_format="yaml")
+
+
+def headson_many_text(inputs, config, priority_cfg, budget):
+    """Alias for the reference's `headson_many_text` (src/lib.rs:98-114)."""
+    return headson_many(inputs, config, priority_cfg, budget, input_format="text")
+
+
 def _map_output_template(fmt: str, style: str) -> str:
     f = fmt.lower()
     if f in ("auto", "json"):
