@@ -219,12 +219,26 @@ def main(argv: list[str] | None = None) -> int:
         string_cap=a.string_cap, tail=a.tail, head=a.head,
         color=a.color and not a.no_color, input_format=a.input_format,
     )
+    import os
+
     try:
         if a.inputs:
+            # path ingestion parity (reference src/main.rs:348-367):
+            # directories and binary-sniffed files are skipped with a
+            # stderr notice, not errors
             entries = []
             for path in a.inputs:
+                if os.path.isdir(path):
+                    print(f"Ignored directory: {path}", file=sys.stderr)
+                    continue
                 with open(path, "rb") as fh:
-                    entries.append((path, fh.read()))
+                    first = fh.read(64 * 1024)
+                    if b"\x00" in first:
+                        print(
+                            f"Ignored binary file: {path}", file=sys.stderr
+                        )
+                        continue
+                    entries.append((path, first + fh.read()))
             print(run_files(opts, entries))
         else:
             print(run_stdin(opts, sys.stdin.buffer.read()))

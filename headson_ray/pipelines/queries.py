@@ -390,6 +390,33 @@ def q_image_features(sf_dir: str):
     return out.select_columns(["url", "features"])
 
 
+def q_props_extract(sf_dir: str):
+    """JSON field extraction from the events.props payload column,
+    vectorized per batch; aggregated by event_type (oracle: DuckDB
+    json_extract)."""
+    import json as _json
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ks = [
+            _json.loads(p).get("k", 0) if p else 0
+            for p in b.column("props").to_pylist()
+        ]
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "k": pa.array(ks, pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [([], "count_all"), ("k", "sum")]
+        )
+        return g.rename_columns(["event_type", "n", "k_sum"])
+
+    return _two_phase_sum(ds, ["event_type"], partial, ["n", "k_sum"])
+
+
 def q_summarize_documents(sf_dir: str):
     """The flagship per-document transform over the documents table
     (rows-only: previews have no SQL equivalent)."""
@@ -1010,6 +1037,14 @@ def q_click_events_filtered(sf_dir: str):
     )
 
 
+SQL_PROPS_EXTRACT = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_sum
+FROM events GROUP BY event_type
+"""
+
+
 SQL_CLICK_EVENTS_FILTERED = """
 SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
 FROM events WHERE event_type = 'click' AND value > 50.0
@@ -1030,6 +1065,7 @@ QUERIES = {
     "minhash_near_dups": q_minhash_near_dups,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "simhash": q_simhash,
+    "props_extract": q_props_extract,
     "summarize_documents": q_summarize_documents,
     "image_features": q_image_features,
     "knn_topk": q_knn_topk,
@@ -1071,4 +1107,5 @@ ORACLE_SQL = {
     "events_value_ranges": SQL_EVENTS_VALUE_RANGES,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
+    "props_extract": SQL_PROPS_EXTRACT,
 }

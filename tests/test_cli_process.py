@@ -1,0 +1,60 @@
+"""CLI process-level parity: exit codes, stderr error/notice formats,
+path-mode skip behavior (reference src/main.rs:140-158, 313-367)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def run_cli(args, stdin=b"", cwd=None):
+    p = subprocess.run(
+        [sys.executable, "-m", "headson_ray.core.cli", *args],
+        input=stdin,
+        capture_output=True,
+        cwd=cwd or "/root/repo",
+    )
+    return p.returncode, p.stdout.decode(), p.stderr.decode()
+
+
+def test_valid_json_exit_zero():
+    rc, out, err = run_cli(["-n", "100", "-f", "json"], b'{"a": 1}')
+    assert rc == 0
+    assert out == '{\n  "a": 1\n}\n'
+
+
+def test_invalid_json_exit_one_stderr():
+    rc, out, err = run_cli(["-n", "100", "-f", "json"], b"{invalid")
+    assert rc == 1
+    assert err.strip() != ""
+    assert out == ""
+
+
+def test_directory_skipped_with_notice(tmp_path):
+    d = tmp_path / "subdir"
+    d.mkdir()
+    f = tmp_path / "a.json"
+    f.write_text('{"x": 1}')
+    rc, out, err = run_cli(
+        ["-n", "200", "-f", "json", str(d), str(f)]
+    )
+    assert rc == 0
+    assert f"Ignored directory: {d}" in err
+    assert '"x": 1' in out
+
+
+def test_binary_file_skipped_with_notice(tmp_path):
+    b = tmp_path / "blob.bin"
+    b.write_bytes(b"\x00\xff\xfebinary")
+    f = tmp_path / "a.json"
+    f.write_text("[1, 2]")
+    rc, out, err = run_cli(["-n", "200", "-f", "json", str(b), str(f)])
+    assert rc == 0
+    assert f"Ignored binary file: {b}" in err
+    assert "1" in out
+
+
+def test_missing_file_is_error():
+    rc, out, err = run_cli(["-n", "100", "/nonexistent/x.json"])
+    assert rc == 1
+    assert err.startswith("Error:")
