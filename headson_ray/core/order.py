@@ -274,25 +274,35 @@ def build_order(
             push_count = count
             if stop_after is not None:
                 push_count = min(count, max(0, stop_after - len(order)))
-            for i in range(push_count):
-                cid = next_pq_id
-                next_pq_id += 1
-                if i > STRING_INDEX_INFLECTION:
-                    d = i - STRING_INDEX_INFLECTION
-                    extra = d * d * STRING_INDEX_QUADRATIC_WEIGHT
-                else:
-                    extra = 0
-                child_score = (
-                    score
-                    + STRING_CHILD_BASE_INCREMENT
-                    + i * STRING_CHILD_LINEAR_WEIGHT
-                    + extra
-                )
-                push_node(N_LEAFPART, None, None, pq_id, None)
-                my_children.append(cid)
-                heapq.heappush(heap, (child_score, cid, -1))
-                if next_pq_id >= SAFETY_CAP:
-                    break
+            push_count = min(push_count, SAFETY_CAP - next_pq_id)
+            if push_count > 0:
+                # all LeafParts share identical metadata except id: bulk-
+                # extend the parallel arrays instead of 10 appends per part
+                cid0 = next_pq_id
+                next_pq_id += push_count
+                nt.extend([N_LEAFPART] * push_count)
+                keys.extend([None] * push_count)
+                payload.extend([None] * push_count)
+                parent.extend([pq_id] * push_count)
+                children.extend([] for _ in range(push_count))
+                in_arr.extend([None] * push_count)
+                mal.extend([None] * push_count)
+                mol.extend([None] * push_count)
+                msl.extend([None] * push_count)
+                mst.extend([False] * push_count)
+                my_children.extend(range(cid0, cid0 + push_count))
+                base = score + STRING_CHILD_BASE_INCREMENT
+                for i in range(push_count):
+                    if i > STRING_INDEX_INFLECTION:
+                        d = i - STRING_INDEX_INFLECTION
+                        extra = d * d * STRING_INDEX_QUADRATIC_WEIGHT
+                    else:
+                        extra = 0
+                    heapq.heappush(
+                        heap,
+                        (base + i * STRING_CHILD_LINEAR_WEIGHT + extra,
+                         cid0 + i, -1),
+                    )
 
         if next_pq_id >= SAFETY_CAP:
             # Drain remaining heap entries into the order for consistency
