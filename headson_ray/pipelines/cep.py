@@ -383,6 +383,7 @@ class CepEngine:
                 [a.finalize_upto.remote(max_window) for a in self.actors]
             )
             finalized = _merge_pane_partials(partials)
+            actor_stats = ray.get([a.stats.remote() for a in self.actors])
             slide_partials = ray.get(
                 [
                     a.finalize_sliding.remote(self.sliding_frontier, max_window)
@@ -413,6 +414,12 @@ class CepEngine:
                     "max_window": int(max_window),
                     "out_file": path,
                     "state_version": b,
+                    # per-partition lineage: row spread + late drops per
+                    # state actor at commit time
+                    "n_late": int(sum(st["n_late"] for st in actor_stats)),
+                    "actor_rows": [
+                        int(st["rows_seen"]) for st in actor_stats
+                    ],
                 },
             )
             windows_emitted += finalized.num_rows

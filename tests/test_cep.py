@@ -342,3 +342,29 @@ def test_cep_hot_domain_skew_two_phase(tmp_path):
     per_actor = [a["rows_seen"] for a in metrics["actor_stats"]]
     assert min(per_actor) > 0
     assert max(per_actor) < rows * 0.6  # no single actor got the hot half
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cep_lineage_records_partition_metrics(pages_shards, prior_crawl,
+                                               tmp_path):
+    import json
+
+    paths, _src = pages_shards
+    prior_path, _, _ = prior_crawl
+    eng = _make_engine(tmp_path, "lineage")
+    eng.load_prior_crawl([prior_path])
+    eng.run([[p] for p in paths])
+    commits = []
+    with open(eng.sink.manifest_path) as fh:
+        for line in fh:
+            rec = json.loads(line)
+            if rec.get("kind") == "commit":
+                commits.append(rec)
+    assert len(commits) == len(paths) + 1  # + final flush
+    for rec in commits[:-1]:
+        assert rec["rows"] > 0
+        assert "watermark" in rec and "windows_finalized" in rec
+        assert "sliding_finalized" in rec and "sessions_finalized" in rec
+        assert len(rec["actor_rows"]) == 3
+        assert sum(rec["actor_rows"]) > 0
+        assert rec["n_late"] == 0  # jitter < lateness in the generator
