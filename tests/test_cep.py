@@ -7,6 +7,7 @@ import collections
 from pathlib import Path
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 
@@ -368,3 +369,63 @@ def test_cep_lineage_records_partition_metrics(pages_shards, prior_crawl,
         assert len(rec["actor_rows"]) == 3
         assert sum(rec["actor_rows"]) > 0
         assert rec["n_late"] == 0  # jitter < lateness in the generator
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cep_late_rows_dropped_and_counted(tmp_path):
+    """Rows arriving after their window passed the watermark (beyond
+    allowed lateness) are dropped and counted in lineage, never reopening
+    a finalized pane."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    # batch 0: ts in [t0, t0+1000s) ; batch 1: mostly ts ~ t0+2000s with
+    # 50 stragglers back at t0 (two windows behind -> late after the
+    # watermark from batch 0's max has finalized their window)
+    t0 = 1_700_000_000_000_000
+    step = 1_000_000
+
+    def mk(ts_list, tag):
+        n = len(ts_list)
+        t = pa.table({
+            "url": pa.array([f"https://ex{i % 7}.com/{tag}/{i}"
+                             for i in range(n)]),
+            "warc_ts": pa.array(ts_list, pa.timestamp("us")),
+            "text": pa.array(["hello world"] * n),
+        })
+        p = tmp_path / f"{tag}.parquet"
+        pq.write_table(t, p)
+        return str(p)
+
+    b0 = mk([t0 + i * step for i in range(1000)], "b0")
+    late_ts = [t0 + i * step for i in range(50)]  # window 0 again
+    b1 = mk([t0 + 2000 * step + i * step for i in range(500)] + late_ts, "b1")
+
+    eng = CepEngine(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_state_actors=2,
+        window_size_s=600,       # window 0 = [t0, t0+600s)
+        allowed_lateness_s=60,
+        slide_count=2,
+        session_gap_s=3600,
+    )
+    eng.run([[b0], [b1]])
+
+    commits = [json.loads(x) for x in open(eng.sink.manifest_path)
+               if x.strip()]
+    commits = [c for c in commits if c.get("kind") == "commit"]
+    # all 50 stragglers were beyond lateness for the pane flow
+    assert commits[1]["n_late"] >= 50
+
+    # the first window's pane count equals its on-time rows from batch 0
+    # only — the 50 late replays in batch 1 never reopen it
+    size_us = 600 * 1_000_000
+    w0_id = t0 // size_us
+    expected_w0 = sum(
+        1 for i in range(1000) if (t0 + i * step) // size_us == w0_id
+    )
+    win = eng.sink.read_all_windows()
+    w0 = win.filter(pc.equal(win.column("window_id"), w0_id))
+    assert sum(w0.column("n_pages").to_pylist()) == expected_w0
