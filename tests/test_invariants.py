@@ -97,3 +97,27 @@ def test_js_comment_counts_add_up():
     omitted = int(comments[-1])
     kept = len(re.findall(r"^\s+\d+,?$", out, re.M))
     assert kept + omitted == n_items, out
+
+
+# --- unicode grapheme truncation (tests/unicode_strings.rs) ----------------
+
+UNICODE_CASES = [
+    ("unicode_emoji_skin_tone.json", 2, "👍🏽👍🏽…"),
+    ("unicode_zwj_family.json", 1, "👨‍👩‍👧‍👦…"),
+    ("unicode_combining.json", 2, "éé…"),
+    ("unicode_flags.json", 2, "🇺🇳🇺🇳…"),
+]
+
+
+@pytest.mark.parametrize("tmpl", ["json", "pseudo", "js"])
+@pytest.mark.parametrize("fixture,cap,expected", UNICODE_CASES)
+def test_unicode_grapheme_truncation(tmpl, fixture, cap, expected):
+    from headson_ray.core.cli import CliOptions, run_stdin
+
+    data = (EXPLICIT / fixture).read_bytes()
+    fmt, style = TEMPLATES[tmpl]
+    out = run_stdin(
+        CliOptions(budget=1000, format=fmt, style=style, string_cap=cap),
+        data,
+    )
+    assert json.loads(out) == expected, (tmpl, fixture)
