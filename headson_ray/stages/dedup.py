@@ -415,7 +415,13 @@ def exact_dedup(
     id_column: str = "doc_id",
 ) -> "ray.data.Dataset":
     """Exact dedup: keep the min-id row per key. Only (key_hash, id) moves
-    through the shuffle; survivors selected per group."""
+    through the shuffle; survivors selected per group.
+
+    Collision note: keys are compared via a 63-bit content hash, so two
+    DISTINCT keys collide with probability ~n^2/2^64 (~1e-4 at 10^9 docs;
+    at 10^12-doc scale either widen to 128-bit fingerprints or add a
+    second pass that re-reads colliding groups' full keys — the shuffle
+    stays (fingerprint, id) either way)."""
     projected = ds.select_columns([id_column, key_column])
 
     def hash_key(batch: pa.Table) -> pa.Table:
