@@ -1,0 +1,65 @@
+"""Driver-contract smoke: entry() runs under a pre-initialised Ray session
+and returns >= 0 rows with a stable schema; queries()/oracle_sql() keys
+line up; the run_stream CLI processes a stream end-to-end."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_returns_rows_with_stable_schema():
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    res = e.entry()
+    schema = res.schema()
+    assert {"url", "domain", "preview"} <= set(schema.names)
+    n = res.count()
+    assert n >= 2000
+
+
+def test_oracle_keys_subset_of_queries():
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 30
+    missing_oracle = set(q) - set(o)
+    # every non-oracled entry is a genuinely non-SQL-expressible op
+    assert missing_oracle <= {
+        "quality_scores", "lang_id", "fingerprints", "minhash_near_dups",
+        "ngram_jaccard_pairs", "simhash", "summarize_documents",
+        "image_features", "ivf_topk", "summarize_pages", "sniff_pages",
+        "cep_stream_windows",
+    }
+
+
+def test_run_stream_cli(tmp_path):
+    from headson_ray.sources.pages import materialize_pages
+
+    paths = materialize_pages(600, num_shards=3, tag="runner-test")
+    glob_pat = paths[0].rsplit("/", 1)[0] + "/shard-*.parquet"
+    r = subprocess.run(
+        [
+            sys.executable, "scripts/run_stream.py",
+            "--input", glob_pat,
+            "--out", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--window-s", "600", "--lateness-s", "60",
+            "--batch-shards", "1", "--state-actors", "2",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env={**__import__("os").environ, "RAY_ADDRESS": "local",
+             "PYTHONPATH": "/root/repo"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.loads(r.stdout.strip().splitlines()[-1])
+    assert metrics["rows_processed"] == 600
+    assert metrics["windows_emitted"] > 0
