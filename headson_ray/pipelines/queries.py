@@ -958,6 +958,54 @@ FROM events e
 """
 
 
+def q_revenue_by_priority(sf_dir: str):
+    """Fact-fact hash-partitioned join (TPC-H Q3-ish): lineitem x orders
+    on orderkey — both sides too big to broadcast at scale — then
+    two-phase revenue aggregation by order priority."""
+    from ..stages.join import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_shape(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "rev_cents": _cents(rev),
+            }
+        )
+
+    li_proj = li.map_batches(li_shape, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    joined = hash_join(li_proj, orders, key="o_orderkey", how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["o_orderpriority", "rev_cents"])
+            .group_by(["o_orderpriority"])
+            .aggregate([([], "count_all"), ("rev_cents", "sum")])
+        )
+        return g.rename_columns(["o_orderpriority", "n_items", "rev_cents"])
+
+    return _two_phase_sum(
+        joined, ["o_orderpriority"], partial, ["n_items", "rev_cents"]
+    )
+
+
+SQL_REVENUE_BY_PRIORITY = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 VALUE_BUCKETS = [0.0, 10.0, 25.0, 50.0, 100.0, 250.0, 1000.0]
 
 
@@ -1081,6 +1129,7 @@ QUERIES = {
     "top3_orders_per_segment": q_top3_orders_per_segment,
     "asof_latest_order_per_event": q_asof_latest_order_per_event,
     "events_value_ranges": q_events_value_ranges,
+    "revenue_by_priority": q_revenue_by_priority,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
 }
@@ -1105,6 +1154,7 @@ ORACLE_SQL = {
     "top3_orders_per_segment": SQL_TOP3_ORDERS_PER_SEGMENT,
     "asof_latest_order_per_event": SQL_ASOF_LATEST_ORDER_PER_EVENT,
     "events_value_ranges": SQL_EVENTS_VALUE_RANGES,
+    "revenue_by_priority": SQL_REVENUE_BY_PRIORITY,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,

@@ -1,0 +1,116 @@
+"""Distributed joins for fact-fact shapes (both sides too big to
+broadcast): hash-partitioned cogroup join on Ray Data primitives.
+
+Mechanics: tag each side, union the (projected!) key+payload streams,
+shuffle once on a COARSE key bucket (hash(key) % NUM_JOIN_BUCKETS — a
+per-key groupby would pay one python map_groups call per key), then run
+an Acero hash join (pyarrow Table.join, C++) inside each bucket.
+
+Skew note: a hot join key lands in one bucket; salt the key (replicate
+the smaller side per salt) before calling when one key's rows exceed a
+bucket budget.
+
+Ray Data (2.49) has no native join; this is the documented composition
+(SURVEY.md §2.8). Broadcast joins for dimension-sized sides live in
+pipelines/queries.py (_broadcast_lookup).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+NUM_JOIN_BUCKETS = 256
+
+
+def _bucket_of(col: pa.ChunkedArray) -> pa.Array:
+    if pa.types.is_integer(col.type):
+        return pc.cast(
+            pc.bit_wise_and(pc.cast(col, pa.int64()), NUM_JOIN_BUCKETS - 1),
+            pa.int32(),
+        )
+    return pa.array(
+        [
+            zlib.crc32(str(v).encode()) % NUM_JOIN_BUCKETS
+            for v in col.to_pylist()
+        ],
+        pa.int32(),
+    )
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    key: str,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Join two Datasets on an equality key.
+
+    Columns other than `key` must be disjoint between sides (project
+    before joining — also keeps the shuffle narrow).
+    how: "inner" | "left outer" (Acero join types).
+    """
+    lsch = left.schema()
+    rsch = right.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    lcols = [c for c in lsch.names if c != key]
+    rcols = [c for c in rsch.names if c != key]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
+
+    # one unified schema: key, bucket, side, left payload, right payload
+    def widen(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            cols = {
+                key: b.column(key),
+                "__bucket": _bucket_of(b.column(key)),
+                "__side": pa.array([side] * b.num_rows, pa.int8()),
+            }
+            for c in lcols:
+                cols[c] = (
+                    b.column(c)
+                    if side == 0
+                    else pa.nulls(b.num_rows, ltypes[c])
+                )
+            for c in rcols:
+                cols[c] = (
+                    b.column(c)
+                    if side == 1
+                    else pa.nulls(b.num_rows, rtypes[c])
+                )
+            return pa.table(cols)
+
+        return fn
+
+    lt = left.map_batches(widen(0), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    rt = right.map_batches(widen(1), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    unioned = lt.union(rt)
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        lmask = pc.equal(side, 0)
+        lrows = group.filter(lmask).select([key] + lcols)
+        rrows = group.filter(pc.invert(lmask)).select([key] + rcols)
+        joined = lrows.join(
+            rrows, keys=[key], join_type=how, use_threads=False
+        )
+        # deterministic output order within the bucket
+        sort_keys = [(key, "ascending")] + [
+            (c, "ascending")
+            for c in joined.column_names
+            if c != key and not pa.types.is_nested(joined.schema.field(c).type)
+        ]
+        return joined.take(pc.sort_indices(joined, sort_keys=sort_keys))
+
+    return unioned.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pyarrow"
+    )

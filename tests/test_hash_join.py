@@ -1,0 +1,57 @@
+"""Unit tests for the hash-partitioned cogroup join (stages/join.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from headson_ray.stages.join import hash_join
+
+
+def _ds(d):
+    return ray.data.from_arrow(pa.table(d))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_inner_join_int_keys():
+    left = _ds({"k": [1, 2, 2, 3], "lv": ["a", "b", "c", "d"]})
+    right = _ds({"k": [2, 3, 3, 4], "rv": [10, 20, 30, 40]})
+    out = hash_join(left, right, key="k").to_pandas()
+    got = sorted(map(tuple, out[["k", "lv", "rv"]].itertuples(index=False)))
+    assert got == [
+        (2, "b", 10), (2, "c", 10), (3, "d", 20), (3, "d", 30),
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_left_outer_join():
+    left = _ds({"k": [1, 2], "lv": ["a", "b"]})
+    right = _ds({"k": [2], "rv": [99]})
+    out = hash_join(left, right, key="k", how="left outer").to_pandas()
+    rows = {(r.k, r.lv): r.rv for r in out.itertuples(index=False)}
+    assert rows[(2, "b")] == 99
+    import math
+
+    assert (1, "a") in rows and (
+        rows[(1, "a")] is None or math.isnan(rows[(1, "a")])
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_string_keys_cross_bucket():
+    keys = [f"domain-{i}.com" for i in range(300)]
+    left = _ds({"k": keys, "lv": list(range(300))})
+    right = _ds({"k": keys[::2], "rv": list(range(0, 300, 2))})
+    out = hash_join(left, right, key="k").to_pandas()
+    assert len(out) == 150
+    assert (out["lv"] == out["rv"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_overlapping_columns_rejected():
+    left = _ds({"k": [1], "v": [1]})
+    right = _ds({"k": [1], "v": [2]})
+    with pytest.raises(ValueError, match="overlapping"):
+        hash_join(left, right, key="k")
