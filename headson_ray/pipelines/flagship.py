@@ -91,6 +91,35 @@ def summarize_to_parquet(
     return {"chunks_written": done, "chunks_skipped": skipped}
 
 
+def write_bucketed_by_domain(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    *,
+    num_buckets: int = 64,
+) -> None:
+    """Partitioned output: one directory per hash(domain) bucket, so every
+    later domain-keyed stage (windows, dedup, joins) reads only its
+    co-located buckets instead of re-shuffling — the "pick ONE
+    partitioning key and reuse it" layout for the 100 TB pipeline."""
+    import zlib
+
+    import pyarrow as pa
+
+    def add_bucket(b: "pa.Table") -> "pa.Table":
+        buckets = pa.array(
+            [
+                zlib.crc32((d or "").encode()) % num_buckets
+                for d in b.column("domain").to_pylist()
+            ],
+            pa.int32(),
+        )
+        return b.append_column("bucket", buckets)
+
+    ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(out_dir, partition_cols=["bucket"])
+
+
 def sniff_pages(paths: list[str]) -> "ray.data.Dataset":
     """Binary-sniff pipeline over the html payload (S2 in SURVEY §2)."""
     ds = ray.data.read_parquet(paths, columns=["url", "html"])

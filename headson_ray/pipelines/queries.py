@@ -28,6 +28,7 @@ from ..stages.dedup import (
 from ..stages.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     ivf_topk,
 )
 from ..stages.summarize import Summarizer
@@ -485,6 +486,13 @@ def q_ivf_topk(sf_dir: str):
     queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qids = [r["vec_id"] for r in qrows]
     return ivf_topk(ds, queries, k=TOPK, query_ids=qids)
+
+
+def q_embedding_near_dups_lsh(sf_dir: str):
+    """LSH-blocked near-dup pairs — the scale path (rows-only; recall vs
+    the exact variant asserted in tests)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup_pairs_lsh(ds, threshold=NEAR_DUP_TAU)
 
 
 def q_embedding_near_dups(sf_dir: str):
@@ -1119,6 +1127,7 @@ QUERIES = {
     "knn_topk": q_knn_topk,
     "ivf_topk": q_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "lineitem_agg": q_lineitem_agg,
     "orders_by_segment": q_orders_by_segment,
     "top_orders": q_top_orders,

@@ -220,6 +220,64 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    ds: "ray.data.Dataset",
+    *,
+    threshold: float = 0.95,
+    num_planes: int = 3,
+    num_tables: int = 10,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    seed: int = 42,
+) -> pa.Table:
+    """Scale path for near-dup pairs: MULTI-TABLE random-hyperplane LSH —
+    each row lands in `num_tables` blocks (one per table of `num_planes`
+    hyperplanes); pairs sharing any block are scored exactly within the
+    block. recall ~= 1 - (1 - p^m)^L with p = 1 - theta/pi, so small m +
+    several tables covers even moderate thresholds; corpus-wide work
+    drops from O(n^2) to sum(block^2). Duplicate detections across tables
+    are deduped on the (small) verified result."""
+    planes_holder = {}
+
+    def explode_codes(batch: pa.Table) -> pa.Table:
+        if "planes" not in planes_holder:
+            dim = len(batch.column(vec_column)[0].as_py())
+            planes_holder["planes"] = np.random.RandomState(
+                seed
+            ).standard_normal((num_tables, num_planes, dim))
+        pls = planes_holder["planes"]
+        m = _normalize(_matrix(batch, vec_column))
+        pieces = []
+        for t in range(num_tables):
+            bits = (m @ pls[t].T > 0).astype(np.int64)
+            code = (bits * (1 << np.arange(num_planes))).sum(axis=1)
+            block = code + (t << num_planes)
+            pieces.append(
+                batch.append_column(
+                    "lsh_block", pa.array(block, pa.int64())
+                )
+            )
+        return pa.concat_tables(pieces)
+
+    coded = ds.map_batches(
+        explode_codes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    raw = embedding_near_dup_pairs(
+        coded,
+        threshold=threshold,
+        id_column=id_column,
+        vec_column=vec_column,
+        block_column="lsh_block",
+    )
+    if raw.num_rows == 0:
+        return raw
+    t = raw.group_by(["a", "b"]).aggregate([])
+    idx = pa.compute.sort_indices(
+        t, sort_keys=[("a", "ascending"), ("b", "ascending")]
+    )
+    return t.take(idx)
+
+
 def embedding_near_dup_pairs(
     ds: "ray.data.Dataset",
     *,

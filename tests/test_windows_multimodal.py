@@ -170,3 +170,54 @@ def test_frame_sample_plan():
     out = frame_sample_plan(batch, every_n=30)
     plans = out.column("sample_frames").to_pylist()
     assert plans == [[], [0], [0, 30, 60], [0, 30, 60, 90]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dups_lsh_recall():
+    """LSH-blocked near-dup pairs: subset of exact pairs, decent recall."""
+    from headson_ray.stages.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    ds = ray.data.read_parquet(
+        str(Path(SF_DIR) / "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    exact = embedding_near_dup_pairs(ds, threshold=0.4, block_column=None)
+    approx = embedding_near_dup_pairs_lsh(
+        ds, threshold=0.4, num_planes=3, num_tables=10
+    )
+    e = set(zip(exact.column("a").to_pylist(), exact.column("b").to_pylist()))
+    a = set(zip(approx.column("a").to_pylist(),
+                approx.column("b").to_pylist()))
+    assert a <= e  # blocking never invents pairs (same verify threshold)
+    if e:
+        # multi-table OR: recall ~= 1-(1-p^3)^10, measured 0.92 here
+        assert len(a) / len(e) >= 0.8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_bucketed_by_domain(tmp_path):
+    from headson_ray.pipelines.flagship import (
+        summarize_pages,
+        write_bucketed_by_domain,
+    )
+    from headson_ray.sources.pages import materialize_pages
+
+    paths = materialize_pages(400, num_shards=2, tag="bucketed")
+    ds = summarize_pages(paths, budget=120, concurrency=2)
+    out = str(tmp_path / "bucketed")
+    write_bucketed_by_domain(ds, out, num_buckets=8)
+    # hive-partitioned layout, one dir per bucket; re-read sees all rows
+    import zlib
+
+    back = ray.data.read_parquet(out)
+    assert back.count() == 400
+    dirs = {p.name for p in Path(out).iterdir() if p.is_dir()}
+    assert dirs and all(d.startswith("bucket=") for d in dirs)
+    # a bucket's files contain exactly the domains that hash there
+    some = sorted(dirs)[0]
+    b = int(some.split("=")[1])
+    t = ray.data.read_parquet(f"{out}/{some}").to_pandas()
+    assert all(zlib.crc32(d.encode()) % 8 == b for d in t["domain"])
