@@ -36,8 +36,8 @@ def test_oracle_keys_subset_of_queries():
     assert missing_oracle <= {
         "quality_scores", "lang_id", "fingerprints", "minhash_near_dups",
         "ngram_jaccard_pairs", "simhash", "summarize_documents",
-        "image_features", "ivf_topk", "summarize_pages", "sniff_pages",
-        "cep_stream_windows",
+        "image_features", "ivf_topk", "embedding_near_dups_lsh",
+        "summarize_pages", "sniff_pages", "cep_stream_windows",
     }
 
 
