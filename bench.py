@@ -133,6 +133,31 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
     return {"queries": results, "extras": extras}
 
 
+def _burn(_):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 2.0:
+        x += 1
+    return x
+
+
+def _hardware_scaling_baseline(lows: int, highs: int) -> float:
+    """Pure-CPU-bound scaling ceiling of this machine: run N busy loops
+    for a fixed wall interval at both widths and compare aggregate
+    throughput. Turbo clocking / shared memory bandwidth mean highs/lows
+    processes rarely reach the ideal highs/lows ratio — pipeline scaling
+    efficiency should be read against this ceiling (a real N -> 4N node
+    cluster adds whole machines instead of loading one machine 4x
+    harder, so it does not pay this penalty)."""
+    import multiprocessing as mp
+
+    rates = {}
+    for n in (lows, highs):
+        with mp.Pool(n) as pool:
+            rates[n] = sum(pool.map(_burn, range(n)))
+    return (rates[highs] / rates[lows]) / (highs / lows)
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         lows, highs = 8, 32
@@ -154,6 +179,7 @@ def main() -> None:
         cep_low = out[lows]["extras"]["cep_rows_per_sec"]
         cep_high = out[highs]["extras"]["cep_rows_per_sec"]
         cep_eff = (cep_high / cep_low) / (highs / lows)
+        hw_eff = _hardware_scaling_baseline(lows, highs)
         print(
             json.dumps(
                 {
@@ -173,6 +199,9 @@ def main() -> None:
                     "windows_per_sec_high": out[highs]["extras"][
                         "windows_finalized_per_sec"
                     ],
+                    "hardware_scaling_efficiency": hw_eff,
+                    "normalized_efficiency": eff / hw_eff,
+                    "cep_normalized_efficiency": cep_eff / hw_eff,
                     "sf": _sf(),
                 }
             )
