@@ -23,6 +23,7 @@ from ..stages.dedup import (
     exact_dedup,
     minhash_near_dups,
     ngram_jaccard_pairs,
+    simhash_near_dups,
     simhash_signatures,
 )
 from ..stages.similarity import (
@@ -358,6 +359,13 @@ def q_ngram_jaccard(sf_dir: str):
     (rows-only: custom hash shingles)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ngram_jaccard_pairs(ds, threshold=0.5)
+
+
+def q_simhash_near_dups(sf_dir: str):
+    """SimHash near-dup pairs via pigeonhole banding (rows-only; exactness
+    vs brute-force Hamming asserted in tests)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=3)
 
 
 def q_simhash(sf_dir: str):
@@ -1121,6 +1129,7 @@ QUERIES = {
     "minhash_near_dups": q_minhash_near_dups,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "simhash": q_simhash,
+    "simhash_near_dups": q_simhash_near_dups,
     "props_extract": q_props_extract,
     "summarize_documents": q_summarize_documents,
     "image_features": q_image_features,

@@ -408,6 +408,129 @@ def simhash_signatures(
     )
 
 
+def simhash_near_dups(
+    ds: "ray.data.Dataset",
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> "ray.data.Dataset":
+    """SimHash near-dup pairs: signatures -> band buckets -> exact
+    Hamming-distance verification.
+
+    Pigeonhole guarantee: two signatures within `max_hamming` bits differ
+    in at most max_hamming of the `num_bands` 16-bit bands, so with
+    num_bands > max_hamming they MUST agree on at least one band — the
+    band groupby finds every qualifying pair exactly (no recall loss).
+    Per-band shuffle rows are (band_key, id, sig): 24 bytes."""
+    assert num_bands > max_hamming, "need num_bands > max_hamming"
+    width = 64 // num_bands
+
+    sigs = ds.map_batches(
+        lambda b: simhash_signatures(
+            b, id_column=id_column, text_column=text_column
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        ids = b.column(id_column).to_pylist()
+        hs = b.column("simhash").to_pylist()
+        out_key, out_id, out_sig = [], [], []
+        mask = (1 << width) - 1
+        for i, h in zip(ids, hs):
+            u = h & 0xFFFFFFFFFFFFFFFF
+            for band in range(num_bands):
+                chunk = (u >> (band * width)) & mask
+                out_key.append((band << width) | chunk)
+                out_id.append(i)
+                out_sig.append(h)
+        return pa.table(
+            {
+                "band_key": pa.array(out_key, pa.int64()),
+                id_column: pa.array(out_id, pa.int64()),
+                "simhash": pa.array(out_sig, pa.int64()),
+            }
+        )
+
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
+    banded = banded.map_batches(
+        lambda b: b.append_column(
+            "bucket",
+            pa.compute.bit_wise_and(
+                b.column("band_key"), NUM_COARSE_BUCKETS - 1
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            group,
+            sort_keys=[("band_key", "ascending"), (id_column, "ascending")],
+        )
+        t = group.take(idx)
+        keys = t.column("band_key").to_pylist()
+        ids = t.column(id_column).to_pylist()
+        hs = t.column("simhash").to_pylist()
+        out_a, out_b, out_d = [], [], []
+        i, n = 0, len(keys)
+        while i < n:
+            j = i + 1
+            while j < n and keys[j] == keys[i]:
+                j += 1
+            seen_run = sorted({(ids[x], hs[x]) for x in range(i, j)})
+            for x in range(len(seen_run)):
+                for y in range(x + 1, len(seen_run)):
+                    ia, ha = seen_run[x]
+                    ib, hb = seen_run[y]
+                    if ia == ib:
+                        continue
+                    d = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
+                    if d <= max_hamming:
+                        out_a.append(ia)
+                        out_b.append(ib)
+                        out_d.append(d)
+            i = j
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "hamming": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    raw = banded.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )
+    tables = list(raw.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    t = (
+        pa.concat_tables(tables)
+        if tables
+        else pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    )
+    if t.num_rows:
+        t = (
+            t.group_by(["a", "b"])
+            .aggregate([("hamming", "min")])
+            .rename_columns(["a", "b", "hamming"])
+        )
+        t = t.take(
+            pa.compute.sort_indices(
+                t, sort_keys=[("a", "ascending"), ("b", "ascending")]
+            )
+        )
+    return ray.data.from_arrow(t)
+
+
 def exact_dedup(
     ds: "ray.data.Dataset",
     *,

@@ -35,7 +35,8 @@ def test_oracle_keys_subset_of_queries():
     # every non-oracled entry is a genuinely non-SQL-expressible op
     assert missing_oracle <= {
         "quality_scores", "lang_id", "fingerprints", "minhash_near_dups",
-        "ngram_jaccard_pairs", "simhash", "summarize_documents",
+        "ngram_jaccard_pairs", "simhash", "simhash_near_dups",
+        "summarize_documents",
         "image_features", "ivf_topk", "embedding_near_dups_lsh",
         "summarize_pages", "sniff_pages", "cep_stream_windows",
     }

@@ -112,3 +112,32 @@ def test_ngram_jaccard_pairs_exact_vs_brute_force():
     got = _to_frame(QUERIES["ngram_jaccard_pairs"](SF_DIR))
     got_pairs = set(zip(got["a"], got["b"]))
     assert got_pairs == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_near_dups_exact_vs_brute_force():
+    """Pigeonhole banding must find EXACTLY the pairs within max_hamming
+    bits (no recall loss, no false pairs)."""
+    import pyarrow.parquet as pq
+
+    from headson_ray.stages.dedup import simhash_near_dups, simhash_signatures
+    import ray.data
+
+    docs = pq.read_table(
+        Path(SF_DIR) / "documents.parquet", columns=["doc_id", "text"]
+    )
+    sigs = simhash_signatures(docs)
+    ids = sigs.column("doc_id").to_pylist()
+    hs = sigs.column("simhash").to_pylist()
+    expected = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d = bin((hs[x] ^ hs[y]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if d <= 3:
+                a, b = sorted((ids[x], ids[y]))
+                expected.add((a, b))
+    got = simhash_near_dups(
+        ray.data.from_arrow(docs), max_hamming=3
+    ).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    assert got_pairs == expected
