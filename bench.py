@@ -98,7 +98,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         eng = CepEngine(
             out_dir=f"{work}/out",
             checkpoint_dir=f"{work}/ckpt",
-            num_state_actors=max(2, num_cpus // 8),
+            num_state_actors=max(2, num_cpus // 4),
             window_size_s=600,
             allowed_lateness_s=60,
             # realistic end-to-end stream: summarize every page (exactly-
