@@ -58,3 +58,35 @@ def test_missing_file_is_error():
     rc, out, err = run_cli(["-n", "100", "/nonexistent/x.json"])
     assert rc == 1
     assert err.startswith("Error:")
+
+
+def test_compact_single_line():
+    rc, out, _ = run_cli(["-n", "500", "-f", "json", "-m"],
+                         b'{"a": [1, 2], "b": {"c": 3}}')
+    assert rc == 0
+    assert out.rstrip("\n") == '{"a":[1,2],"b":{"c":3}}'
+    assert "\n" not in out.rstrip("\n")
+
+
+def test_no_newline_keeps_spaces():
+    rc, out, _ = run_cli(["-n", "500", "-f", "json", "--no-newline"],
+                         b'{"a": [1, 2]}')
+    assert rc == 0
+    body = out.rstrip("\n")
+    assert "\n" not in body
+    assert '"a": ' in body  # space after colon retained
+
+
+def test_no_space_keeps_newlines():
+    rc, out, _ = run_cli(["-n", "500", "-f", "json", "--no-space"],
+                         b'{"a": 1}')
+    assert rc == 0
+    assert '"a":1' in out
+    assert "\n" in out.rstrip("\n")
+
+
+def test_custom_indent():
+    rc, out, _ = run_cli(["-n", "500", "-f", "json", "--indent", "    "],
+                         b'{"a": 1}')
+    assert rc == 0
+    assert '\n    "a": 1' in out
