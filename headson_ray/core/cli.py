@@ -233,7 +233,11 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 with open(path, "rb") as fh:
                     first = fh.read(64 * 1024)
-                    if b"\x00" in first:
+                    # content_inspector only inspects the first 1024 bytes
+                    # of the probe chunk (reference src/main.rs:313-346 via
+                    # content_inspector::inspect); a NUL later in the file
+                    # does NOT make it binary.
+                    if b"\x00" in first[:1024]:
                         print(
                             f"Ignored binary file: {path}", file=sys.stderr
                         )

@@ -314,6 +314,9 @@ class CepEngine:
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=1024,
+            # cap concurrent summarize TASKS (this is a task pool, not an
+            # actor pool): leaves headroom for the router/read stages
+            concurrency=self.summarizer_concurrency,
         )
 
     def run(

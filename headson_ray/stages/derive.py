@@ -26,7 +26,7 @@ def add_domain(batch: pa.Table, url_column: str = "url") -> pa.Table:
 
 
 def add_binary_sniff(
-    batch: pa.Table, html_column: str = "html", sniff_bytes: int = 65536
+    batch: pa.Table, html_column: str = "html", sniff_bytes: int = 1024
 ) -> pa.Table:
     """Append `skipped` = payload-looks-binary (NUL in the first chunk)."""
     col = batch.column(html_column)

@@ -54,6 +54,18 @@ def test_binary_file_skipped_with_notice(tmp_path):
     assert "1" in out
 
 
+def test_nul_after_1024_bytes_is_not_binary(tmp_path):
+    # content_inspector semantics: only the first 1024 bytes are sniffed
+    # (reference src/main.rs:313-346); a NUL later in the file must NOT
+    # trigger the binary skip.
+    f = tmp_path / "late-nul.txt"
+    f.write_bytes(b"a" * 2000 + b"\x00" + b"b" * 10)
+    rc, out, err = run_cli(["-n", "100", str(f)])
+    assert rc == 0
+    assert "Ignored binary file" not in err
+    assert "aaa" in out
+
+
 def test_missing_file_is_error():
     rc, out, err = run_cli(["-n", "100", "/nonexistent/x.json"])
     assert rc == 1
