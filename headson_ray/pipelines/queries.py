@@ -319,17 +319,47 @@ FROM t
 
 
 def q_quality_scores(sf_dir: str):
-    """Quality scoring (rows-only: float score column)."""
+    """Quality scoring; the float score is emitted as integer ppm
+    (round-half-away of score*1e6) so the DuckDB oracle value-hashes
+    exactly (both sides compute the same IEEE double first)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(
-        lambda b: add_quality_score(b).select(["doc_id", "quality_score"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+
+    def shape(b: pa.Table) -> pa.Table:
+        b = add_quality_score(b)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "quality_ppm": _cents(b.column("quality_score"), 1_000_000.0),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+SQL_QUALITY_SCORES = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), n AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_filter(toks, x -> x IN ({_SW_LIST}))) AS DOUBLE) AS sw
+  FROM t
+)
+SELECT doc_id,
+       CAST(round((LEAST(n / 100.0, 1.0) * 0.5 +
+                   LEAST((sw / GREATEST(n, 1.0)) / 0.05, 1.0) * 0.5)
+                  * 1000000) AS BIGINT) AS quality_ppm
+FROM n
+"""
 
 
 def q_lang_id(sf_dir: str):
-    """Language-ID heuristic (rows-only; synthetic text is English-like)."""
+    """Language-ID heuristic via deterministic marker counting; oracle
+    reproduces the count (non-overlapping, left-to-right — identical to
+    str.count / replace()) and the first-wins argmax in SQL."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         lambda b: add_lang_id(b).select(["doc_id", "lang_pred"]),
@@ -338,14 +368,139 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def _lang_id_sql() -> str:
+    from ..stages.textstats import _LANG_MARKERS
+
+    def count_expr(m: str) -> str:
+        esc = m.replace("'", "''")
+        return (
+            f"((length(s) - length(replace(s, '{esc}', ''))) // {len(m)})"
+        )
+
+    score_cols = ",\n         ".join(
+        f"{' + '.join(count_expr(m) for m in markers)} AS s_{lang}"
+        for lang, markers in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)
+    greatest = f"GREATEST({', '.join('s_' + lg for lg in langs)})"
+    # first-wins tie-break: python iterates dict order with strict >
+    whens = "\n       ".join(
+        f"WHEN s_{lg} = {greatest} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR text = '' THEN ''
+              ELSE ' ' || text || ' ' END AS s
+  FROM documents
+), sc AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN {greatest} <= 0 THEN 'und'
+       {whens}
+       END AS lang_pred
+FROM sc
+"""
+
+
+SQL_LANG_ID = _lang_id_sql()
+
+
 def q_fingerprints(sf_dir: str):
-    """Rolling-hash document fingerprints (rows-only: custom hash)."""
+    """Rolling-hash document fingerprints: XOR of Horner-mod-2^64 window
+    hashes (vectorized; oracle reproduces with HUGEINT arithmetic)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         lambda b: add_fingerprint(b).select(["doc_id", "doc_fp"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+_M64 = "18446744073709551616::HUGEINT"
+SQL_FINGERPRINTS = f"""
+WITH c AS (
+  SELECT doc_id, string_split(text, '') AS cs FROM documents
+), h AS (
+  SELECT doc_id,
+    CASE WHEN len(cs) < 8 THEN [] ELSE
+      [CAST(
+         CASE WHEN hu >= 9223372036854775808::HUGEINT
+              THEN hu - {_M64} ELSE hu END AS BIGINT)
+       FOR hu IN [
+         list_reduce(
+           list_prepend(CAST(0 AS HUGEINT),
+             [CAST(ord(cs[i + k]) AS HUGEINT) for k in range(0, 8)]),
+           (a, x) -> (a * 1000003 + x) % {_M64})
+         for i in range(1, len(cs) - 6)]]
+    END AS hs
+  FROM c
+)
+SELECT doc_id,
+       CASE WHEN len(hs) = 0 THEN 0
+            ELSE list_reduce(hs, (a, b) -> xor(a, b)) END AS doc_fp
+FROM h
+"""
+
+
+def _simhash_sig_sql() -> str:
+    """Shared CTE computing per-doc simhash in SQL: the same codepoint
+    Horner + two bijective mix rounds as stages/hashing.py, bit expansion
+    via a 64-row powers table, per-(doc, bit) +-1 sums."""
+    pw_rows = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+
+    def mixr(v: str) -> str:
+        return (
+            f"(((({v}) // 4294967296::HUGEINT) * 4294967296::HUGEINT + "
+            f"(({v}) + 2654435769::HUGEINT * (({v}) // 4294967296::HUGEINT))"
+            f" % 4294967296::HUGEINT) * 2654435761::HUGEINT) % {_M64}"
+        )
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), h0 AS (
+  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      [CAST(ord(ch) AS HUGEINT) for ch in string_split(tok, '')]),
+      (a, x) -> (a * 1000003 + x) % {_M64}) AS v
+  FROM toks
+), m1 AS (SELECT doc_id, {mixr('v')} AS v FROM h0),
+m2 AS (SELECT doc_id, {mixr('v')} AS v FROM m1),
+bits AS (
+  SELECT doc_id, p.b,
+         CASE WHEN (v // p.pw) % 2 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM m2, (VALUES {pw_rows}) AS p(b, pw)
+), acc AS (
+  SELECT doc_id, b, sum(contrib) AS s FROM bits GROUP BY doc_id, b
+), sig0 AS (
+  SELECT acc.doc_id,
+         sum(CASE WHEN s > 0 THEN p.pw ELSE 0::HUGEINT END) AS u
+  FROM acc JOIN (VALUES {pw_rows}) AS p(b, pw) USING (b)
+  GROUP BY acc.doc_id
+), sig AS (
+  SELECT d.doc_id,
+         COALESCE(CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                            THEN u - {_M64} ELSE u END AS BIGINT), 0)
+           AS simhash
+  FROM documents d LEFT JOIN sig0 ON d.doc_id = sig0.doc_id
+)
+"""
+
+
+SQL_SIMHASH = _simhash_sig_sql() + "SELECT doc_id, simhash FROM sig"
+
+SQL_SIMHASH_NEAR_DUPS = _simhash_sig_sql() + """
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def q_minhash_near_dups(sf_dir: str):
@@ -355,10 +510,36 @@ def q_minhash_near_dups(sf_dir: str):
 
 
 def q_ngram_jaccard(sf_dir: str):
-    """Exact n-gram Jaccard near-dup pairs via distributed inverted index
-    (rows-only: custom hash shingles)."""
+    """Exact word-3-gram Jaccard near-dup pairs via distributed inverted
+    index with prefix filtering; jaccard emitted as integer ppm
+    (inter*1e6 // union) so the DuckDB oracle matches bit-for-bit."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ngram_jaccard_pairs(ds, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD_PAIRS = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN []
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)])
+         END AS sh
+  FROM d
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       (len(list_intersect(a.sh, b.sh)) * 1000000)
+         // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         AS jaccard_ppm
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(a.sh) + len(b.sh) > 0
+  AND (len(list_intersect(a.sh, b.sh)) * 1000000)
+      >= 500000 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+"""
 
 
 def q_simhash_near_dups(sf_dir: str):
@@ -1176,4 +1357,10 @@ ORACLE_SQL = {
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "lang_id": SQL_LANG_ID,
+    "fingerprints": SQL_FINGERPRINTS,
+    "simhash": SQL_SIMHASH,
+    "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
 }

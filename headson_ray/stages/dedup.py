@@ -5,14 +5,24 @@ Scale design notes (100 TB):
   (key, id) pairs only — project before shuffling!) + per-group min-id.
 - MinHash: signatures computed batch-local (vectorized numpy); LSH bands
   become (band_hash) keys whose groupby only shuffles (band_hash, doc_id);
-  candidate verification re-reads only candidate docs' shingle sets.
+  candidate verification re-reads ONLY candidate docs' shingle sets (the
+  corpus is semi-join-filtered to candidate ids before anything is
+  collected, so driver memory is O(candidates), never O(corpus)).
+- n-gram Jaccard: EXACT pairs via a distributed inverted index with
+  global-frequency prefix filtering (PPJoin-style) — no posting list is
+  silently dropped, so boilerplate clusters are found in full.
 - SimHash: 64-bit signature per doc; near-dup = signatures equal on all
-  but <= k bits, found via banding on 4 x 16-bit chunks.
+  but <= k bits, found via banding on 4 x 16-bit chunks (pigeonhole, no
+  recall loss).
+
+All string hashing is the vectorized 64-bit polynomial family in
+stages/hashing.py (true 64-bit entropy; the two-seeded-crc32 scheme it
+replaces had only ~32 bits for same-length inputs).
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -20,32 +30,50 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Min
 
+from .hashing import hash_strings, hash_u64_rows
+
 _MERSENNE = (1 << 61) - 1
 
 
 def _stable_hash_bytes(data: bytes, seed: int = 0) -> int:
-    """Process-stable 64-bit hash (python hash() is per-process salted).
-    Two salted crc32 calls (C speed) — the per-byte python FNV loop this
-    replaced cost seconds per 1k documents."""
-    lo = zlib.crc32(data, seed & 0xFFFFFFFF)
-    hi = zlib.crc32(data, (seed ^ 0x9E3779B9) & 0xFFFFFFFF ^ 0x5BD1E995)
-    return (hi << 32) | lo
+    """Process-stable 64-bit hash of a byte payload (python hash() is
+    per-process salted). blake2b is a genuine 64-bit PRF at C speed —
+    collision probability ~n^2/2^65 for n distinct inputs."""
+    if seed:
+        h = hashlib.blake2b(
+            data, digest_size=8, salt=seed.to_bytes(8, "little")
+        )
+    else:
+        h = hashlib.blake2b(data, digest_size=8)
+    return int.from_bytes(h.digest(), "little")
+
+
+def word_shingle_array(text: str, k: int = 3) -> np.ndarray:
+    """Sorted unique uint64 hashes of the word k-shingles of `text`.
+
+    Vectorized: hash every token in one pass, then combine each k-run of
+    token hashes with a second (seeded-Horner + mix) pass. Texts shorter
+    than k words contribute one shingle over all their tokens."""
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = hash_strings(toks)
+    if len(toks) < k:
+        win = th[None, :]
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(th, k)
+    return np.unique(hash_u64_rows(win))
 
 
 def word_shingles(text: str, k: int = 3) -> set[int]:
-    toks = text.split()
-    if len(toks) < k:
-        return {_stable_hash_bytes(" ".join(toks).encode())} if toks else set()
-    return {
-        _stable_hash_bytes(" ".join(toks[i : i + k]).encode())
-        for i in range(len(toks) - k + 1)
-    }
+    """Set-of-ints view of word_shingle_array (python set ops)."""
+    return set(map(int, word_shingle_array(text, k)))
 
 
 class MinHasher:
     """Vectorized MinHash signatures: sig[j] = min over shingles s of
-    (a_j * s + b_j) mod p. Permutation params derived from a fixed seed in
-    __init__ (once per actor)."""
+    mix_j(s). Permutation params derived from a fixed seed in __init__
+    (once per actor)."""
 
     def __init__(self, num_perm: int = 64, seed: int = 42):
         rng = np.random.RandomState(seed)
@@ -53,10 +81,10 @@ class MinHasher:
         self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
 
-    def signature(self, shingles: set[int]) -> np.ndarray:
-        if not shingles:
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if shingles.size == 0:
             return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        s = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+        s = np.asarray(shingles, dtype=np.uint64)
         # splitmix-style hash-mix per permutation (equivalent quality to
         # affine mod-p permutations), one vectorized (num_perm, n) pass
         h = (s[None, :] ^ self.a[:, None]) * np.uint64(0xBF58476D1CE4E5B9)
@@ -77,7 +105,7 @@ def minhash_signatures(
     ids = batch.column(id_column).to_pylist()
     sigs = []
     for t in batch.column(text_column).to_pylist():
-        sigs.append(hasher.signature(word_shingles(t or "", shingle_k)))
+        sigs.append(hasher.signature(word_shingle_array(t or "", shingle_k)))
     return pa.table(
         {
             id_column: pa.array(ids),
@@ -96,24 +124,34 @@ def lsh_band_rows(
     id_column: str = "doc_id",
 ) -> pa.Table:
     """Explode signatures into (band_hash, doc_id) rows for the bucket
-    groupby. rows_out = bands * rows_in, but each row is 16 bytes."""
-    ids = sig_table.column(id_column).to_pylist()
+    groupby. rows_out = bands * rows_in, but each row is 16 bytes.
+    Band hashing is one vectorized pass per band (hash_u64_rows)."""
+    ids = sig_table.column(id_column)
     sigs = sig_table.column("sig").to_pylist()
-    out_hash = []
-    out_id = []
-    for i, sig in enumerate(sigs):
-        r = len(sig) // bands
-        for b in range(bands):
-            chunk = sig[b * r : (b + 1) * r]
-            h = _stable_hash_bytes(
-                np.array(chunk, dtype=np.int64).tobytes(), seed=b + 1
-            )
-            out_hash.append(h & 0x7FFFFFFFFFFFFFFF)
-            out_id.append(ids[i])
+    n = len(sigs)
+    if n == 0:
+        return pa.table(
+            {
+                "band_hash": pa.array([], pa.int64()),
+                id_column: pa.array([], ids.type),
+            }
+        )
+    sig_mat = np.asarray(sigs, dtype=np.int64).astype(np.uint64)
+    r = sig_mat.shape[1] // bands
+    hashes = np.empty((bands, n), dtype=np.uint64)
+    for b in range(bands):
+        hashes[b] = hash_u64_rows(
+            sig_mat[:, b * r : (b + 1) * r], seed=b + 1
+        )
+    out_hash = (hashes.reshape(-1).astype(np.int64)) & 0x7FFFFFFFFFFFFFFF
+    out_id = pa.concat_arrays(
+        [ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids]
+        * bands
+    )
     return pa.table(
         {
             "band_hash": pa.array(out_hash, pa.int64()),
-            id_column: pa.array(out_id),
+            id_column: out_id,
         }
     )
 
@@ -141,8 +179,9 @@ def pairs_from_key_runs(
     A groupby on the raw key would create one tiny python group per key
     (hundreds of thousands of map_groups calls); instead the shuffle key
     is `key % NUM_COARSE_BUCKETS` and this single pass sorts the bucket by
-    key and emits pairs per run. Runs longer than run_cap are skipped
-    (prefix-filtering: an ultra-common key carries no dedup signal)."""
+    key and emits pairs per run. run_cap (None = unlimited) is a safety
+    valve for callers that tolerate recall loss; the exact n-gram path
+    passes None and bounds run length via prefix filtering instead."""
     idx = pa.compute.sort_indices(
         group, sort_keys=[(key_column, "ascending"), (id_column, "ascending")]
     )
@@ -170,7 +209,9 @@ def pairs_from_key_runs(
 NUM_COARSE_BUCKETS = 256
 
 
-def _dedup_verified_pairs(verified: "ray.data.Dataset") -> "ray.data.Dataset":
+def _dedup_verified_pairs(
+    verified: "ray.data.Dataset", value_column: str = "jaccard"
+) -> "ray.data.Dataset":
     """Candidate pairs reach verification WITH duplicates (a pair appears
     once per shared bucket key): a distributed groupby on 1M+ composite
     keys costs ~10x the whole verification, so duplicates are verified
@@ -186,15 +227,15 @@ def _dedup_verified_pairs(verified: "ray.data.Dataset") -> "ray.data.Dataset":
             {
                 "a": pa.array([], pa.int64()),
                 "b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
+                value_column: pa.array([], pa.float64()),
             }
         )
     )
     if t.num_rows:
         t = (
             t.group_by(["a", "b"])
-            .aggregate([("jaccard", "min")])
-            .rename_columns(["a", "b", "jaccard"])
+            .aggregate([(value_column, "min")])
+            .rename_columns(["a", "b", value_column])
         )
         t = t.take(
             pa.compute.sort_indices(
@@ -202,6 +243,51 @@ def _dedup_verified_pairs(verified: "ray.data.Dataset") -> "ray.data.Dataset":
             )
         )
     return ray.data.from_arrow(t)
+
+
+def candidate_shingle_map(
+    ds: "ray.data.Dataset",
+    cand_ids: np.ndarray,
+    *,
+    id_column: str,
+    text_column: str,
+    shingle_k: int,
+) -> dict[int, np.ndarray]:
+    """Shingle sets for ONLY the candidate ids: the corpus is semi-join
+    filtered (vectorized np.isin against the broadcast sorted id array)
+    before any row reaches the driver, so driver memory and the broadcast
+    payload are O(candidates), not O(corpus)."""
+    import ray as _ray
+
+    ids_ref = _ray.put(np.sort(np.asarray(cand_ids, dtype=np.int64)))
+
+    def semi_join(batch: pa.Table) -> pa.Table:
+        wanted = _ray.get(ids_ref)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, wanted, assume_unique=False)
+        return batch.filter(pa.array(mask)).select([id_column, text_column])
+
+    filtered = ds.map_batches(
+        semi_join, batch_format="pyarrow", zero_copy_batch=True
+    )
+    shingle_map: dict[int, np.ndarray] = {}
+    for batch in filtered.iter_batches(batch_format="pyarrow", batch_size=8192):
+        for i, t in zip(
+            batch.column(id_column).to_pylist(),
+            batch.column(text_column).to_pylist(),
+        ):
+            shingle_map[i] = word_shingle_array(t or "", shingle_k)
+    return shingle_map
+
+
+def _collect_candidate_ids(pairs: "ray.data.Dataset") -> np.ndarray:
+    cols = []
+    for batch in pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        cols.append(batch.column("a").to_numpy(zero_copy_only=False))
+        cols.append(batch.column("b").to_numpy(zero_copy_only=False))
+    if not cols:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(cols))
 
 
 def _verify_pairs_parallel(
@@ -212,43 +298,54 @@ def _verify_pairs_parallel(
     text_column: str,
     shingle_k: int,
     threshold: float,
+    emit_ppm: bool = False,
 ) -> "ray.data.Dataset":
-    """Exact-Jaccard verification of candidate pairs, distributed: the
-    shingle sets are broadcast once via ray.put and every pairs batch
-    verifies in parallel (the driver never loops over pairs)."""
+    """Exact-Jaccard verification of candidate pairs, distributed.
+
+    Only the CANDIDATE docs' shingle sets are built and broadcast (via a
+    semi-join filter of the corpus against the candidate id set); every
+    pairs batch then verifies in parallel. With emit_ppm the jaccard is
+    emitted as integer parts-per-million computed in exact int arithmetic
+    (inter * 1_000_000 // union) so the DuckDB oracle matches bit-for-bit.
+    """
     import ray as _ray
 
-    shingle_map: dict = {}
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-        for i, t in zip(
-            batch.column(id_column).to_pylist(),
-            batch.column(text_column).to_pylist(),
-        ):
-            shingle_map[i] = frozenset(word_shingles(t or "", shingle_k))
+    # pairs is consumed twice (id collection + verification); it is the
+    # small candidate set, so materializing it is O(candidates).
+    pairs = pairs.materialize()
+    cand_ids = _collect_candidate_ids(pairs)
+    shingle_map = candidate_shingle_map(
+        ds, cand_ids, id_column=id_column, text_column=text_column,
+        shingle_k=shingle_k,
+    )
     sm_ref = _ray.put(shingle_map)
+    thr_ppm = int(round(threshold * 1_000_000))
 
     def verify(b: pa.Table) -> pa.Table:
         sm = _ray.get(sm_ref)
         avals = b.column("a").to_pylist()
         bvals = b.column("b").to_pylist()
+        empty = np.empty(0, dtype=np.uint64)
         out_a, out_b, out_j = [], [], []
         for x, y in zip(avals, bvals):
-            s1 = sm.get(x, frozenset())
-            s2 = sm.get(y, frozenset())
-            if not s1 and not s2:
-                j = 1.0
-            else:
-                inter = len(s1 & s2)
-                j = inter / (len(s1) + len(s2) - inter)
-            if j >= threshold:
+            s1 = sm.get(x, empty)
+            s2 = sm.get(y, empty)
+            inter = len(np.intersect1d(s1, s2, assume_unique=True))
+            union = len(s1) + len(s2) - inter
+            ppm = 1_000_000 if union == 0 else inter * 1_000_000 // union
+            if ppm >= thr_ppm:
                 out_a.append(x)
                 out_b.append(y)
-                out_j.append(j)
+                out_j.append(ppm if emit_ppm else inter / union)
         return pa.table(
             {
                 "a": pa.array(out_a, pa.int64()),
                 "b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
+                (
+                    "jaccard_ppm" if emit_ppm else "jaccard"
+                ): pa.array(
+                    out_j, pa.int64() if emit_ppm else pa.float64()
+                ),
             }
         )
 
@@ -276,11 +373,8 @@ def minhash_near_dups(
     threshold: float = 0.7,
 ) -> "ray.data.Dataset":
     """Full MinHash+LSH near-dup pipeline: signatures -> band buckets ->
-    candidate pairs -> exact-Jaccard verification (broadcast shingle sets).
-
-    Verification broadcasts candidate docs' shingle sets via ray.put —
-    candidates are a tiny fraction of the corpus. Returns (a, b, jaccard)
-    pairs with jaccard >= threshold.
+    candidate pairs -> exact-Jaccard verification over candidate-only
+    shingle sets. Returns (a, b, jaccard) pairs with jaccard >= threshold.
     """
     hasher = MinHasher(num_perm)
     sigs = ds.map_batches(
@@ -317,6 +411,111 @@ def minhash_near_dups(
     return _dedup_verified_pairs(verified)
 
 
+def _postings(
+    ds: "ray.data.Dataset", id_column: str, text_column: str, shingle_k: int
+) -> "ray.data.Dataset":
+    """(shingle, doc_id) posting rows, bucketed by shingle hash."""
+
+    def postings(b: pa.Table) -> pa.Table:
+        ids_np = b.column(id_column).to_numpy(zero_copy_only=False)
+        id_chunks, sh_chunks = [], []
+        for i, t in zip(ids_np, b.column(text_column).to_pylist()):
+            sh = word_shingle_array(t or "", shingle_k)
+            sh_chunks.append(sh)
+            id_chunks.append(np.full(sh.shape[0], i, dtype=np.int64))
+        hs = (
+            np.concatenate(sh_chunks).astype(np.int64)
+            if sh_chunks
+            else np.empty(0, dtype=np.int64)
+        ) & 0x7FFFFFFFFFFFFFFF
+        ids = (
+            np.concatenate(id_chunks)
+            if id_chunks
+            else np.empty(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "shingle": pa.array(hs, pa.int64()),
+                id_column: pa.array(ids, pa.int64()),
+                "bucket": pa.array(hs & (NUM_COARSE_BUCKETS - 1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _attach_doc_freq(group: pa.Table, id_column: str) -> pa.Table:
+    """Within one shingle bucket: attach each posting's GLOBAL document
+    frequency (every occurrence of a shingle lands in this one bucket, so
+    the run length IS the global df). Vectorized run detection."""
+    idx = pa.compute.sort_indices(group, sort_keys=[("shingle", "ascending")])
+    t = group.take(idx)
+    sh = t.column("shingle").to_numpy(zero_copy_only=False)
+    n = sh.shape[0]
+    if n == 0:
+        return pa.table(
+            {
+                id_column: pa.array([], pa.int64()),
+                "shingle": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            }
+        )
+    starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+    lengths = np.diff(np.r_[starts, n])
+    df = np.repeat(lengths, lengths)
+    return pa.table(
+        {
+            id_column: t.column(id_column),
+            "shingle": t.column("shingle"),
+            "df": pa.array(df, pa.int64()),
+        }
+    )
+
+
+def _prefix_postings(
+    group: pa.Table, id_column: str, threshold: float
+) -> pa.Table:
+    """Within one doc bucket: keep each doc's PREFIX postings under the
+    global (df, shingle) order. For Jaccard threshold t a qualifying pair
+    must share a shingle within the first |S| - ceil(t*|S|) + 1 shingles
+    of BOTH docs (standard prefix-filter bound), so pairing only prefix
+    postings loses nothing. Vectorized per-run trimming."""
+    idx = pa.compute.sort_indices(
+        group,
+        sort_keys=[
+            (id_column, "ascending"),
+            ("df", "ascending"),
+            ("shingle", "ascending"),
+        ],
+    )
+    t = group.take(idx)
+    ids = t.column(id_column).to_numpy(zero_copy_only=False)
+    n = ids.shape[0]
+    if n == 0:
+        return pa.table(
+            {
+                "shingle": pa.array([], pa.int64()),
+                id_column: pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+            }
+        )
+    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    lengths = np.diff(np.r_[starts, n])
+    # prefix size per doc: |S| - ceil(t*|S|) + 1
+    prefix = lengths - np.ceil(threshold * lengths).astype(np.int64) + 1
+    pos_in_run = np.arange(n) - np.repeat(starts, lengths)
+    keep = pos_in_run < np.repeat(prefix, lengths)
+    kept = t.filter(pa.array(keep))
+    sh = kept.column("shingle").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "shingle": kept.column("shingle"),
+            id_column: kept.column(id_column),
+            "bucket": pa.array(sh & (NUM_COARSE_BUCKETS - 1), pa.int64()),
+        }
+    )
+
+
 def ngram_jaccard_pairs(
     ds: "ray.data.Dataset",
     *,
@@ -324,87 +523,101 @@ def ngram_jaccard_pairs(
     text_column: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
-    bucket_cap: int = 64,
 ) -> "ray.data.Dataset":
-    """Exact word-n-gram Jaccard near-dup pairs via a distributed inverted
-    index (no MinHash approximation):
+    """EXACT word-n-gram Jaccard near-dup pairs via a distributed inverted
+    index with global-frequency prefix filtering (PPJoin-style):
 
-    1. flat-map each doc to (shingle_hash, doc_id) rows;
-    2. groupby shingle -> candidate pairs per posting list (lists longer
-       than `bucket_cap` are skipped: a shingle shared by that many docs
-       carries no dedup signal, standard prefix-filtering practice — at
-       threshold t, a qualifying pair shares >= t/(1+t) of its shingles,
-       so rare shingles always surface it);
-    3. dedup pairs, verify exact Jaccard with broadcast shingle sets.
+    1. flat-map each doc to (shingle_hash, doc_id) posting rows;
+    2. groupby shingle-bucket -> attach global document frequency (a
+       shingle's postings all land in one bucket, so run length = df);
+    3. groupby doc-bucket -> keep each doc's prefix under the global
+       (df, shingle) order: |S| - ceil(t*|S|) + 1 postings. Any pair with
+       J >= t shares a prefix shingle on both sides, so no pair is lost —
+       unlike a posting-run cap, boilerplate clusters (the primary dedup
+       target) are found in full (their output is inherently O(cluster²));
+    4. groupby shingle-bucket -> candidate pairs per run (NO cap);
+    5. exact-Jaccard verification over candidate-only shingle sets,
+       emitted as integer jaccard_ppm (= inter*1e6 // union) so the
+       DuckDB oracle can reproduce values exactly.
+
+    Three narrow shuffles of (int64, int64[, int64]) rows; the wide text
+    column never shuffles.
     """
-
-    def postings(b: pa.Table) -> pa.Table:
-        ids, hs = [], []
-        for i, t in zip(
-            b.column(id_column).to_pylist(), b.column(text_column).to_pylist()
-        ):
-            for h in word_shingles(t or "", shingle_k):
-                ids.append(i)
-                hs.append(h & 0x7FFFFFFFFFFFFFFF)  # fit int64
-        return pa.table(
-            {
-                "shingle": pa.array(hs, pa.int64()),
-                id_column: pa.array(ids, pa.int64()),
-            }
-        )
-
-    posts = ds.map_batches(
-        postings, batch_format="pyarrow", zero_copy_batch=True
+    posts = _postings(ds, id_column, text_column, shingle_k)
+    with_df = posts.groupby("bucket").map_groups(
+        lambda g: _attach_doc_freq(g, id_column), batch_format="pyarrow"
     )
-
-    posts = posts.map_batches(
+    with_df = with_df.map_batches(
         lambda b: b.append_column(
-            "bucket",
+            "doc_bucket",
             pa.compute.bit_wise_and(
-                b.column("shingle"), NUM_COARSE_BUCKETS - 1
+                b.column(id_column), NUM_COARSE_BUCKETS - 1
             ),
         ),
         batch_format="pyarrow",
     )
-    pairs = posts.groupby("bucket").map_groups(
+    prefixes = with_df.groupby("doc_bucket").map_groups(
+        lambda g: _prefix_postings(g, id_column, threshold),
+        batch_format="pyarrow",
+    )
+    pairs = prefixes.groupby("bucket").map_groups(
         lambda g: pairs_from_key_runs(
-            g,
-            key_column="shingle",
-            id_column=id_column,
-            run_cap=bucket_cap,
+            g, key_column="shingle", id_column=id_column
         ),
         batch_format="pyarrow",
     )
     verified = _verify_pairs_parallel(
         ds, pairs, id_column=id_column, text_column=text_column,
-        shingle_k=shingle_k, threshold=threshold,
+        shingle_k=shingle_k, threshold=threshold, emit_ppm=True,
     )
-    return _dedup_verified_pairs(verified)
+    return _dedup_verified_pairs(verified, value_column="jaccard_ppm")
 
 
 def simhash_signatures(
     batch: pa.Table, *, id_column: str = "doc_id", text_column: str = "text"
 ) -> pa.Table:
-    """64-bit SimHash over whitespace tokens (weight 1 each)."""
-    ids = batch.column(id_column).to_pylist()
-    out = []
-    for t in batch.column(text_column).to_pylist():
-        toks = (t or "").split()
-        if not toks:
-            out.append(0)
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in toks:
-            h = _stable_hash_bytes(tok.encode())
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        sig = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                sig |= 1 << bit
-        out.append(sig - (1 << 63) if sig >= (1 << 63) else sig)
+    """64-bit SimHash over whitespace tokens (weight 1 each).
+
+    Fully vectorized: all tokens of the batch hash in one pass
+    (stages/hashing.py polynomial hash — SQL-expressible, so the DuckDB
+    oracle recomputes identical signatures), bits expand to a (tokens, 64)
+    +-1 matrix, and per-doc sums use one np.add.reduceat."""
+    ids = batch.column(id_column)
+    texts = batch.column(text_column).to_pylist()
+    tok_lists = [(t or "").split() for t in texts]
+    counts = np.fromiter(map(len, tok_lists), dtype=np.int64, count=len(tok_lists))
+    all_toks: list[str] = [tok for toks in tok_lists for tok in toks]
+    n_docs = len(tok_lists)
+    if not all_toks:
+        return pa.table(
+            {id_column: ids, "simhash": pa.array([0] * n_docs, pa.int64())}
+        )
+    th = hash_strings(all_toks)
+    bits = (
+        (th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.int64)
+    contrib = 2 * bits - 1  # (tokens, 64)
+    # per-doc segment sums; docs with zero tokens get sig 0
+    offsets = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    nonempty = counts > 0
+    acc = np.zeros((n_docs, 64), dtype=np.int64)
+    if nonempty.any():
+        seg = np.add.reduceat(contrib, offsets[nonempty], axis=0)
+        # reduceat with duplicate offsets (empty docs) is avoided by
+        # indexing only nonempty docs
+        acc[nonempty] = seg
+    sig_bits = (acc > 0).astype(np.uint64)
+    sig = (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    sig[~nonempty] = 0
     return pa.table(
-        {id_column: pa.array(ids), "simhash": pa.array(out, pa.int64())}
+        {
+            id_column: ids,
+            "simhash": pa.array(sig.view(np.int64), pa.int64()),
+        }
     )
 
 
@@ -436,22 +649,30 @@ def simhash_near_dups(
     )
 
     def band_rows(b: pa.Table) -> pa.Table:
-        ids = b.column(id_column).to_pylist()
-        hs = b.column("simhash").to_pylist()
-        out_key, out_id, out_sig = [], [], []
-        mask = (1 << width) - 1
-        for i, h in zip(ids, hs):
-            u = h & 0xFFFFFFFFFFFFFFFF
-            for band in range(num_bands):
-                chunk = (u >> (band * width)) & mask
-                out_key.append((band << width) | chunk)
-                out_id.append(i)
-                out_sig.append(h)
+        n = b.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "band_key": pa.array([], pa.int64()),
+                    id_column: pa.array([], pa.int64()),
+                    "simhash": pa.array([], pa.int64()),
+                }
+            )
+        hs = b.column("simhash").to_numpy(zero_copy_only=False)
+        u = hs.astype(np.int64).view(np.uint64)
+        mask = np.uint64((1 << width) - 1)
+        keys = np.empty((num_bands, n), dtype=np.int64)
+        for band in range(num_bands):
+            chunk = (u >> np.uint64(band * width)) & mask
+            keys[band] = ((np.uint64(band) << np.uint64(width)) | chunk).astype(
+                np.int64
+            )
+        ids = b.column(id_column).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "band_key": pa.array(out_key, pa.int64()),
-                id_column: pa.array(out_id, pa.int64()),
-                "simhash": pa.array(out_sig, pa.int64()),
+                "band_key": pa.array(keys.reshape(-1), pa.int64()),
+                id_column: pa.array(np.tile(ids, num_bands), pa.int64()),
+                "simhash": pa.array(np.tile(hs, num_bands), pa.int64()),
             }
         )
 
@@ -540,10 +761,10 @@ def exact_dedup(
     """Exact dedup: keep the min-id row per key. Only (key_hash, id) moves
     through the shuffle; survivors selected per group.
 
-    Collision note: keys are compared via a 63-bit content hash, so two
-    DISTINCT keys collide with probability ~n^2/2^64 (~1e-4 at 10^9 docs;
-    at 10^12-doc scale either widen to 128-bit fingerprints or add a
-    second pass that re-reads colliding groups' full keys — the shuffle
+    Collision note: keys are compared via a 63-bit blake2b fingerprint, so
+    two DISTINCT keys collide with probability ~n^2/2^64 (~1e-4 at 10^9
+    docs; at 10^12-doc scale either widen to 128-bit fingerprints or add
+    a second pass that re-reads colliding groups' full keys — the shuffle
     stays (fingerprint, id) either way)."""
     projected = ds.select_columns([id_column, key_column])
 

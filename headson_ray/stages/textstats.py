@@ -84,20 +84,28 @@ def add_lang_id(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return batch.append_column("lang_pred", pa.array(preds, pa.string()))
 
 
-def _rolling_fp(text: str, window: int = 8) -> int:
-    """Rolling-hash document fingerprint: XOR of Rabin-Karp window hashes."""
-    MOD = (1 << 61) - 1
-    B = 1_000_003
-    h = 0
-    acc = 0
-    power = pow(B, window - 1, MOD)
-    data = text.encode()
-    for i, b in enumerate(data):
-        h = (h * B + b) % MOD
-        if i >= window - 1:
-            acc ^= h
-            h = (h - data[i - window + 1] * power) % MOD
-    return acc
+FP_WINDOW = 8
+
+
+def _rolling_fp(text: str, window: int = FP_WINDOW) -> int:
+    """Rolling-hash document fingerprint: XOR of the Horner-mod-2**64
+    hashes of every `window`-codepoint slice (signed-int64 view).
+
+    Vectorized: the text decodes to a uint32 codepoint array in one
+    numpy call (the utf-32 view), then `window` vectorized passes build
+    every window hash at once (stages/hashing.py) — no per-byte python
+    loop. The arithmetic is pure +,*,% mod 2**64, so the DuckDB oracle
+    (SQL_FINGERPRINTS) reproduces identical values with HUGEINT math.
+    Texts shorter than the window fingerprint to 0."""
+    import numpy as np
+
+    from .hashing import rolling_window_hashes
+
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    hs = rolling_window_hashes(codes, window)
+    if hs.size == 0:
+        return 0
+    return int(np.bitwise_xor.reduce(hs).view(np.int64))
 
 
 def add_fingerprint(batch: pa.Table, text_column: str = "text") -> pa.Table:

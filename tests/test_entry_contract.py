@@ -33,10 +33,12 @@ def test_oracle_keys_subset_of_queries():
     assert len(q) >= 30
     missing_oracle = set(q) - set(o)
     # every non-oracled entry is a genuinely non-SQL-expressible op
+    # every non-oracled entry is a genuinely non-SQL-expressible op:
+    # approximate/recall-based (minhash, ivf, lsh), preview strings, the
+    # stubbed multimodal decode, or synthetic-page inputs the driver's
+    # DuckDB session has no view of (summarize/sniff/cep over pages).
     assert missing_oracle <= {
-        "quality_scores", "lang_id", "fingerprints", "minhash_near_dups",
-        "ngram_jaccard_pairs", "simhash", "simhash_near_dups",
-        "summarize_documents",
+        "minhash_near_dups", "summarize_documents",
         "image_features", "ivf_topk", "embedding_near_dups_lsh",
         "summarize_pages", "sniff_pages", "cep_stream_windows",
     }

@@ -115,6 +115,63 @@ def test_ngram_jaccard_pairs_exact_vs_brute_force():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_near_dup_verification_memory_is_o_candidates():
+    """The verification stage must build shingle sets ONLY for candidate
+    ids (semi-join), never the whole corpus: on a corpus where candidates
+    are a tiny fraction, the broadcast map stays tiny."""
+    import ray.data
+
+    from headson_ray.stages.dedup import (
+        _collect_candidate_ids,
+        candidate_shingle_map,
+    )
+
+    n = 400
+    texts = [f"unique document number {i} with words {i * 7} {i * 13}"
+             for i in range(n)]
+    # two near-dup clusters -> only their ids become candidates
+    texts[10] = texts[11] = "alpha beta gamma delta epsilon zeta"
+    texts[20] = texts[21] = "one two three four five six seven"
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    pairs = ray.data.from_arrow(
+        pa.table({"a": pa.array([10, 20], pa.int64()),
+                  "b": pa.array([11, 21], pa.int64())})
+    )
+    cand = _collect_candidate_ids(pairs)
+    assert sorted(cand.tolist()) == [10, 11, 20, 21]
+    sm = candidate_shingle_map(
+        ds, cand, id_column="doc_id", text_column="text", shingle_k=3
+    )
+    assert sorted(sm) == [10, 11, 20, 21]  # O(candidates), not O(corpus)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_finds_large_boilerplate_cluster():
+    """A cluster of identical boilerplate docs larger than any posting-run
+    cap must be found IN FULL (the old bucket_cap=64 silently dropped
+    such clusters)."""
+    import ray.data
+
+    from headson_ray.stages.dedup import ngram_jaccard_pairs
+
+    n_cluster, n_unique = 80, 40
+    texts = ["copyright boilerplate footer text all rights reserved"] * n_cluster
+    texts += [f"unique doc {i} containing words {i * 3} {i * 11} {i * 17}"
+              for i in range(n_unique)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    got = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    expected_pairs = n_cluster * (n_cluster - 1) // 2
+    assert len(got) == expected_pairs
+    assert (got["jaccard_ppm"] == 1_000_000).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_simhash_near_dups_exact_vs_brute_force():
     """Pigeonhole banding must find EXACTLY the pairs within max_hamming
     bits (no recall loss, no false pairs)."""
