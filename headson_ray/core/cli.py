@@ -37,7 +37,9 @@ class CliOptions:
     string_cap: int = 500
     tail: bool = False
     head: bool = False
-    color: bool = False
+    # True = --color (On), False = --no-color (Off), None = Auto
+    # (resolved against env + tty per src/serialization/color.rs:88-106)
+    color: bool | None = None
     input_format: str = "json"  # -i
 
 
@@ -90,13 +92,15 @@ def get_render_config(opts: CliOptions) -> RenderConfig:
     space = "" if (opts.compact or opts.no_space) else " "
     newline = "" if (opts.compact or opts.no_newline) else "\n"
     indent_unit = "" if opts.compact else opts.indent
+    from .color import resolve_color_enabled
+
     return RenderConfig(
         template=template,
         indent_unit=indent_unit,
         space=space,
         newline=newline,
         prefer_tail_arrays=opts.tail,
-        color_enabled=opts.color,
+        color_enabled=resolve_color_enabled(opts.color),
         style=opts.style,
     )
 
@@ -217,8 +221,15 @@ def main(argv: list[str] | None = None) -> int:
         style=a.style, indent=a.indent, no_space=a.no_space,
         no_newline=a.no_newline, compact=a.compact,
         string_cap=a.string_cap, tail=a.tail, head=a.head,
-        color=a.color and not a.no_color, input_format=a.input_format,
+        # clap `conflicts_with` parity: both flags set is an error
+        color=(True if a.color else (False if a.no_color else None)),
+        input_format=a.input_format,
     )
+    if a.color and a.no_color:
+        print(
+            "Error: --color cannot be used with --no-color", file=sys.stderr
+        )
+        return 2
     import os
 
     try:

@@ -7,12 +7,24 @@ import subprocess
 import sys
 
 
-def run_cli(args, stdin=b"", cwd=None):
+def run_cli(args, stdin=b"", cwd=None, env=None):
+    import os
+
+    full_env = None
+    if env is not None:
+        full_env = {
+            k: v
+            for k, v in os.environ.items()
+            if k not in ("NO_COLOR", "CLICOLOR", "CLICOLOR_FORCE",
+                         "FORCE_COLOR", "TERM")
+        }
+        full_env.update(env)
     p = subprocess.run(
         [sys.executable, "-m", "headson_ray.core.cli", *args],
         input=stdin,
         capture_output=True,
         cwd=cwd or "/root/repo",
+        env=full_env,
     )
     return p.returncode, p.stdout.decode(), p.stderr.decode()
 
