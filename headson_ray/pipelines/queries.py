@@ -754,29 +754,91 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# Max rows a "small" join side may have before broadcast falls back to the
+# hash-partitioned join (stages/join.py). TPC-H customer grows with sf, so
+# "dimension-sized" must be checked, not assumed. Tests monkeypatch this.
+BROADCAST_ROW_LIMIT = 4_000_000
+
+
+def _collect_small_side(
+    ds, key_col: str, val_col: str, limit: int
+) -> tuple[pa.Array, pa.Array] | None:
+    """Collect a keyed side as two arrow arrays IF it fits under `limit`
+    rows; returns None (caller must shuffle-join) once the limit is
+    crossed — the stream is abandoned early, never fully materialized."""
+    keys, vals, total = [], [], 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        total += b.num_rows
+        if total > limit:
+            return None
+        keys.append(b.column(key_col))
+        vals.append(b.column(val_col))
+    if not keys:
+        return pa.array([], pa.int64()), pa.array([], pa.string())
+    return (
+        pa.concat_arrays([c.combine_chunks() for c in keys]),
+        pa.concat_arrays([c.combine_chunks() for c in vals]),
+    )
+
+
+def _probe(batch_keys, keys_arr: pa.Array, vals_arr: pa.Array) -> pa.Array:
+    """Vectorized broadcast-join probe: index_in + take (Arrow C++), null
+    where the key is absent — no per-row python dict.get loop."""
+    idx = pc.index_in(batch_keys, value_set=keys_arr)
+    return pc.take(vals_arr, idx)
+
+
 def q_orders_by_segment(sf_dir: str):
-    """Broadcast join: the small customer->segment map is put in the object
-    store once and read per batch — no shuffle of the orders stream."""
+    """customer->segment join + two-phase aggregate. The customer side is
+    broadcast (one ray.put, vectorized index_in probe per batch) while it
+    fits BROADCAST_ROW_LIMIT; beyond that it falls back to the
+    hash-partitioned join so no unbounded dict ever lands on the driver."""
     import ray as _ray
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    lookup = {}
-    for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536):
-        lookup.update(
-            zip(
-                b.column("c_custkey").to_pylist(),
-                b.column("c_mktsegment").to_pylist(),
-            )
-        )
-    lookup_ref = _ray.put(lookup)
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    small = _collect_small_side(
+        cust, "c_custkey", "c_mktsegment", BROADCAST_ROW_LIMIT
+    )
+
+    if small is None:
+        from ..stages.join import hash_join
+
+        proj = orders.map_batches(
+            lambda b: pa.table(
+                {
+                    "c_custkey": b.column("o_custkey"),
+                    "cents": _cents(b.column("o_totalprice")),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        joined = hash_join(proj, cust, key="c_custkey", how="inner")
+
+        def partial_joined(b: pa.Table) -> pa.Table:
+            g = (
+                b.select(["c_mktsegment", "cents"])
+                .group_by(["c_mktsegment"])
+                .aggregate([([], "count_all"), ("cents", "sum")])
+            )
+            return g.rename_columns(
+                ["c_mktsegment", "n_orders", "total_cents"]
+            )
+
+        return _two_phase_sum(
+            joined, ["c_mktsegment"], partial_joined,
+            ["n_orders", "total_cents"],
+        )
+
+    lookup_ref = _ray.put(small)
 
     def partial(b: pa.Table) -> pa.Table:
-        lk = _ray.get(lookup_ref)
-        segs = [lk.get(c) for c in b.column("o_custkey").to_pylist()]
+        keys_arr, vals_arr = _ray.get(lookup_ref)
+        segs = _probe(b.column("o_custkey"), keys_arr, vals_arr)
         t = pa.table(
             {
-                "c_mktsegment": pa.array(segs, pa.string()),
+                "c_mktsegment": segs,
                 "cents": _cents(b.column("o_totalprice")),
             }
         )
@@ -862,18 +924,21 @@ FROM events GROUP BY user_id
 # Joins / set ops / per-group top-k
 # --------------------------------------------------------------------------
 def _broadcast_lookup(ds, key_col: str, val_col: str):
-    """Collect a SMALL keyed table into a dict and ray.put it once.
+    """Collect a SMALL keyed table as (keys, vals) arrow arrays and
+    ray.put it once; probes are vectorized via _probe (index_in + take).
 
-    Scale note: only used for dimension-sized sides (region/nation/customer
-    keys, bucket boundaries). The big fact stream is never collected."""
+    Guardrail: raises if the side exceeds BROADCAST_ROW_LIMIT — callers
+    with potentially-growing sides must branch to stages/join.py
+    hash_join themselves (see q_orders_by_segment)."""
     import ray as _ray
 
-    lookup = {}
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        lookup.update(
-            zip(b.column(key_col).to_pylist(), b.column(val_col).to_pylist())
+    small = _collect_small_side(ds, key_col, val_col, BROADCAST_ROW_LIMIT)
+    if small is None:
+        raise ValueError(
+            f"broadcast side over BROADCAST_ROW_LIMIT={BROADCAST_ROW_LIMIT};"
+            " use hash_join"
         )
-    return _ray.put(lookup)
+    return _ray.put(small)
 
 
 def q_suppliers_by_region(sf_dir: str):
@@ -899,15 +964,21 @@ def q_suppliers_by_region(sf_dir: str):
                 b.column("r_name").to_pylist(),
             )
         )
-    lookup_ref = _ray.put({n: r2name[r] for n, r in n2r.items()})
+    n2r_items = sorted(n2r.items())
+    lookup_ref = _ray.put(
+        (
+            pa.array([n for n, _ in n2r_items], pa.int64()),
+            pa.array([r2name[r] for _, r in n2r_items], pa.string()),
+        )
+    )
     supplier = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
 
     def partial(b: pa.Table) -> pa.Table:
-        lk = _ray.get(lookup_ref)
-        names = [lk.get(n) for n in b.column("s_nationkey").to_pylist()]
+        keys_arr, vals_arr = _ray.get(lookup_ref)
+        names = _probe(b.column("s_nationkey"), keys_arr, vals_arr)
         t = pa.table(
             {
-                "r_name": pa.array(names, pa.string()),
+                "r_name": names,
                 "cents": _cents(b.column("s_acctbal")),
             }
         )
@@ -961,21 +1032,23 @@ def q_order_customers_without_events(sf_dir: str):
     def distinct_users(b: pa.Table) -> pa.Table:
         return b.group_by(["user_id"]).aggregate([])
 
-    users = set()
+    user_chunks = []
     for b in (
         events.map_batches(distinct_users, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow", batch_size=65536)
     ):
-        users.update(b.column("user_id").to_pylist())
-    users_ref = _ray.put(users)
+        user_chunks.append(b.column("user_id").combine_chunks())
+    users_ref = _ray.put(
+        pc.unique(pa.chunked_array(user_chunks))
+        if user_chunks
+        else pa.array([], pa.int64())
+    )
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
 
     def anti(b: pa.Table) -> pa.Table:
         us = _ray.get(users_ref)
-        mask = pa.array(
-            [c not in us for c in b.column("o_custkey").to_pylist()]
-        )
+        mask = pc.is_null(pc.index_in(b.column("o_custkey"), value_set=us))
         return b.filter(mask).group_by(["o_custkey"]).aggregate([])
 
     deduped = orders.map_batches(
@@ -1002,11 +1075,11 @@ def q_top3_orders_per_segment(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     def partial(b: pa.Table) -> pa.Table:
-        lk = _ray.get(lookup_ref)
-        segs = [lk.get(c) for c in b.column("o_custkey").to_pylist()]
+        keys_arr, vals_arr = _ray.get(lookup_ref)
+        segs = _probe(b.column("o_custkey"), keys_arr, vals_arr)
         t = pa.table(
             {
-                "c_mktsegment": pa.array(segs, pa.string()),
+                "c_mktsegment": segs,
                 "o_orderkey": b.column("o_orderkey"),
                 "total_cents": _cents(b.column("o_totalprice")),
             }

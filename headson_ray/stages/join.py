@@ -6,9 +6,11 @@ shuffle once on a COARSE key bucket (hash(key) % NUM_JOIN_BUCKETS — a
 per-key groupby would pay one python map_groups call per key), then run
 an Acero hash join (pyarrow Table.join, C++) inside each bucket.
 
-Skew note: a hot join key lands in one bucket; salt the key (replicate
-the smaller side per salt) before calling when one key's rows exceed a
-bucket budget.
+Skew note: a hot join key lands in one bucket; pass `salt=S` when one
+key's rows exceed a bucket budget — the left (big/skewed) side spreads
+each key over S sub-buckets and the right side is replicated S times, so
+the hot key's work parallelizes S-ways at the cost of S x the (smaller)
+right side's shuffle volume.
 
 Ray Data (2.49) has no native join; this is the documented composition
 (SURVEY.md §2.8). Broadcast joins for dimension-sized sides live in
@@ -48,12 +50,17 @@ def hash_join(
     *,
     key: str,
     how: str = "inner",
+    salt: int = 1,
 ) -> "ray.data.Dataset":
     """Join two Datasets on an equality key.
 
     Columns other than `key` must be disjoint between sides (project
     before joining — also keeps the shuffle narrow).
     how: "inner" | "left outer" (Acero join types).
+    salt: hot-key spreading factor. Left rows scatter round-robin over
+    `salt` sub-buckets per key; right rows replicate into every
+    sub-bucket, so results are identical to the unsalted join while a
+    single hot key's probe work runs `salt`-way parallel.
     """
     lsch = left.schema()
     rsch = right.schema()
@@ -66,13 +73,33 @@ def hash_join(
         raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
 
     # one unified schema: key, bucket, side, left payload, right payload
+    import numpy as np
+
     def widen(side: int):
         def fn(b: pa.Table) -> pa.Table:
+            if side == 1 and salt > 1:
+                # replicate the right side into every salt sub-bucket
+                b = pa.concat_tables([b] * salt)
             cols = {
                 key: b.column(key),
                 "__bucket": _bucket_of(b.column(key)),
                 "__side": pa.array([side] * b.num_rows, pa.int8()),
             }
+            if salt > 1:
+                n = b.num_rows
+                if side == 0:
+                    # round-robin scatter of the (skewed) left rows
+                    s = np.arange(n, dtype=np.int64) % salt
+                else:
+                    rep = n // salt
+                    s = np.repeat(np.arange(salt, dtype=np.int64), rep)
+                base = cols["__bucket"].cast(pa.int64())
+                cols["__bucket"] = pa.compute.cast(
+                    pa.compute.add(
+                        pa.compute.multiply(base, salt), pa.array(s)
+                    ),
+                    pa.int32(),
+                )
             for c in lcols:
                 cols[c] = (
                     b.column(c)

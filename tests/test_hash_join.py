@@ -55,3 +55,42 @@ def test_overlapping_columns_rejected():
     right = _ds({"k": [1], "v": [2]})
     with pytest.raises(ValueError, match="overlapping"):
         hash_join(left, right, key="k")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_join_matches_unsalted_under_skew():
+    """One orderkey carries 50% of the left rows; the salted join must
+    return exactly the unsalted result (right side replicated per salt,
+    left scattered round-robin)."""
+    import numpy as np
+
+    hot = 7
+    lk = [hot] * 500 + list(np.arange(500) % 97)
+    left = _ds({"k": pa.array(lk, pa.int64()),
+                "lv": pa.array(range(len(lk)), pa.int64())})
+    rk = list(range(100))
+    right = _ds({"k": pa.array(rk, pa.int64()),
+                 "rv": pa.array([k * 10 for k in rk], pa.int64())})
+    plain = hash_join(left, right, key="k").to_pandas()
+    salted = hash_join(left, right, key="k", salt=8).to_pandas()
+    key = ["k", "lv", "rv"]
+    p = plain[key].sort_values(key).reset_index(drop=True)
+    s = salted[key].sort_values(key).reset_index(drop=True)
+    assert p.equals(s)
+    assert (s[s["k"] == hot]["rv"] == hot * 10).all()
+    assert len(s[s["k"] == hot]) == lk.count(hot)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_left_outer_join():
+    left = _ds({"k": [1, 1, 1, 2, 5], "lv": ["a", "b", "c", "d", "e"]})
+    right = _ds({"k": [1, 2], "rv": [10, 20]})
+    out = hash_join(
+        left, right, key="k", how="left outer", salt=4
+    ).to_pandas()
+    assert len(out) == 5
+    rows = {(r.k, r.lv): r.rv for r in out.itertuples(index=False)}
+    assert rows[(1, "a")] == 10 and rows[(2, "d")] == 20
+    import math
+
+    assert rows[(5, "e")] is None or math.isnan(rows[(5, "e")])

@@ -115,6 +115,33 @@ def test_ngram_jaccard_pairs_exact_vs_brute_force():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_orders_by_segment_hash_join_fallback(con, monkeypatch):
+    """With a forced-low broadcast limit the query must switch to the
+    hash-partitioned join and still match the oracle exactly."""
+    import headson_ray.pipelines.queries as q
+
+    monkeypatch.setattr(q, "BROADCAST_ROW_LIMIT", 10)
+    got = _norm(_to_frame(q.q_orders_by_segment(SF_DIR)))
+    exp = _norm(con.execute(ORACLE_SQL["orders_by_segment"]).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_lookup_guardrail_raises(monkeypatch):
+    import ray.data
+
+    import headson_ray.pipelines.queries as q
+
+    monkeypatch.setattr(q, "BROADCAST_ROW_LIMIT", 3)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(range(10), pa.int64()),
+                  "v": pa.array([str(i) for i in range(10)])})
+    )
+    with pytest.raises(ValueError, match="BROADCAST_ROW_LIMIT"):
+        q._broadcast_lookup(ds, "k", "v")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_near_dup_verification_memory_is_o_candidates():
     """The verification stage must build shingle sets ONLY for candidate
     ids (semi-join), never the whole corpus: on a corpus where candidates
