@@ -22,8 +22,18 @@ import ray.data
 
 
 def _matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """Zero-copy-ish (n, dim) float64 matrix from a list<float> /
+    fixed_size_list column: flatten the child values and reshape —
+    no python list materialization."""
     arr = batch.column(col)
-    return np.array(arr.to_pylist(), dtype=np.float64)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = flat.shape[0] // n
+    return flat.reshape(n, dim)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -122,7 +132,7 @@ def lsh_topk(
         int((row * (1 << np.arange(num_planes))).sum()) for row in q_buckets
     }
     planes_ref = ray.put(planes)
-    codes_ref = ray.put(q_codes)
+    codes_ref = ray.put(np.array(sorted(q_codes), dtype=np.int64))
 
     def bucket_filter(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
@@ -130,7 +140,7 @@ def lsh_topk(
         m = _normalize(_matrix(batch, vec_column))
         bits = (m @ pl.T > 0).astype(np.uint32)
         code = (bits * (1 << np.arange(pl.shape[0]))).sum(axis=1)
-        mask = np.array([int(c) in codes for c in code])
+        mask = np.isin(code, codes)
         return batch.filter(pa.array(mask))
 
     filtered = ds.map_batches(
@@ -197,14 +207,14 @@ def ivf_topk(
     for row in qn @ cents.T:
         probe.update(np.argsort(-row)[:nprobe].tolist())
     cents_ref = ray.put(cents)
-    probe_ref = ray.put(probe)
+    probe_ref = ray.put(np.array(sorted(probe), dtype=np.int64))
 
     def probe_filter(batch: pa.Table) -> pa.Table:
         cs = ray.get(cents_ref)
         pr = ray.get(probe_ref)
         m = _normalize(_matrix(batch, vec_column))
         nearest = np.argmax(m @ cs.T, axis=1)
-        mask = np.array([int(c) in pr for c in nearest])
+        mask = np.isin(nearest, pr)
         return batch.filter(pa.array(mask))
 
     filtered = ds.map_batches(
@@ -240,13 +250,12 @@ def embedding_near_dup_pairs_lsh(
     planes_holder = {}
 
     def explode_codes(batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch, vec_column))
         if "planes" not in planes_holder:
-            dim = len(batch.column(vec_column)[0].as_py())
             planes_holder["planes"] = np.random.RandomState(
                 seed
-            ).standard_normal((num_tables, num_planes, dim))
+            ).standard_normal((num_tables, num_planes, m.shape[1]))
         pls = planes_holder["planes"]
-        m = _normalize(_matrix(batch, vec_column))
         pieces = []
         for t in range(num_tables):
             bits = (m @ pls[t].T > 0).astype(np.int64)
