@@ -221,6 +221,8 @@ class CepEngine:
         session_gap_s: int = 1800,
         summarize_budget: int | None = None,
         summarizer_concurrency: int | tuple = 4,
+        seen_mem_entries: int = 500_000,
+        seen_mode: str = "exact",
     ):
         self.sink = ExactlyOnceSink(out_dir)
         self.checkpoint_dir = checkpoint_dir
@@ -234,6 +236,8 @@ class CepEngine:
                 checkpoint_dir,
                 slide_count=slide_count,
                 session_gap_us=self.session_gap_us,
+                seen_mem_entries=seen_mem_entries,
+                seen_mode=seen_mode,
             )
             for i in range(num_state_actors)
         ]

@@ -12,26 +12,245 @@ two-phase aggregation). Each actor holds:
   fields of its member slides; slides are pruned once out of range)
 - session-window state: domain -> merged [start, end, n, chars] fragments,
   routed by hash(domain) so each domain's session lives on ONE actor
-- per-domain seen-url sets (stream dedup)
-- the prior-crawl index (url -> text fingerprint) for the delta join
+- per-domain seen-url dedup state: a tiered SeenStore (bounded hot dict
+  + sqlite cold tier under the checkpoint dir) so actor memory stays
+  FLAT however many urls stream through; optional bloom mode
+- the prior-crawl index (url -> text fingerprint) for the delta join,
+  tiered the same way (PriorIndex)
 
 State snapshots to the checkpoint directory per micro-batch (atomic
-write + rename), so a killed run restores the exact pre-batch state and
-re-emits byte-identical window files (exactly-once with the deterministic
-sink in sinks/parquet.py).
+write + rename; the sqlite cold tier commits transactionally at the same
+point and is rolled back to the restore batch on resume), so a killed
+run restores the exact pre-batch state and re-emits byte-identical
+window files (exactly-once with the deterministic sink in
+sinks/parquet.py).
 """
 
 from __future__ import annotations
 
 import os
 import pickle
+import sqlite3
+import tempfile
 import zlib
 from bisect import bisect_left
 from collections import defaultdict
 
+import numpy as np
 import pyarrow as pa
 
 import ray
+
+
+class SeenStore:
+    """Tiered EXACT seen-(domain, url) store with bounded actor memory.
+
+    - hot tier: python dict[domain] -> set(url), capped at
+      `max_mem_entries` total urls;
+    - cold tier: a sqlite table under the checkpoint dir, filled by
+      spilling the whole hot tier once the cap is crossed. Lookups hit
+      the hot set first, then (only if a spill ever happened) sqlite.
+
+    Exactly-once integration: cold-tier rows are tagged with the
+    micro-batch that inserted them and are only COMMITTED by
+    `checkpoint_commit(batch)` (the actor snapshot point). A crash before
+    the snapshot rolls the journal back; a crash after the snapshot but
+    before the sink commit is undone on restore by deleting rows with
+    batch > restore point — so replayed batches see the exact pre-batch
+    state and re-emit byte-identical windows. The hot tier (bounded) is
+    pickled inside the regular actor snapshot; cold-tier growth never
+    re-serializes old entries (incremental, unlike the old
+    whole-dict-per-snapshot pickle).
+
+    `mode="bloom"` swaps the store for a fixed-size bloom filter
+    (documented approximate alternative: ~zero memory growth, a false
+    positive wrongly counts a new url as duplicate at ~(1-e^{-kn/m})^k
+    rate; no spill, snapshot carries the bit array)."""
+
+    def __init__(
+        self,
+        spill_path: str,
+        *,
+        max_mem_entries: int = 500_000,
+        mode: str = "exact",
+        bloom_bits: int = 1 << 24,
+    ):
+        self.spill_path = spill_path
+        self.max_mem = max_mem_entries
+        self.mode = mode
+        self.mem: dict[str, set] = defaultdict(set)
+        self.mem_count = 0
+        self.total = 0
+        self.current_batch = 0
+        self.spilled = False
+        self.con: sqlite3.Connection | None = None
+        if mode == "bloom":
+            self.bloom = np.zeros(bloom_bits // 8, dtype=np.uint8)
+            self.bloom_bits = bloom_bits
+
+    # -- sqlite tier -------------------------------------------------------
+    def _ensure_db(self) -> sqlite3.Connection:
+        if self.con is None:
+            os.makedirs(os.path.dirname(self.spill_path), exist_ok=True)
+            self.con = sqlite3.connect(self.spill_path)
+            self.con.execute(
+                "CREATE TABLE IF NOT EXISTS seen ("
+                "domain TEXT, url TEXT, batch INTEGER,"
+                "PRIMARY KEY (domain, url)) WITHOUT ROWID"
+            )
+        return self.con
+
+    def _spill(self) -> None:
+        con = self._ensure_db()
+        con.executemany(
+            "INSERT OR IGNORE INTO seen VALUES (?, ?, ?)",
+            (
+                (d, u, self.current_batch)
+                for d, urls in self.mem.items()
+                for u in urls
+            ),
+        )
+        self.mem.clear()
+        self.mem_count = 0
+        self.spilled = True
+
+    # -- bloom tier --------------------------------------------------------
+    def _bloom_positions(self, d: str, u: str) -> np.ndarray:
+        h = zlib.crc32(f"{d}\x00{u}".encode())
+        h2 = zlib.crc32(f"{u}\x00{d}".encode(), 0x9E3779B9)
+        return (
+            (np.uint64(h) + np.arange(4, dtype=np.uint64) * np.uint64(h2 | 1))
+            % np.uint64(self.bloom_bits)
+        )
+
+    # -- api ---------------------------------------------------------------
+    def add_if_new(self, d: str, u: str) -> bool:
+        """True if (d, u) was NOT seen before (and records it)."""
+        self.total += 1
+        if self.mode == "bloom":
+            pos = self._bloom_positions(d, u)
+            byte, bit = pos >> np.uint64(3), pos & np.uint64(7)
+            hits = (self.bloom[byte] >> bit.astype(np.uint8)) & 1
+            if hits.all():
+                return False
+            np.bitwise_or.at(
+                self.bloom, byte, (1 << bit).astype(np.uint8)
+            )
+            return True
+        s = self.mem.get(d)
+        if s is not None and u in s:
+            return False
+        if self.spilled:
+            cur = self.con.execute(
+                "SELECT 1 FROM seen WHERE domain = ? AND url = ?", (d, u)
+            )
+            if cur.fetchone() is not None:
+                return False
+        self.mem[d].add(u)
+        self.mem_count += 1
+        if self.mem_count > self.max_mem:
+            self._spill()
+        return True
+
+    def domain_count(self) -> int:
+        n = len(self.mem)
+        if self.spilled:
+            n = max(
+                n,
+                self.con.execute(
+                    "SELECT count(DISTINCT domain) FROM seen"
+                ).fetchone()[0],
+            )
+        return n
+
+    # -- checkpoint integration -------------------------------------------
+    def checkpoint_commit(self, batch_idx: int) -> None:
+        if self.con is not None:
+            self.con.commit()
+        self.current_batch = batch_idx + 1
+
+    def snapshot_state(self) -> dict:
+        state = {
+            "mode": self.mode,
+            "mem": {d: set(s) for d, s in self.mem.items()},
+            "mem_count": self.mem_count,
+            "total": self.total,
+            "spilled": self.spilled,
+        }
+        if self.mode == "bloom":
+            state["bloom"] = self.bloom.copy()
+        return state
+
+    def restore_state(self, state: dict, batch_idx: int) -> None:
+        self.mem = defaultdict(set, state["mem"])
+        self.mem_count = state["mem_count"]
+        self.total = state["total"]
+        self.spilled = state["spilled"]
+        if self.mode == "bloom" and "bloom" in state:
+            self.bloom = state["bloom"].copy()
+        if self.spilled:
+            con = self._ensure_db()
+            con.execute("DELETE FROM seen WHERE batch > ?", (batch_idx,))
+            con.commit()
+        self.current_batch = batch_idx + 1
+
+
+class PriorIndex:
+    """url -> fingerprint index for the prior-crawl delta join, with the
+    same memory tiering as SeenStore (hot dict up to a cap, then sqlite).
+    Loaded fresh by the caller each run (it is join INPUT, not stream
+    state), so it needs no checkpoint integration; the spill file is
+    truncated on construction."""
+
+    def __init__(self, spill_path: str, *, max_mem_entries: int = 500_000):
+        self.spill_path = spill_path
+        self.max_mem = max_mem_entries
+        self.mem: dict[str, int] = {}
+        self.spilled = False
+        self.con: sqlite3.Connection | None = None
+        self.total = 0
+        if os.path.exists(spill_path):
+            os.remove(spill_path)
+
+    def _ensure_db(self) -> sqlite3.Connection:
+        if self.con is None:
+            os.makedirs(os.path.dirname(self.spill_path), exist_ok=True)
+            self.con = sqlite3.connect(self.spill_path)
+            self.con.execute(
+                "CREATE TABLE IF NOT EXISTS prior ("
+                "url TEXT PRIMARY KEY, fp INTEGER) WITHOUT ROWID"
+            )
+        return self.con
+
+    def update(self, urls: list, fps: list) -> None:
+        self.mem.update(zip(urls, fps))
+        if len(self.mem) > self.max_mem:
+            con = self._ensure_db()
+            con.executemany(
+                "INSERT OR REPLACE INTO prior VALUES (?, ?)",
+                self.mem.items(),
+            )
+            con.commit()
+            self.mem.clear()
+            self.spilled = True
+
+    def get(self, url: str):
+        fp = self.mem.get(url)
+        if fp is not None or not self.spilled:
+            return fp
+        row = self.con.execute(
+            "SELECT fp FROM prior WHERE url = ?", (url,)
+        ).fetchone()
+        return row[0] if row else None
+
+    def __len__(self) -> int:
+        # stats-only figure; mem may briefly shadow spilled urls
+        n = len(self.mem)
+        if self.spilled:
+            n += self.con.execute(
+                "SELECT count(*) FROM prior"
+            ).fetchone()[0]
+        return n
 
 
 def route_partition(domain: str, url: str, num_partitions: int) -> int:
@@ -62,6 +281,8 @@ class StateStoreActor:
         *,
         slide_count: int = 1,
         session_gap_us: int = 0,
+        seen_mem_entries: int = 500_000,
+        seen_mode: str = "exact",
     ):
         self.actor_id = actor_id
         self.checkpoint_dir = checkpoint_dir
@@ -73,10 +294,21 @@ class StateStoreActor:
         self.slides: dict[tuple[str, int], list] = {}
         # domain -> sorted list of [start, end, n, chars] fragments
         self.sessions: dict[str, list] = defaultdict(list)
-        # domain -> set(url)
-        self.seen: dict[str, set] = defaultdict(set)
-        # prior crawl: url -> text fingerprint
-        self.prior: dict[str, int] = {}
+        # tiered (domain, url) dedup state + prior-crawl join index:
+        # bounded actor memory, sqlite cold tier under the checkpoint dir
+        spill_base = checkpoint_dir or tempfile.mkdtemp(
+            prefix="headson-state-"
+        )
+        spill_dir = os.path.join(spill_base, f"actor-{actor_id:04d}")
+        self.seen = SeenStore(
+            os.path.join(spill_dir, "seen.db"),
+            max_mem_entries=seen_mem_entries,
+            mode=seen_mode,
+        )
+        self.prior = PriorIndex(
+            os.path.join(spill_dir, "prior.db"),
+            max_mem_entries=seen_mem_entries,
+        )
         self.rows_seen = 0
         # Highest finalized window id: rows at or below are late beyond
         # allowed lateness and are dropped (counted), never re-opened.
@@ -85,9 +317,9 @@ class StateStoreActor:
         self.session_frontier = -(1 << 62)
         self.n_late = 0
 
-    # --- prior-crawl side (the small, bounded side of the stream join) ---
+    # --- prior-crawl side (the bounded-memory side of the stream join) ---
     def load_prior(self, urls: list[str], fps: list[int]) -> int:
-        self.prior.update(zip(urls, fps))
+        self.prior.update(urls, fps)
         return len(self.prior)
 
     # --- per-micro-batch update ------------------------------------------
@@ -119,11 +351,9 @@ class StateStoreActor:
                 slides[key] = slide
             slide[0] += 1
             slide[1] += c
-            s = seen[d]
-            if u in s:
+            if not seen.add_if_new(d, u):
                 pane[1] += 1  # duplicate within this crawl stream
             else:
-                s.add(u)
                 pane[5] += c
                 pfp = prior.get(u)
                 if pfp is None:
@@ -294,7 +524,9 @@ class StateStoreActor:
             "open_panes": len(self.panes),
             "open_slides": len(self.slides),
             "open_sessions": sum(len(v) for v in self.sessions.values()),
-            "domains": len(self.seen),
+            "domains": self.seen.domain_count(),
+            "seen_mem_entries": self.seen.mem_count,
+            "seen_spilled": self.seen.spilled,
             "prior_entries": len(self.prior),
             "n_late": self.n_late,
         }
@@ -306,13 +538,16 @@ class StateStoreActor:
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"batch-{batch_idx:06d}.pkl")
         tmp = path + ".tmp"
+        # commit the sqlite cold tier at the snapshot point (incremental:
+        # only this batch's inserts hit disk, old entries never rewrite)
+        self.seen.checkpoint_commit(batch_idx)
         with open(tmp, "wb") as fh:
             pickle.dump(
                 {
                     "panes": self.panes,
                     "slides": self.slides,
                     "sessions": dict(self.sessions),
-                    "seen": dict(self.seen),
+                    "seen_state": self.seen.snapshot_state(),
                     "rows_seen": self.rows_seen,
                     "frontier": self.frontier,
                     "session_frontier": self.session_frontier,
@@ -338,7 +573,7 @@ class StateStoreActor:
         self.panes = state["panes"]
         self.slides = state.get("slides", {})
         self.sessions = defaultdict(list, state.get("sessions", {}))
-        self.seen = defaultdict(set, state["seen"])
+        self.seen.restore_state(state["seen_state"], batch_idx)
         self.rows_seen = state["rows_seen"]
         self.frontier = state["frontier"]
         self.session_frontier = state.get("session_frontier", -(1 << 62))

@@ -429,3 +429,79 @@ def test_cep_late_rows_dropped_and_counted(tmp_path):
     win = eng.sink.read_all_windows()
     w0 = win.filter(pc.equal(win.column("window_id"), w0_id))
     assert sum(w0.column("n_pages").to_pylist()) == expected_w0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cep_tiered_seen_state_spills_and_matches(
+    pages_shards, prior_crawl, tmp_path
+):
+    """With a tiny hot-tier cap the seen/prior state must spill to the
+    sqlite cold tier, keep actor memory bounded, and still produce
+    byte-identical windows — including across a kill/resume while
+    spilled (the cold tier rolls back to the restore batch)."""
+    paths, src = pages_shards
+    prior_path, _, _ = prior_crawl
+    groups = [[p] for p in paths]
+
+    ref = CepEngine(
+        out_dir=str(tmp_path / "out-ref"),
+        checkpoint_dir=str(tmp_path / "ckpt-ref"),
+        num_state_actors=3,
+        window_size_s=WINDOW_S,
+        allowed_lateness_s=LATENESS_S,
+    )
+    ref.load_prior_crawl([prior_path])
+    ref.run(groups)
+    ref_windows = _pane_dict(ref.sink.read_all_windows())
+
+    cap = 40
+    eng1 = CepEngine(
+        out_dir=str(tmp_path / "out-tiny"),
+        checkpoint_dir=str(tmp_path / "ckpt-tiny"),
+        num_state_actors=3,
+        window_size_s=WINDOW_S,
+        allowed_lateness_s=LATENESS_S,
+        seen_mem_entries=cap,
+    )
+    eng1.load_prior_crawl([prior_path])
+    eng1.run(groups[:2], final_flush=False)
+
+    eng2 = CepEngine(
+        out_dir=str(tmp_path / "out-tiny"),
+        checkpoint_dir=str(tmp_path / "ckpt-tiny"),
+        num_state_actors=3,
+        window_size_s=WINDOW_S,
+        allowed_lateness_s=LATENESS_S,
+        seen_mem_entries=cap,
+    )
+    eng2.load_prior_crawl([prior_path])
+    m = eng2.run(groups)
+    got = _pane_dict(eng2.sink.read_all_windows())
+    assert got == ref_windows
+    # memory stayed bounded and the cold tier was actually used
+    stats = m["actor_stats"]
+    assert any(st["seen_spilled"] for st in stats)
+    assert all(st["seen_mem_entries"] <= cap + 1 for st in stats)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cep_bloom_seen_mode_smoke(pages_shards, prior_crawl, tmp_path):
+    """Documented approximate mode: bloom dedup runs end-to-end; additive
+    metrics that do not depend on dedup (n_pages) match the exact run."""
+    paths, src = pages_shards
+    prior_path, _, _ = prior_crawl
+    eng = CepEngine(
+        out_dir=str(tmp_path / "out-bloom"),
+        checkpoint_dir=str(tmp_path / "ckpt-bloom"),
+        num_state_actors=2,
+        window_size_s=WINDOW_S,
+        allowed_lateness_s=LATENESS_S,
+        seen_mode="bloom",
+    )
+    eng.load_prior_crawl([prior_path])
+    eng.run([[p] for p in paths])
+    got = _pane_dict(eng.sink.read_all_windows())
+    exp = _oracle_panes(src, prior_path)
+    assert {k: v[0] for k, v in got.items()} == {
+        k: v[0] for k, v in exp.items()
+    }
