@@ -22,6 +22,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from ..stages.dedup import (
     exact_dedup,
     minhash_near_dups,
+    near_dup_canonical,
     ngram_jaccard_pairs,
     simhash_near_dups,
     simhash_signatures,
@@ -554,6 +555,87 @@ def q_simhash(sf_dir: str):
     return ds.map_batches(
         simhash_signatures, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_near_dup_canonical(sf_dir: str):
+    """Cluster dedup: canonical (min) doc id per connected component of
+    the exact Jaccard>=0.5 near-dup graph; oracle = recursive-CTE
+    transitive closure over the same pair set."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return near_dup_canonical(ds, threshold=0.5)
+
+
+SQL_NEAR_DUP_CANONICAL = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN []
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)])
+         END AS sh
+  FROM d
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) + len(b.sh) > 0
+    AND (len(list_intersect(a.sh, b.sh)) * 1000000)
+        >= 500000 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+), edges AS (
+  SELECT a, b FROM p UNION SELECT b, a FROM p
+), reach(doc, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.doc, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT doc AS doc_id, min(r) AS canonical_id
+FROM reach GROUP BY doc
+"""
+
+
+def q_heavy_hitter_tokens(sf_dir: str):
+    """Exact top-20 tokens via the two-pass Misra-Gries sketch."""
+    from ..stages.sketch import heavy_hitter_tokens
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return heavy_hitter_tokens(ds, k=20, capacity=4096)
+
+
+SQL_HEAVY_HITTER_TOKENS = r"""
+SELECT tok AS token, count(*) AS n
+FROM (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+)
+GROUP BY tok
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+def q_regex_token_counts(sf_dir: str):
+    """BPE-ish pre-tokenizer counts, vectorized with the Arrow RE2
+    kernel; DuckDB regexp_extract_all is the oracle."""
+    from ..stages.textstats import add_bpe_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_bpe_token_count(b).select(["doc_id", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_REGEX_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
 
 
 def q_image_features(sf_dir: str):
@@ -1384,6 +1466,9 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "simhash": q_simhash,
     "simhash_near_dups": q_simhash_near_dups,
+    "near_dup_canonical": q_near_dup_canonical,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "regex_token_counts": q_regex_token_counts,
     "props_extract": q_props_extract,
     "summarize_documents": q_summarize_documents,
     "image_features": q_image_features,
@@ -1436,4 +1521,7 @@ ORACLE_SQL = {
     "fingerprints": SQL_FINGERPRINTS,
     "simhash": SQL_SIMHASH,
     "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
+    "near_dup_canonical": SQL_NEAR_DUP_CANONICAL,
+    "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
+    "regex_token_counts": SQL_REGEX_TOKEN_COUNTS,
 }

@@ -752,6 +752,77 @@ def simhash_near_dups(
     return ray.data.from_arrow(t)
 
 
+def near_dup_canonical(
+    ds: "ray.data.Dataset",
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> "ray.data.Dataset":
+    """Cluster-level near-dup assignment: every doc maps to the MIN doc id
+    of its connected component in the exact Jaccard >= threshold graph
+    (the usual keep-one-per-cluster dedup step after pair finding).
+
+    The pair set is tiny relative to the corpus, so components resolve
+    with a driver-side union-find over the pairs; the (component) mapping
+    is broadcast and the corpus streams through a vectorized relabel —
+    the corpus itself is never collected. At 10^12-doc scale with
+    pathological cluster counts, swap the driver union-find for iterative
+    min-label propagation (repeat: pairs JOIN labels -> groupby min) —
+    the surrounding dataflow is unchanged."""
+    pairs = ngram_jaccard_pairs(
+        ds, id_column=id_column, text_column=text_column,
+        shingle_k=shingle_k, threshold=threshold,
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        for a_, b_ in zip(
+            b.column("a").to_pylist(), b.column("b").to_pylist()
+        ):
+            ra, rb = find(a_), find(b_)
+            if ra != rb:
+                if ra > rb:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    mapping = {x: find(x) for x in list(parent)}
+    items = sorted(mapping.items())
+    keys = np.array([k for k, _ in items], dtype=np.int64)
+    vals = np.array([v for _, v in items], dtype=np.int64)
+    import ray as _ray
+
+    map_ref = _ray.put((keys, vals))
+
+    def relabel(b: pa.Table) -> pa.Table:
+        ks, vs = _ray.get(map_ref)
+        ids = b.column(id_column).to_numpy(zero_copy_only=False)
+        canon = ids.copy()
+        if ks.size:
+            pos = np.searchsorted(ks, ids)
+            pos_c = np.clip(pos, 0, ks.size - 1)
+            hit = ks[pos_c] == ids
+            canon[hit] = vs[pos_c[hit]]
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "canonical_id": pa.array(canon, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_column]).map_batches(
+        relabel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def exact_dedup(
     ds: "ray.data.Dataset",
     *,

@@ -84,6 +84,25 @@ def add_lang_id(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return batch.append_column("lang_pred", pa.array(preds, pa.string()))
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+# marks (explicit ASCII whitespace class so python-re, RE2 (pyarrow) and
+# DuckDB regexp_extract_all all count identically)
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
+
+
+def add_bpe_token_count(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Append n_bpe_tokens = number of BPE-ish pre-tokens, vectorized with
+    the Arrow RE2 kernel (no per-row python regex loop).
+
+    SQL equivalent: len(regexp_extract_all(text, pattern))."""
+    n = pc.count_substring_regex(
+        batch.column(text_column), pattern=BPE_TOKEN_PATTERN
+    )
+    return batch.append_column(
+        "n_bpe_tokens", pc.cast(n, pa.int64())
+    )
+
+
 FP_WINDOW = 8
 
 

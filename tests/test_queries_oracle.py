@@ -225,3 +225,41 @@ def test_simhash_near_dups_exact_vs_brute_force():
     ).to_pandas()
     got_pairs = set(zip(got["a"], got["b"]))
     assert got_pairs == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_canonical_transitive_cluster():
+    """A near-dup CHAIN (a~b, b~c, but a!~c still in one component) must
+    collapse to one canonical id via the union-find."""
+    import ray.data
+
+    from headson_ray.stages.dedup import near_dup_canonical
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",          # 0
+        "alpha beta gamma delta epsilon zeta eta iota",           # 1 ~ 0
+        "alpha beta gamma delta epsilon zeta kappa iota",         # 2 ~ 1
+        "completely different text about other things entirely",  # 3
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    got = near_dup_canonical(ds, threshold=0.4).to_pandas()
+    canon = dict(zip(got["doc_id"], got["canonical_id"]))
+    assert canon[0] == canon[1] == canon[2] == 0
+    assert canon[3] == 3
+
+
+def test_misra_gries_trim_mergeable_guarantee():
+    from collections import Counter
+
+    from headson_ray.stages.sketch import misra_gries_trim
+
+    c = Counter({f"t{i}": 1 for i in range(100)})
+    c["hot"] = 50
+    trimmed = misra_gries_trim(c, 10)
+    assert len(trimmed) <= 10
+    # any item with freq > N/(C+1) survives with count >= freq - N/(C+1)
+    n = 150
+    assert "hot" in trimmed and trimmed["hot"] >= 50 - n / 11
