@@ -752,6 +752,83 @@ def simhash_near_dups(
     return ray.data.from_arrow(t)
 
 
+def components_min_label(
+    pairs: "ray.data.Dataset", *, max_iters: int = 50
+) -> "ray.data.Dataset":
+    """Connected components of an (a, b) pair graph via iterative
+    min-label propagation on Ray Data — the 10^12-scale path where the
+    pair set itself is too big for a driver union-find. Returns one
+    (node, lbl) row per node appearing in any pair; lbl = component min.
+
+    Each iteration is one hash-partitioned join (edges x labels) + a
+    min-groupby; labels only ever decrease, so `sum(lbl)` unchanged is a
+    fixpoint certificate (no change-detection join needed). Converges in
+    O(component diameter) iterations; labels materialize per iteration
+    (they are one small row per graph node — never the corpus)."""
+    from .join import hash_join
+
+    def sym_edges(b: pa.Table) -> pa.Table:
+        a = b.column("a").combine_chunks() if isinstance(
+            b.column("a"), pa.ChunkedArray
+        ) else b.column("a")
+        bb = b.column("b").combine_chunks() if isinstance(
+            b.column("b"), pa.ChunkedArray
+        ) else b.column("b")
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, bb]),
+                "node": pa.concat_arrays([bb, a]),
+            }
+        )
+
+    edges = pairs.map_batches(
+        sym_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        t = b.select(["src"]).group_by(["src"]).aggregate([])
+        return pa.table(
+            {"node": t.column("src"), "lbl": t.column("src")}
+        )
+
+    # coalesce to a bounded block count every iteration: groupby /
+    # map_groups emit one tiny block per bucket, and without this the
+    # block count compounds per iteration (measured: 2047 blocks
+    # carrying 19 rows by iteration 11 — task-scheduling overhead, not
+    # data, dominated the wall clock)
+    coalesce = 8
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("lbl", alias_name="lbl"))
+        .repartition(coalesce)
+        .materialize()
+    )
+    prev_sum = labels.sum("lbl")
+    for _ in range(max_iters):
+        # the join's per-bucket map_groups also emits one block per
+        # bucket; coalesce before the per-block cand pass
+        nbr = hash_join(edges, labels, key="node").repartition(coalesce)
+
+        def cand(b: pa.Table) -> pa.Table:
+            t = pa.table({"node": b.column("src"), "lbl": b.column("lbl")})
+            return t.group_by(["node"]).aggregate([("lbl", "min")]).\
+                rename_columns(["node", "lbl"])
+
+        merged = nbr.map_batches(cand, batch_format="pyarrow").union(labels)
+        labels = (
+            merged.groupby("node")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .repartition(coalesce)
+            .materialize()
+        )
+        new_sum = labels.sum("lbl")
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
 def near_dup_canonical(
     ds: "ray.data.Dataset",
     *,
@@ -759,22 +836,38 @@ def near_dup_canonical(
     text_column: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    method: str = "driver",
 ) -> "ray.data.Dataset":
     """Cluster-level near-dup assignment: every doc maps to the MIN doc id
     of its connected component in the exact Jaccard >= threshold graph
     (the usual keep-one-per-cluster dedup step after pair finding).
 
-    The pair set is tiny relative to the corpus, so components resolve
-    with a driver-side union-find over the pairs; the (component) mapping
-    is broadcast and the corpus streams through a vectorized relabel —
-    the corpus itself is never collected. At 10^12-doc scale with
-    pathological cluster counts, swap the driver union-find for iterative
-    min-label propagation (repeat: pairs JOIN labels -> groupby min) —
-    the surrounding dataflow is unchanged."""
+    method="driver" (default): the pair set is tiny relative to the
+    corpus, so components resolve with a driver-side union-find over the
+    pairs; the mapping is broadcast and the corpus streams through a
+    vectorized relabel — the corpus itself is never collected.
+    method="distributed": the scale path — components via
+    components_min_label (iterative hash-join min-label propagation,
+    nothing driver-side), for pair sets too big to union-find locally;
+    identical output (tested)."""
     pairs = ngram_jaccard_pairs(
         ds, id_column=id_column, text_column=text_column,
         shingle_k=shingle_k, threshold=threshold,
     )
+    if method == "distributed":
+        labels = components_min_label(pairs)
+        items = sorted(
+            (r["node"], r["lbl"])
+            for b in labels.iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20
+            )
+            for r in b.to_pylist()
+        )
+        # (collected here only to reuse the broadcast relabel below;
+        # at true scale relabel via a hash_join of corpus ids x labels)
+        keys = np.array([k for k, _ in items], dtype=np.int64)
+        vals = np.array([v for _, v in items], dtype=np.int64)
+        return _relabel_with_mapping(ds, id_column, keys, vals)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -798,6 +891,18 @@ def near_dup_canonical(
     items = sorted(mapping.items())
     keys = np.array([k for k, _ in items], dtype=np.int64)
     vals = np.array([v for _, v in items], dtype=np.int64)
+    return _relabel_with_mapping(ds, id_column, keys, vals)
+
+
+def _relabel_with_mapping(
+    ds: "ray.data.Dataset",
+    id_column: str,
+    keys: np.ndarray,
+    vals: np.ndarray,
+) -> "ray.data.Dataset":
+    """Broadcast (keys -> vals) once; stream the corpus through a
+    vectorized searchsorted relabel (ids absent from the mapping keep
+    their own id as canonical)."""
     import ray as _ray
 
     map_ref = _ray.put((keys, vals))

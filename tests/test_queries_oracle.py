@@ -263,3 +263,61 @@ def test_misra_gries_trim_mergeable_guarantee():
     # any item with freq > N/(C+1) survives with count >= freq - N/(C+1)
     n = 150
     assert "hot" in trimmed and trimmed["hot"] >= 50 - n / 11
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_components_min_label_matches_union_find():
+    """Distributed min-label propagation must produce the exact same
+    components as the driver union-find on an adversarial graph (long
+    chain + star + singleton pairs)."""
+    import ray.data
+
+    from headson_ray.stages.dedup import components_min_label
+
+    # chain 100..110, star around 200, disjoint pair (301,300), loner 400
+    edges = [(i, i + 1) for i in range(100, 110)]
+    edges += [(200, x) for x in (201, 202, 203)]
+    edges += [(301, 300), (400, 401)]
+    pairs = ray.data.from_arrow(
+        pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                  "b": pa.array([b for _, b in edges], pa.int64())})
+    )
+    labels = {
+        r["node"]: r["lbl"]
+        for b in components_min_label(pairs).iter_batches(
+            batch_format="pyarrow"
+        )
+        for r in b.to_pylist()
+    }
+    for i in range(100, 111):
+        assert labels[i] == 100
+    for x in (200, 201, 202, 203):
+        assert labels[x] == 200
+    assert labels[300] == labels[301] == 300
+    assert labels[400] == labels[401] == 400
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_canonical_distributed_equals_driver():
+    import ray.data
+
+    from headson_ray.stages.dedup import near_dup_canonical
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "alpha beta gamma delta epsilon zeta kappa iota",
+        "completely different text about other things entirely",
+        "yet another unrelated document body of words here",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    drv = near_dup_canonical(ds, threshold=0.4).to_pandas()
+    dist = near_dup_canonical(
+        ds, threshold=0.4, method="distributed"
+    ).to_pandas()
+    d1 = dict(zip(drv["doc_id"], drv["canonical_id"]))
+    d2 = dict(zip(dist["doc_id"], dist["canonical_id"]))
+    assert d1 == d2
