@@ -1,0 +1,70 @@
+"""JSONL/CSV page sources normalize to the parquet pages contract."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from headson_ray.sources.pages import generate_shard
+from headson_ray.sources.readers import (
+    export_pages_csv,
+    export_pages_jsonl,
+    read_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def small_pages():
+    return generate_shard(0, 200)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
+def test_text_format_roundtrip_matches_parquet(small_pages, fmt, tmp_path):
+    src = small_pages
+    path = tmp_path / f"pages.{fmt}"
+    if fmt == "jsonl":
+        export_pages_jsonl(src, str(path))
+    else:
+        export_pages_csv(src, str(path))
+    ds = read_pages([str(path)], format=fmt)
+    got = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    got = got.take(pa.compute.sort_indices(got, sort_keys=[("url", "ascending")]))
+    exp = src.select(["url", "warc_ts", "text", "lang"])
+    exp = exp.take(pa.compute.sort_indices(exp, sort_keys=[("url", "ascending")]))
+    assert got.column("url").to_pylist() == exp.column("url").to_pylist()
+    assert got.column("text").to_pylist() == exp.column("text").to_pylist()
+    assert got.column("lang").to_pylist() == exp.column("lang").to_pylist()
+    assert got.schema.field("warc_ts").type == pa.timestamp("us")
+    assert (
+        got.column("warc_ts").to_pylist() == exp.column("warc_ts").to_pylist()
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_text_format_rejects_html_column(small_pages, tmp_path):
+    path = tmp_path / "pages.jsonl"
+    export_pages_jsonl(small_pages, str(path))
+    with pytest.raises(ValueError, match="html"):
+        read_pages([str(path)], format="jsonl", columns=["url", "html"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jsonl_pages_feed_summarizer(small_pages, tmp_path):
+    from headson_ray.stages.summarize import Summarizer
+
+    path = tmp_path / "pages.jsonl"
+    export_pages_jsonl(small_pages, str(path))
+    ds = read_pages([str(path)], format="jsonl", columns=["url", "text"])
+    out = ds.map_batches(
+        Summarizer,
+        fn_constructor_kwargs=dict(budget=200),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 2),
+        batch_size=128,
+        num_cpus=1,
+    )
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    assert t.num_rows == small_pages.num_rows
+    assert "preview" in t.column_names
