@@ -617,6 +617,38 @@ LIMIT 20
 """
 
 
+def q_value_rank_select(sf_dir: str):
+    """Exact p50/p90/p99 order statistics of events.value WITHOUT a
+    global sort: histogram-refinement rank-select (stages/sketch.py) —
+    a few shuffle-free counting passes instead of an all-to-all sort."""
+    from ..stages.sketch import rank_select
+
+    ds = _read(sf_dir, "events", ["value"])
+    n = ds.count()
+    ranks = [n // 2, n * 9 // 10, n * 99 // 100]
+    vals = rank_select(ds, "value", ranks)
+    return pa.table(
+        {
+            "rank_k": pa.array(ranks, pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+
+
+SQL_VALUE_RANK_SELECT = """
+WITH o AS (
+  SELECT value, row_number() OVER (ORDER BY value) - 1 AS rn FROM events
+), ks AS (
+  SELECT unnest([
+    (SELECT count(*) FROM events) // 2,
+    (SELECT count(*) FROM events) * 9 // 10,
+    (SELECT count(*) FROM events) * 99 // 100
+  ]) AS k
+)
+SELECT k AS rank_k, (SELECT value FROM o WHERE rn = k) AS value FROM ks
+"""
+
+
 def q_regex_token_counts(sf_dir: str):
     """BPE-ish pre-tokenizer counts, vectorized with the Arrow RE2
     kernel; DuckDB regexp_extract_all is the oracle."""
@@ -1469,6 +1501,7 @@ QUERIES = {
     "near_dup_canonical": q_near_dup_canonical,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "regex_token_counts": q_regex_token_counts,
+    "value_rank_select": q_value_rank_select,
     "props_extract": q_props_extract,
     "summarize_documents": q_summarize_documents,
     "image_features": q_image_features,
@@ -1524,4 +1557,5 @@ ORACLE_SQL = {
     "near_dup_canonical": SQL_NEAR_DUP_CANONICAL,
     "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
     "regex_token_counts": SQL_REGEX_TOKEN_COUNTS,
+    "value_rank_select": SQL_VALUE_RANK_SELECT,
 }

@@ -321,3 +321,29 @@ def test_near_dup_canonical_distributed_equals_driver():
     d1 = dict(zip(drv["doc_id"], drv["canonical_id"]))
     d2 = dict(zip(dist["doc_id"], dist["canonical_id"]))
     assert d1 == d2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rank_select_multi_round_refinement():
+    """Force several histogram-refinement rounds (tiny collect_cap,
+    few bins) on a duplicate-heavy distribution; results must equal
+    plain sorted-order selection."""
+    import numpy as np
+    import ray.data
+
+    from headson_ray.stages.sketch import rank_select
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([
+        rng.normal(0, 1, 20_000),
+        np.full(5_000, 0.5),          # heavy ties
+        rng.uniform(100, 101, 500),   # far cluster
+    ])
+    ds = ray.data.from_arrow(
+        pa.table({"value": pa.array(vals, pa.float64())})
+    ).repartition(8)
+    n = len(vals)
+    ranks = [0, n // 2, n * 9 // 10, n - 1]
+    got = rank_select(ds, "value", ranks, num_bins=16, collect_cap=200)
+    exp = np.sort(vals)[ranks]
+    assert np.allclose(got, exp, rtol=0, atol=0)
