@@ -670,6 +670,30 @@ FROM documents
 """
 
 
+def q_domain_fileset_previews(sf_dir: str):
+    """Per-domain FILESET summarization: all of a domain's pages compete
+    for one character budget, rendered as `==> url <==` sections — the
+    groupby(key).map_groups realization of the reference's multi-file
+    mode (rows-only: preview strings)."""
+    import ray.data as _rd
+
+    from ..sources.pages import materialize_pages, rows_for_sf_dir
+    from ..stages.derive import add_domain
+    from ..stages.summarize import fileset_preview_group
+
+    rows = min(rows_for_sf_dir(sf_dir), 5000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    ds = _rd.read_parquet(paths, columns=["url", "text"])
+    ds = ds.map_batches(
+        add_domain, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ds.groupby("domain").map_groups(
+        lambda g: fileset_preview_group(g, budget=400, max_files=6),
+        batch_format="pyarrow",
+    )
+    return out
+
+
 def q_image_features(sf_dir: str):
     """Multimodal plumbing over the pages' binary html payload: actor-pool
     feature extraction (rows-only; decode kernel is a deterministic fake,
@@ -1502,6 +1526,7 @@ QUERIES = {
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "regex_token_counts": q_regex_token_counts,
     "value_rank_select": q_value_rank_select,
+    "domain_fileset_previews": q_domain_fileset_previews,
     "props_extract": q_props_extract,
     "summarize_documents": q_summarize_documents,
     "image_features": q_image_features,

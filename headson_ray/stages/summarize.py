@@ -140,3 +140,45 @@ class Summarizer:
         return batch.append_column(
             self.error_column, pa.array(errors, pa.string())
         )
+
+
+def fileset_preview_group(
+    group: pa.Table,
+    *,
+    budget: int = 500,
+    max_files: int = 8,
+    key_column: str = "domain",
+    name_column: str = "url",
+    text_column: str = "text",
+) -> pa.Table:
+    """One budgeted FILESET preview per group key — the Ray-side
+    equivalent of the reference CLI's multi-file mode (SURVEY §1.4:
+    fileset -> groupby(key).map_groups): the group's documents compete
+    for ONE character budget and render as `==> name <==` sections with
+    a trailing `==> N more files <==` marker.
+
+    Deterministic: members sort by name and cap at max_files (the cap is
+    the per-group analogue of the reference's budget-derived array cap —
+    a hot domain's thousands of pages can't blow up one group render).
+    Reuses run_files so config derivation (budget composition, ingest
+    choice by extension, auto template) matches src/main.rs:213-303."""
+    from ..core.cli import CliOptions, run_files
+
+    key = group.column(key_column)[0].as_py() if group.num_rows else None
+    idx = pa.compute.sort_indices(
+        group, sort_keys=[(name_column, "ascending")]
+    )
+    t = group.take(idx)
+    names = t.column(name_column).to_pylist()[:max_files]
+    texts = t.column(text_column).to_pylist()[:max_files]
+    entries = [(n, x or "") for n, x in zip(names, texts)]
+    # -N (global budget): ONE budget shared competitively across the
+    # group's files, exactly like `headson -N` over a directory
+    preview = run_files(CliOptions(global_budget=budget), entries)
+    return pa.table(
+        {
+            key_column: pa.array([key], pa.string()),
+            "n_files": pa.array([group.num_rows], pa.int64()),
+            "preview": pa.array([preview], pa.string()),
+        }
+    )

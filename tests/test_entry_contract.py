@@ -41,6 +41,7 @@ def test_oracle_keys_subset_of_queries():
         "minhash_near_dups", "summarize_documents",
         "image_features", "ivf_topk", "embedding_near_dups_lsh",
         "summarize_pages", "sniff_pages", "cep_stream_windows",
+        "domain_fileset_previews",
     }
 
 

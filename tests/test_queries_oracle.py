@@ -347,3 +347,16 @@ def test_rank_select_multi_round_refinement():
     got = rank_select(ds, "value", ranks, num_bins=16, collect_cap=200)
     exp = np.sort(vals)[ranks]
     assert np.allclose(got, exp, rtol=0, atol=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_domain_fileset_previews_sections_and_budget():
+    got = _to_frame(QUERIES["domain_fileset_previews"](SF_DIR))
+    assert len(got) > 10  # one row per domain present in the sample
+    row = got[got["n_files"] > 6].iloc[0]
+    # fileset sections render and the ONE shared budget is respected
+    assert "==> https://" in row["preview"]
+    import re
+
+    uncolored = re.sub("\x1b\\[[0-9;]*m", "", row["preview"])
+    assert len(uncolored) <= 400
