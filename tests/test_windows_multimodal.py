@@ -221,3 +221,65 @@ def test_write_bucketed_by_domain(tmp_path):
     b = int(some.split("=")[1])
     t = ray.data.read_parquet(f"{out}/{some}").to_pandas()
     assert all(zlib.crc32(d.encode()) % 8 == b for d in t["domain"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_audio_chunk_plan_and_features():
+    """Audio plumbing: chunk plans from typed metadata + actor-pool
+    feature extraction over binary payloads (decode stubbed)."""
+    import ray.data
+
+    from headson_ray.stages.multimodal import (
+        AudioFeatureExtractor,
+        audio_chunk_plan,
+        fake_audio_table,
+    )
+
+    t = fake_audio_table(64)
+    planned = audio_chunk_plan(t, chunk_s=30.0, overlap_s=1.0)
+    metas = t.column("meta").to_pylist()
+    chunks = planned.column("chunks").to_pylist()
+    for m, cs in zip(metas, chunks):
+        assert cs[0][0] == 0
+        assert cs[-1][1] == m["n_samples"]
+        size = 30 * m["sample_rate"]
+        step = 29 * m["sample_rate"]
+        for j, (s, e) in enumerate(cs):
+            assert s == j * step
+            assert e - s <= size
+
+    ds = ray.data.from_arrow(t)
+    out = ds.map_batches(
+        AudioFeatureExtractor,
+        fn_constructor_kwargs=dict(dim=32),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+        batch_size=16,
+        num_cpus=1,
+    )
+    import pyarrow as pa
+
+    got = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    assert got.num_rows == 64
+    f = got.column("audio_features").to_pylist()
+    assert len(f[0]) == 32 and all(0.0 <= x < 1.0 for x in f[0])
+    # deterministic across runs
+    got2 = pa.concat_tables(
+        ray.data.from_arrow(t).map_batches(
+            AudioFeatureExtractor,
+            fn_constructor_kwargs=dict(dim=32),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=2, batch_size=16, num_cpus=1,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    assert f == got2.column("audio_features").to_pylist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_audio_real_decoder_is_honest_stub():
+    from headson_ray.stages.multimodal import AudioFeatureExtractor
+
+    ex = AudioFeatureExtractor(dim=8, use_real_decoder=True)
+    with pytest.raises(NotImplementedError):
+        ex._features(b"abc")
