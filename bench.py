@@ -128,6 +128,8 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "tumbling_events", "sliding_events", "session_events",
         "dedup_exact", "token_stats", "knn_topk", "lineitem_agg",
         "orders_by_segment", "minhash_near_dups",
+        "ngram_jaccard_pairs", "simhash_near_dups", "near_dup_canonical",
+        "heavy_hitter_tokens", "value_rank_select", "regex_token_counts",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)
