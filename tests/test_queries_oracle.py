@@ -360,3 +360,38 @@ def test_domain_fileset_previews_sections_and_budget():
 
     uncolored = re.sub("\x1b\\[[0-9;]*m", "", row["preview"])
     assert len(uncolored) <= 400
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_near_dups_precision_and_high_sim_recall():
+    """Verification makes precision exactly 1 (every emitted pair has
+    true jaccard >= threshold); banding recall for HIGH-similarity pairs
+    (j >= 0.8 -> detection prob ~0.9996 per pair, deterministic here via
+    fixed seeds) must be total on this corpus."""
+    import pyarrow.parquet as pq
+
+    from headson_ray.stages.dedup import jaccard, word_shingles
+
+    docs = pq.read_table(
+        Path(SF_DIR) / "documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    sh = {i: word_shingles(t or "", 3) for i, t in zip(ids, texts)}
+    exact_05, exact_08 = set(), set()
+    sids = sorted(sh)
+    for x in range(len(sids)):
+        for y in range(x + 1, len(sids)):
+            a, b = sids[x], sids[y]
+            if not (sh[a] or sh[b]):
+                continue
+            j = jaccard(sh[a], sh[b])
+            if j >= 0.5:
+                exact_05.add((a, b))
+            if j >= 0.8:
+                exact_08.add((a, b))
+    got = _to_frame(QUERIES["minhash_near_dups"](SF_DIR))
+    got_pairs = set(zip(got["a"], got["b"]))
+    assert got_pairs <= exact_05          # precision = 1
+    assert exact_08 <= got_pairs          # high-sim pairs all found
+    assert (got["jaccard"] >= 0.5).all()
