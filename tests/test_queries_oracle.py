@@ -395,3 +395,42 @@ def test_minhash_near_dups_precision_and_high_sim_recall():
     assert got_pairs <= exact_05          # precision = 1
     assert exact_08 <= got_pairs          # high-sim pairs all found
     assert (got["jaccard"] >= 0.5).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_ngram_jaccard_randomized_equals_brute_force(seed):
+    """Adversarial prefix-filter check: tiny vocabulary (maximal shingle
+    collisions), highly variable doc lengths, duplicate docs — the
+    pipeline must still find EXACTLY the brute-force pair set."""
+    import numpy as np
+    import ray.data
+
+    from headson_ray.stages.dedup import (
+        jaccard,
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    rng = np.random.RandomState(seed)
+    vocab = ["a", "b", "c", "d", "e"]
+    texts = []
+    for i in range(120):
+        n = int(rng.randint(1, 25))
+        texts.append(" ".join(vocab[rng.randint(0, len(vocab))]
+                              for _ in range(n)))
+    # inject exact dups and prefix-sharing docs
+    texts[5] = texts[6]
+    texts[10] = texts[11] + " a"
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    sh = {i: word_shingles(t, 3) for i, t in enumerate(texts)}
+    expected = set()
+    for x in range(len(texts)):
+        for y in range(x + 1, len(texts)):
+            if (sh[x] or sh[y]) and jaccard(sh[x], sh[y]) >= 0.5:
+                expected.add((x, y))
+    got = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    assert set(zip(got["a"], got["b"])) == expected
