@@ -223,6 +223,8 @@ class CepEngine:
         summarizer_concurrency: int | tuple = 4,
         seen_mem_entries: int = 500_000,
         seen_mode: str = "exact",
+        distributed_merge_threshold: int = 500_000,
+        merge_parts: int = 8,
     ):
         self.sink = ExactlyOnceSink(out_dir)
         self.checkpoint_dir = checkpoint_dir
@@ -244,6 +246,14 @@ class CepEngine:
         self.watermark = -1
         # highest window id already emitted for the sliding flow
         self.sliding_frontier = -(1 << 62)
+        # when one finalization holds more open windows than this, the
+        # second-phase merge runs DISTRIBUTED (actors spill partials to
+        # parquet, a Ray groupby merges, deterministic partitioned
+        # write) instead of concatenating partials on the driver — the
+        # final flush of a long stream would otherwise materialize every
+        # remaining pane driver-side
+        self.distributed_merge_threshold = distributed_merge_threshold
+        self.merge_parts = merge_parts
         # optional per-document summarize stage chained ahead of the window
         # flow: previews are written exactly-once per micro-batch and the
         # window stage consumes the durable preview output.
@@ -323,6 +333,112 @@ class CepEngine:
             concurrency=self.summarizer_concurrency,
         )
 
+    def _finalize_flows(self, b: int, max_window: int, wm: int) -> dict:
+        """Finalize all three window flows for micro-batch `b` and write
+        them through the sink. Driver-merge for small finalizations (low
+        latency); distributed merge (actor spill -> Ray groupby ->
+        deterministic partitioned write) once the open-window count
+        crosses the threshold."""
+        import os
+
+        pre = ray.get([a.stats.remote() for a in self.actors])
+        open_total = sum(
+            st["open_panes"] + st["open_slides"] + st["open_sessions"]
+            for st in pre
+        )
+        if open_total > self.distributed_merge_threshold:
+            spill_root = os.path.join(
+                self.checkpoint_dir, "merge-spill", f"b{b:06d}"
+            )
+
+            def paths(tag: str) -> list[str]:
+                return [
+                    os.path.join(spill_root, f"{tag}-actor-{i:04d}.parquet")
+                    for i in range(len(self.actors))
+                ]
+
+            pane_p = paths("panes")
+            slide_p = paths("slides")
+            sess_p = paths("sessions")
+            pane_n = ray.get(
+                [
+                    a.finalize_upto.remote(max_window, p)
+                    for a, p in zip(self.actors, pane_p)
+                ]
+            )
+            slide_n = ray.get(
+                [
+                    a.finalize_sliding.remote(
+                        self.sliding_frontier, max_window, p
+                    )
+                    for a, p in zip(self.actors, slide_p)
+                ]
+            )
+            sess_n = ray.get(
+                [
+                    a.finalize_sessions.remote(wm, p)
+                    for a, p in zip(self.actors, sess_p)
+                ]
+            )
+            n_win = self.sink.write_windows_distributed(
+                b,
+                [p for p, n in zip(pane_p, pane_n) if n],
+                kind="windows",
+                sum_fields=PANE_FIELDS,
+                num_parts=self.merge_parts,
+            )
+            n_slide = self.sink.write_windows_distributed(
+                b,
+                [p for p, n in zip(slide_p, slide_n) if n],
+                kind="sliding",
+                sum_fields=["n_pages", "total_chars"],
+                num_parts=self.merge_parts,
+            )
+            n_sess = self.sink.write_windows_distributed(
+                b,
+                [p for p, n in zip(sess_p, sess_n) if n],
+                kind="sessions",
+                sum_fields=None,
+                sort_keys=[
+                    ("domain", "ascending"),
+                    ("session_start", "ascending"),
+                ],
+                num_parts=self.merge_parts,
+            )
+            out_path = str(self.sink.out_dir / f"windows-b{b:06d}")
+            return {
+                "windows": n_win,
+                "sliding": n_slide,
+                "sessions": n_sess,
+                "out_file": out_path,
+                "merge_mode": "distributed",
+            }
+        partials = ray.get(
+            [a.finalize_upto.remote(max_window) for a in self.actors]
+        )
+        finalized = _merge_pane_partials(partials)
+        slide_partials = ray.get(
+            [
+                a.finalize_sliding.remote(self.sliding_frontier, max_window)
+                for a in self.actors
+            ]
+        )
+        sliding = _merge_sliding_partials(slide_partials)
+        sess_parts = ray.get(
+            [a.finalize_sessions.remote(wm) for a in self.actors]
+        )
+        sessions = _merge_session_partials(sess_parts)
+        path = self.sink.write_windows(b, finalized)
+        self.sink.write_windows(b, sliding, kind="sliding")
+        self.sink.write_windows(b, sessions, kind="sessions")
+        return {
+            "windows": finalized.num_rows,
+            "sliding": sliding.num_rows,
+            "sessions": sessions.num_rows,
+            "out_file": path,
+            "merge_mode": "driver",
+        }
+
     def run(
         self,
         shard_groups: list[list[str]],
@@ -386,26 +502,9 @@ class CepEngine:
             self.watermark = max(self.watermark, batch_max_ts)
             wm = self.watermark - self.lateness_us
             max_window = wm // self.window_size_us - 1
-            partials = ray.get(
-                [a.finalize_upto.remote(max_window) for a in self.actors]
-            )
-            finalized = _merge_pane_partials(partials)
+            counts = self._finalize_flows(b, max_window, wm)
             actor_stats = ray.get([a.stats.remote() for a in self.actors])
-            slide_partials = ray.get(
-                [
-                    a.finalize_sliding.remote(self.sliding_frontier, max_window)
-                    for a in self.actors
-                ]
-            )
-            sliding = _merge_sliding_partials(slide_partials)
-            sess_parts = ray.get(
-                [a.finalize_sessions.remote(wm) for a in self.actors]
-            )
-            sessions = _merge_session_partials(sess_parts)
             self.sliding_frontier = max(self.sliding_frontier, max_window)
-            path = self.sink.write_windows(b, finalized)
-            self.sink.write_windows(b, sliding, kind="sliding")
-            self.sink.write_windows(b, sessions, kind="sessions")
             ray.get([a.snapshot.remote(b) for a in self.actors])
             self.sink.commit(
                 b,
@@ -413,13 +512,12 @@ class CepEngine:
                     "shards": shards,
                     "rows": int(batch_rows),
                     "watermark": int(self.watermark),
-                    "windows_finalized": int(
-                        finalized.num_rows if finalized is not None else 0
-                    ),
-                    "sliding_finalized": int(sliding.num_rows),
-                    "sessions_finalized": int(sessions.num_rows),
+                    "windows_finalized": int(counts["windows"]),
+                    "sliding_finalized": int(counts["sliding"]),
+                    "sessions_finalized": int(counts["sessions"]),
                     "max_window": int(max_window),
-                    "out_file": path,
+                    "out_file": counts["out_file"],
+                    "merge_mode": counts["merge_mode"],
                     "state_version": b,
                     # per-partition lineage: row spread + late drops per
                     # state actor at commit time
@@ -429,31 +527,17 @@ class CepEngine:
                     ],
                 },
             )
-            windows_emitted += finalized.num_rows
-            sliding_emitted += sliding.num_rows
-            sessions_emitted += sessions.num_rows
+            windows_emitted += counts["windows"]
+            sliding_emitted += counts["sliding"]
+            sessions_emitted += counts["sessions"]
         if final_flush and n_batches > start_batch:
             b = n_batches
             if b not in self.sink.committed_batches():
-                partials = ray.get(
-                    [a.finalize_upto.remote(2**62) for a in self.actors]
-                )
-                finalized = _merge_pane_partials(partials)
-                slide_partials = ray.get(
-                    [
-                        a.finalize_sliding.remote(self.sliding_frontier, 2**62)
-                        for a in self.actors
-                    ]
-                )
-                sliding = _merge_sliding_partials(slide_partials)
-                sess_parts = ray.get(
-                    [a.finalize_sessions.remote(2**62) for a in self.actors]
-                )
-                sessions = _merge_session_partials(sess_parts)
+                # the final flush finalizes EVERY remaining window — the
+                # case most likely to cross the distributed-merge
+                # threshold on a long stream
+                counts = self._finalize_flows(b, 2**62, 2**62)
                 self.sliding_frontier = 2**62
-                path = self.sink.write_windows(b, finalized)
-                self.sink.write_windows(b, sliding, kind="sliding")
-                self.sink.write_windows(b, sessions, kind="sessions")
                 ray.get([a.snapshot.remote(b) for a in self.actors])
                 self.sink.commit(
                     b,
@@ -461,17 +545,18 @@ class CepEngine:
                         "shards": [],
                         "rows": 0,
                         "watermark": int(self.watermark),
-                        "windows_finalized": int(finalized.num_rows),
-                        "sliding_finalized": int(sliding.num_rows),
-                        "sessions_finalized": int(sessions.num_rows),
+                        "windows_finalized": int(counts["windows"]),
+                        "sliding_finalized": int(counts["sliding"]),
+                        "sessions_finalized": int(counts["sessions"]),
                         "max_window": 2**62,
-                        "out_file": path,
+                        "out_file": counts["out_file"],
+                        "merge_mode": counts["merge_mode"],
                         "state_version": b,
                     },
                 )
-                windows_emitted += finalized.num_rows
-                sliding_emitted += sliding.num_rows
-                sessions_emitted += sessions.num_rows
+                windows_emitted += counts["windows"]
+                sliding_emitted += counts["sliding"]
+                sessions_emitted += counts["sessions"]
         actor_stats = ray.get([a.stats.remote() for a in self.actors])
         return {
             "rows_processed": rows_processed,

@@ -61,6 +61,88 @@ class ExactlyOnceSink:
         finally:
             os.close(fd)
 
+    def write_windows_distributed(
+        self,
+        batch_idx: int,
+        partial_paths: list[str],
+        *,
+        kind: str = "windows",
+        sum_fields: list[str] | None = None,
+        group_keys: tuple[str, str] = ("domain", "window_id"),
+        sort_keys: list[tuple[str, str]] | None = None,
+        num_parts: int = 8,
+    ) -> int:
+        """DISTRIBUTED second-phase merge + deterministic partitioned
+        write — the scale path when a micro-batch (or the final flush)
+        finalizes too many windows to concat on the driver.
+
+        Per-actor partial parquet files are read as a Dataset, rows route
+        to hash(domain) % num_parts partitions (co-partitioned with the
+        actors' salted split, so each (domain, window) merges within ONE
+        partition), each partition sums `sum_fields` (or passes through
+        when None, e.g. sessions), sorts deterministically, and writes
+        its own part file (parallel IO, tmp+rename). Replays wipe the
+        batch directory first and regenerate byte-identical parts, so
+        exactly-once semantics match the single-file path. Returns the
+        merged row count."""
+        import shutil
+        import zlib
+
+        import ray.data
+
+        out_dir = self.out_dir / f"{kind}-b{batch_idx:06d}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        if not partial_paths:
+            return 0
+        ds = ray.data.read_parquet(partial_paths)
+        if sort_keys is None:
+            sort_keys = [(group_keys[1], "ascending"),
+                         (group_keys[0], "ascending")]
+
+        def add_part(b: pa.Table) -> pa.Table:
+            parts = pa.array(
+                [
+                    zlib.crc32((d or "").encode()) % num_parts
+                    for d in b.column(group_keys[0]).to_pylist()
+                ],
+                pa.int32(),
+            )
+            return b.append_column("part", parts)
+
+        ds = ds.map_batches(
+            add_part, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def merge_write(group: pa.Table) -> pa.Table:
+            part = group.column("part")[0].as_py()
+            t = group.drop_columns(["part"])
+            if sum_fields:
+                t = t.group_by(list(group_keys)).aggregate(
+                    [(f, "sum") for f in sum_fields]
+                )
+                t = t.rename_columns(
+                    [
+                        c[:-4] if c.endswith("_sum") else c
+                        for c in t.column_names
+                    ]
+                )
+            t = t.take(pa.compute.sort_indices(t, sort_keys=sort_keys))
+            path = out_dir / f"part-{part:04d}.parquet"
+            tmp = path.with_suffix(".tmp")
+            pq.write_table(t, tmp)
+            os.replace(tmp, path)
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        counts = ds.groupby("part").map_groups(
+            merge_write, batch_format="pyarrow"
+        )
+        return sum(
+            r["n"]
+            for b in counts.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        )
+
     def read_all_windows(self, kind: str = "windows") -> pa.Table | None:
         committed = self.committed_batches()
         tables = []
@@ -68,6 +150,10 @@ class ExactlyOnceSink:
             p = self.out_dir / f"{kind}-b{b:06d}.parquet"
             if p.exists():
                 tables.append(pq.read_table(p))
+            d = self.out_dir / f"{kind}-b{b:06d}"
+            if d.is_dir():
+                for part in sorted(d.glob("part-*.parquet")):
+                    tables.append(pq.read_table(part))
         if not tables:
             return None
-        return pa.concat_tables(tables)
+        return pa.concat_tables(tables, promote_options="permissive")

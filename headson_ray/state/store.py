@@ -409,8 +409,24 @@ class StateStoreActor:
         return n_merged
 
     # --- finalization -----------------------------------------------------
-    def finalize_upto(self, max_window_id: int) -> "pa.Table":
-        """Emit and drop tumbling panes with window_id <= max_window_id."""
+    def _spill_partial(self, table: "pa.Table", spill_path: str) -> int:
+        """Write a finalization partial to parquet (tmp+rename; replays
+        regenerate byte-identical content from the restored state) and
+        return its row count — the driver never holds partial rows."""
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(spill_path), exist_ok=True)
+        tmp = spill_path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, spill_path)
+        return table.num_rows
+
+    def finalize_upto(
+        self, max_window_id: int, spill_path: str | None = None
+    ) -> "pa.Table | int":
+        """Emit and drop tumbling panes with window_id <= max_window_id.
+        With spill_path the partial goes to parquet (distributed-merge
+        mode) and only the row count returns."""
         self.frontier = max(self.frontier, max_window_id)
         done = [k for k in self.panes if k[1] <= max_window_id]
         done.sort()
@@ -423,7 +439,7 @@ class StateStoreActor:
             cols["window_id"].append(key[1])
             for f, v in zip(PANE_FIELDS, pane):
                 cols[f].append(v)
-        return pa.table(
+        table = pa.table(
             {
                 "domain": pa.array(cols["domain"], pa.string()),
                 "window_id": pa.array(cols["window_id"], pa.int64()),
@@ -432,9 +448,13 @@ class StateStoreActor:
                 },
             }
         )
+        if spill_path is not None:
+            return self._spill_partial(table, spill_path)
+        return table
 
     def finalize_sliding(self, prev_max_window: int,
-                         max_window_id: int) -> "pa.Table":
+                         max_window_id: int,
+                         spill_path: str | None = None) -> "pa.Table | int":
         """Emit sliding-window partials for window ids in
         (prev_max_window, max_window_id]: window w sums the additive slide
         fields over slides [w - slide_count + 1, w]. Slides older than
@@ -472,7 +492,7 @@ class StateStoreActor:
             prune_below = max_window_id - k + 1
             for key in [k2 for k2 in self.slides if k2[1] < prune_below]:
                 del self.slides[key]
-        return pa.table(
+        table = pa.table(
             {
                 "domain": pa.array(out["domain"], pa.string()),
                 "window_id": pa.array(out["window_id"], pa.int64()),
@@ -480,8 +500,13 @@ class StateStoreActor:
                 "total_chars": pa.array(out["total_chars"], pa.int64()),
             }
         )
+        if spill_path is not None:
+            return self._spill_partial(table, spill_path)
+        return table
 
-    def finalize_sessions(self, watermark_us: int) -> "pa.Table":
+    def finalize_sessions(
+        self, watermark_us: int, spill_path: str | None = None
+    ) -> "pa.Table | int":
         """Emit sessions that can no longer grow: end + gap <= watermark."""
         gap = self.session_gap_us
         self.session_frontier = max(self.session_frontier, watermark_us)
@@ -505,7 +530,7 @@ class StateStoreActor:
                 empty_domains.append(d)
         for d in empty_domains:
             del self.sessions[d]
-        return pa.table(
+        table = pa.table(
             {
                 "domain": pa.array(out["domain"], pa.string()),
                 **{
@@ -513,6 +538,9 @@ class StateStoreActor:
                 },
             }
         )
+        if spill_path is not None:
+            return self._spill_partial(table, spill_path)
+        return table
 
     def pending_windows(self) -> list[int]:
         return sorted({w for (_, w) in self.panes})
