@@ -43,6 +43,15 @@ def main() -> int:
     ap.add_argument("--state-actors", type=int, default=8)
     ap.add_argument("--summarize-budget", type=int, default=None,
                     help="enable the per-document summarize stage")
+    ap.add_argument("--seen-mem-entries", type=int, default=500_000,
+                    help="hot-tier cap of the tiered dedup state")
+    ap.add_argument("--seen-mode", choices=["exact", "bloom"],
+                    default="exact",
+                    help="exact tiered dedup or approximate bloom mode")
+    ap.add_argument("--distributed-merge-threshold", type=int,
+                    default=500_000,
+                    help="open-window count above which the second-phase "
+                         "merge runs distributed instead of driver-side")
     args = ap.parse_args()
 
     import ray
@@ -69,6 +78,9 @@ def main() -> int:
         slide_count=args.slide_count,
         session_gap_s=args.session_gap_s,
         summarize_budget=args.summarize_budget,
+        seen_mem_entries=args.seen_mem_entries,
+        seen_mode=args.seen_mode,
+        distributed_merge_threshold=args.distributed_merge_threshold,
     )
     if args.prior:
         n = eng.load_prior_crawl(sorted(glob.glob(args.prior)))
