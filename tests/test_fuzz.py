@@ -90,3 +90,42 @@ def test_yaml_input_never_crashes(text, budget):
         assert isinstance(out, str)
     except Exception as e:
         assert type(e).__name__ in ("YamlParseError", "ValueError"), e
+
+
+@settings(max_examples=200, deadline=None)
+@given(strs=st.lists(st.text(max_size=40), max_size=30))
+def test_hash_strings_matches_int_reference(strs):
+    """The vectorized U-matrix/unpad path must equal the python-int
+    Horner+mix reference for arbitrary unicode strings (incl. embedded
+    NULs, empty strings, astral-plane codepoints)."""
+    import numpy as np
+
+    from headson_ray.stages.hashing import hash_strings, horner_hash_int
+
+    got = hash_strings(strs)
+    exp = np.array([horner_hash_int(s) for s in strs], dtype=np.uint64)
+    assert (got == exp).all() if len(strs) else got.size == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=400,
+    ),
+    data=st.data(),
+)
+def test_rank_select_matches_sorted_selection(ray_session, vals, data):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from headson_ray.stages.sketch import rank_select
+
+    k = data.draw(st.integers(min_value=0, max_value=len(vals) - 1))
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(vals, pa.float64())})
+    )
+    got = rank_select(ds, "v", [k], num_bins=8, collect_cap=16)
+    assert got[0] == float(np.sort(np.asarray(vals))[k])
