@@ -1366,6 +1366,61 @@ FROM events e
 """
 
 
+def q_click_purchase_pairs(sf_dir: str):
+    """Event-sequence interval join (CEP pattern `click -> purchase`
+    within 1 hour, per user): count qualifying (click, purchase) pairs
+    for every user. Implemented as groupby(user).map_groups with a
+    vectorized searchsorted window count — the per-key sweep pattern for
+    stream-stream interval joins. Partitioning assumption: one user's
+    events fit in memory (salt by time range for pathological keys)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def pairs(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id")[0].as_py()
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        clicks = np.sort(ts[et == "click"])
+        purchases = ts[et == "purchase"]
+        if clicks.size == 0 or purchases.size == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        lo = np.searchsorted(clicks, purchases - HOUR_US, side="left")
+        hi = np.searchsorted(clicks, purchases, side="left")  # strict <
+        n = int((hi - lo).sum())
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_pairs": pa.array([n], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(pairs, batch_format="pyarrow")
+
+
+SQL_CLICK_PURCHASE_PAIRS = f"""
+SELECT c.user_id, count(*) AS n_pairs
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(c.ts) < epoch_us(p.ts)
+ AND epoch_us(p.ts) - epoch_us(c.ts) <= {HOUR_US}
+GROUP BY c.user_id
+"""
+
+
 def q_revenue_by_priority(sf_dir: str):
     """Fact-fact hash-partitioned join (TPC-H Q3-ish): lineitem x orders
     on orderkey — both sides too big to broadcast at scale — then
@@ -1527,6 +1582,7 @@ QUERIES = {
     "regex_token_counts": q_regex_token_counts,
     "value_rank_select": q_value_rank_select,
     "domain_fileset_previews": q_domain_fileset_previews,
+    "click_purchase_pairs": q_click_purchase_pairs,
     "props_extract": q_props_extract,
     "summarize_documents": q_summarize_documents,
     "image_features": q_image_features,
@@ -1583,4 +1639,5 @@ ORACLE_SQL = {
     "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
     "regex_token_counts": SQL_REGEX_TOKEN_COUNTS,
     "value_rank_select": SQL_VALUE_RANK_SELECT,
+    "click_purchase_pairs": SQL_CLICK_PURCHASE_PAIRS,
 }
