@@ -347,6 +347,7 @@ class CepEngine:
             for st in pre
         )
         if open_total > self.distributed_merge_threshold:
+            import shutil
             spill_root = os.path.join(
                 self.checkpoint_dir, "merge-spill", f"b{b:06d}"
             )
@@ -405,6 +406,10 @@ class CepEngine:
                 ],
                 num_parts=self.merge_parts,
             )
+            # partials are fully merged into the sink parts; a replay
+            # regenerates them from restored actor state, so the spill
+            # dir must not accumulate over a long stream
+            shutil.rmtree(spill_root, ignore_errors=True)
             out_path = str(self.sink.out_dir / f"windows-b{b:06d}")
             return {
                 "windows": n_win,
@@ -412,6 +417,7 @@ class CepEngine:
                 "sessions": n_sess,
                 "out_file": out_path,
                 "merge_mode": "distributed",
+                "actor_stats": pre,
             }
         partials = ray.get(
             [a.finalize_upto.remote(max_window) for a in self.actors]
@@ -437,6 +443,10 @@ class CepEngine:
             "sessions": sessions.num_rows,
             "out_file": path,
             "merge_mode": "driver",
+            # finalization does not change n_late/rows_seen, so the
+            # pre-finalize stats serve the commit lineage (no second
+            # per-batch stats round-trip)
+            "actor_stats": pre,
         }
 
     def run(
@@ -448,6 +458,11 @@ class CepEngine:
         """Process micro-batches; resume-safe. Returns run metrics."""
         committed = self.sink.committed_batches()
         start_batch = 0
+        if not committed:
+            # FRESH stream over a possibly-reused checkpoint dir: drop
+            # any previous run's spilled seen-state so stale urls can't
+            # masquerade as duplicates (resume keeps it — it IS state)
+            ray.get([a.reset_cold_tier.remote() for a in self.actors])
         if committed:
             last = max(committed)
             # restore state as of the last committed batch
@@ -503,7 +518,7 @@ class CepEngine:
             wm = self.watermark - self.lateness_us
             max_window = wm // self.window_size_us - 1
             counts = self._finalize_flows(b, max_window, wm)
-            actor_stats = ray.get([a.stats.remote() for a in self.actors])
+            actor_stats = counts["actor_stats"]
             self.sliding_frontier = max(self.sliding_frontier, max_window)
             ray.get([a.snapshot.remote(b) for a in self.actors])
             self.sink.commit(

@@ -41,6 +41,14 @@ class ExactlyOnceSink:
     ) -> str | None:
         """Write one micro-batch's finalized windows (deterministic name).
         `kind` tags the window flow: windows | sliding | sessions."""
+        import shutil
+
+        # a replay may switch merge modes (threshold changed between
+        # runs): drop the OTHER mode's artifact for this batch so
+        # read_all_windows never double-counts
+        shutil.rmtree(
+            self.out_dir / f"{kind}-b{batch_idx:06d}", ignore_errors=True
+        )
         if table.num_rows == 0:
             return None
         path = self.out_dir / f"{kind}-b{batch_idx:06d}.parquet"
@@ -92,6 +100,10 @@ class ExactlyOnceSink:
 
         out_dir = self.out_dir / f"{kind}-b{batch_idx:06d}"
         shutil.rmtree(out_dir, ignore_errors=True)
+        # mode-switch replay symmetry: drop the single-file form too
+        single = self.out_dir / f"{kind}-b{batch_idx:06d}.parquet"
+        if single.exists():
+            single.unlink()
         out_dir.mkdir(parents=True, exist_ok=True)
         if not partial_paths:
             return 0

@@ -21,17 +21,14 @@ import pyarrow.compute as pc
 import ray.data
 
 TEXT_COLUMNS = ["url", "warc_ts", "text", "lang"]
-ISO_FMT = "%Y-%m-%dT%H:%M:%S%.f"
 
 
 def _normalize(batch: pa.Table) -> pa.Table:
     ts = batch.column("warc_ts")
-    if pa.types.is_string(ts.type) or pa.types.is_large_string(ts.type):
-        ts = pc.strptime(ts, format=ISO_FMT, unit="us")
-    elif pa.types.is_timestamp(ts.type):
-        ts = pc.cast(ts, pa.timestamp("us"))
-    else:  # integer epoch micros
-        ts = pc.cast(ts, pa.timestamp("us"))
+    # pc.cast string->timestamp parses ISO-8601 including fractional
+    # seconds (strptime's %f variants do NOT cover arrow's grammar);
+    # integer/epoch and coarser timestamp inputs cast the same way
+    ts = pc.cast(ts, pa.timestamp("us"))
     return pa.table(
         {
             "url": pc.cast(batch.column("url"), pa.string()),

@@ -332,11 +332,16 @@ def _verify_pairs_parallel(
             s2 = sm.get(y, empty)
             inter = len(np.intersect1d(s1, s2, assume_unique=True))
             union = len(s1) + len(s2) - inter
+            # two empty shingle sets are identical documents: j = 1
             ppm = 1_000_000 if union == 0 else inter * 1_000_000 // union
             if ppm >= thr_ppm:
                 out_a.append(x)
                 out_b.append(y)
-                out_j.append(ppm if emit_ppm else inter / union)
+                out_j.append(
+                    ppm
+                    if emit_ppm
+                    else (1.0 if union == 0 else inter / union)
+                )
         return pa.table(
             {
                 "a": pa.array(out_a, pa.int64()),
@@ -824,9 +829,13 @@ def components_min_label(
         )
         new_sum = labels.sum("lbl")
         if new_sum == prev_sum:
-            break
+            return labels
         prev_sum = new_sum
-    return labels
+    raise RuntimeError(
+        f"components_min_label did not converge in {max_iters} iterations"
+        " (component diameter exceeds max_iters; raise it or pre-contract"
+        " the graph)"
+    )
 
 
 def near_dup_canonical(

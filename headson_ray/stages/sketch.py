@@ -254,11 +254,14 @@ def heavy_hitter_tokens(
     )
     top = t.take(idx).slice(0, k)
     # exactness guarantee: the k-th exact count must clear the sketch's
-    # miss threshold, else a more frequent token could have been dropped
+    # miss threshold, else a more frequent token could have been dropped.
+    # A real exception (not assert — `python -O` would silence the
+    # documented exactness gate).
     if top.num_rows == k and total_tokens:
         kth = top.column("n")[k - 1].as_py()
-        assert kth > total_tokens / (capacity + 1), (
-            f"heavy-hitter guarantee violated: raise capacity "
-            f"(kth={kth}, N/(C+1)={total_tokens / (capacity + 1):.1f})"
-        )
+        if kth <= total_tokens / (capacity + 1):
+            raise ValueError(
+                f"heavy-hitter guarantee violated: raise capacity "
+                f"(kth={kth}, N/(C+1)={total_tokens / (capacity + 1):.1f})"
+            )
     return top

@@ -173,8 +173,12 @@ def fileset_preview_group(
     texts = t.column(text_column).to_pylist()[:max_files]
     entries = [(n, x or "") for n, x in zip(names, texts)]
     # -N (global budget): ONE budget shared competitively across the
-    # group's files, exactly like `headson -N` over a directory
-    preview = run_files(CliOptions(global_budget=budget), entries)
+    # group's files, exactly like `headson -N` over a directory.
+    # color pinned OFF: dataset columns must not depend on worker env
+    # (auto mode would embed ANSI under CLICOLOR_FORCE/FORCE_COLOR)
+    preview = run_files(
+        CliOptions(global_budget=budget, color=False), entries
+    )
     return pa.table(
         {
             key_column: pa.array([key], pa.string()),

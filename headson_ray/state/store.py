@@ -163,6 +163,23 @@ class SeenStore:
             )
         return n
 
+    def reset_cold_tier(self) -> None:
+        """Drop any cold-tier state from a PREVIOUS run. Called by the
+        engine when it starts a FRESH stream (no committed batches) over
+        a reused checkpoint dir — without this, stale spilled urls would
+        silently count new pages as duplicates. Never called on resume
+        (the cold tier there IS the restored state)."""
+        if self.con is not None:
+            self.con.close()
+            self.con = None
+        if os.path.exists(self.spill_path):
+            os.remove(self.spill_path)
+        self.spilled = False
+        self.mem.clear()
+        self.mem_count = 0
+        self.total = 0
+        self.current_batch = 0
+
     # -- checkpoint integration -------------------------------------------
     def checkpoint_commit(self, batch_idx: int) -> None:
         if self.con is not None:
@@ -321,6 +338,9 @@ class StateStoreActor:
     def load_prior(self, urls: list[str], fps: list[int]) -> int:
         self.prior.update(urls, fps)
         return len(self.prior)
+
+    def reset_cold_tier(self) -> None:
+        self.seen.reset_cold_tier()
 
     # --- per-micro-batch update ------------------------------------------
     def update(self, batch: dict) -> int:

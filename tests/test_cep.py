@@ -599,3 +599,88 @@ def test_cep_distributed_merge_kill_resume_byte_equal(
         return h
 
     assert digest(tmp_path / "odm-clean" ) == digest(tmp_path / "odm-resume")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fresh_run_resets_stale_cold_tier(pages_shards, prior_crawl,
+                                          tmp_path):
+    """A FRESH stream over a reused checkpoint dir must not consult the
+    previous run's spilled seen-state (review finding): run twice with a
+    tiny hot tier + same checkpoint dir but fresh out dirs; the second
+    run's panes must equal the first's."""
+    paths, src = pages_shards
+    prior_path, _, _ = prior_crawl
+    groups = [[p] for p in paths]
+    ckpt = str(tmp_path / "ckpt-shared")
+
+    def run(outdir):
+        eng = CepEngine(
+            out_dir=str(tmp_path / outdir),
+            checkpoint_dir=ckpt,
+            num_state_actors=2,
+            window_size_s=WINDOW_S,
+            allowed_lateness_s=LATENESS_S,
+            seen_mem_entries=40,
+        )
+        eng.load_prior_crawl([prior_path])
+        eng.run(groups)
+        return _pane_dict(eng.sink.read_all_windows())
+
+    first = run("out-first")
+    second = run("out-second")
+    assert second == first  # stale spilled urls would inflate n_dup
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_mode_switch_on_resume_no_double_count(
+    pages_shards, prior_crawl, tmp_path
+):
+    """Crash after a driver-mode write but before commit, then resume
+    with distributed merge: the stale single-file artifact must not be
+    double-counted next to the new directory parts (review finding)."""
+    paths, src = pages_shards
+    prior_path, _, _ = prior_crawl
+    groups = [[p] for p in paths]
+
+    def mk(threshold):
+        eng = CepEngine(
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            num_state_actors=2,
+            window_size_s=WINDOW_S,
+            allowed_lateness_s=LATENESS_S,
+            distributed_merge_threshold=threshold,
+            merge_parts=3,
+        )
+        eng.load_prior_crawl([prior_path])
+        return eng
+
+    # driver-mode run of the first two batches, commits present
+    eng1 = mk(1 << 60)
+    eng1.run(groups[:2], final_flush=False)
+    # simulate a crash AFTER batch-2 files were written but BEFORE its
+    # commit: run batch 3 then strip its commit record
+    eng1.run(groups[:3], final_flush=False)
+    manifest = tmp_path / "out" / "MANIFEST.jsonl"
+    lines = manifest.read_text().splitlines()
+    import json as _json
+
+    keep = [ln for ln in lines
+            if _json.loads(ln).get("batch") != 2]
+    manifest.write_text("\n".join(keep) + "\n")
+
+    # resume with the OPPOSITE merge mode: batch 2 replays distributed
+    eng2 = mk(0)
+    eng2.run(groups)
+    got = _pane_dict(eng2.sink.read_all_windows())
+
+    clean = CepEngine(
+        out_dir=str(tmp_path / "out-clean"),
+        checkpoint_dir=str(tmp_path / "ckpt-clean"),
+        num_state_actors=2,
+        window_size_s=WINDOW_S,
+        allowed_lateness_s=LATENESS_S,
+    )
+    clean.load_prior_crawl([prior_path])
+    clean.run(groups)
+    assert got == _pane_dict(clean.sink.read_all_windows())

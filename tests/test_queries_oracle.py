@@ -434,3 +434,38 @@ def test_ngram_jaccard_randomized_equals_brute_force(seed):
                 expected.add((x, y))
     got = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
     assert set(zip(got["a"], got["b"])) == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_handles_empty_documents():
+    """Two empty docs form a candidate pair with empty shingle sets —
+    must emit jaccard 1.0, not ZeroDivisionError (review finding)."""
+    import ray.data
+
+    from headson_ray.stages.dedup import minhash_near_dups
+
+    texts = ["", "   ", "a real document with several words inside it"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    got = minhash_near_dups(ds, threshold=0.5).to_pandas()
+    pairs = dict(zip(zip(got["a"], got["b"]), got["jaccard"]))
+    assert pairs.get((0, 1)) == 1.0
+
+
+def test_fileset_preview_color_pinned_off(monkeypatch):
+    """Preview data must be byte-identical regardless of worker env:
+    CLICOLOR_FORCE must not inject ANSI (review finding)."""
+    from headson_ray.stages.summarize import fileset_preview_group
+
+    monkeypatch.setenv("CLICOLOR_FORCE", "1")
+    g = pa.table(
+        {
+            "domain": pa.array(["d.com"] * 2),
+            "url": pa.array(["https://d.com/a", "https://d.com/b"]),
+            "text": pa.array(['{"k": "v"}', '{"x": 1}']),
+        }
+    )
+    out = fileset_preview_group(g, budget=200)
+    assert "\x1b[" not in out.column("preview")[0].as_py()

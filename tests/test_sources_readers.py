@@ -68,3 +68,26 @@ def test_jsonl_pages_feed_summarizer(small_pages, tmp_path):
     t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
     assert t.num_rows == small_pages.num_rows
     assert "preview" in t.column_names
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jsonl_fractional_second_timestamps(tmp_path):
+    """Sub-second ISO timestamps arrive as strings from the JSON reader
+    and must parse exactly (review finding: strptime %.f was invalid)."""
+    import json
+
+    path = tmp_path / "frac.jsonl"
+    rows = [
+        {"url": "https://x.com/1", "warc_ts": "2024-01-01T10:00:00.123456",
+         "text": "hello world", "lang": "en"},
+        {"url": "https://x.com/2", "warc_ts": "2024-01-01T10:00:01",
+         "text": "second page", "lang": "en"},
+    ]
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    ds = read_pages([str(path)], format="jsonl")
+    got = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    ts = sorted(got.column("warc_ts").to_pylist())
+    assert ts[0].microsecond == 123456
+    assert got.schema.field("warc_ts").type == pa.timestamp("us")
