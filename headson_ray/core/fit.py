@@ -33,10 +33,13 @@ def find_largest_render_under_budget(
         else config.copy_with(color_enabled=False)
     )
 
-    # binary_search_max (src/utils/search.rs:2-18)
+    # binary_search_max (src/utils/search.rs:2-18). The probes share a
+    # render cache for fully-included subtrees (k-independent renders);
+    # the final render rebuilds cleanly with the real color config.
+    probe_cache: dict = {}
     while lo <= hi:
         mid = lo + (hi - lo) // 2
-        s = render_top_k(order, mid, measure_cfg)
+        s = render_top_k(order, mid, measure_cfg, probe_cache)
         if _byte_len(s) <= char_budget:
             best_k = mid
             lo = mid + 1

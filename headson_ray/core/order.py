@@ -51,6 +51,7 @@ class PriorityOrder:
         "m_string_truncated",
         "inc_rank",
         "sorted_child_ranks",
+        "subtree_max_rank",
     )
 
     def __init__(self) -> None:
@@ -74,6 +75,10 @@ class PriorityOrder:
         # because ancestors inherit the min rank of their descendants)
         self.inc_rank: list[int] | None = None
         self.sorted_child_ranks: dict[int, list[int]] = {}
+        # subtree_max_rank[nid] = max inc_rank over nid's subtree; when
+        # it is < k the WHOLE subtree is included and its render is
+        # independent of k — the budget-fit probes cache such renders
+        self.subtree_max_rank: list[int] | None = None
 
     def ensure_inc_rank(self) -> list[int]:
         inc = self.inc_rank
@@ -90,6 +95,26 @@ class PriorityOrder:
                     inc[p] = inc[nid]
             self.inc_rank = inc
         return inc
+
+    def ensure_subtree_max_rank(self) -> list[int]:
+        m = self.subtree_max_rank
+        if m is None:
+            inc = self.ensure_inc_rank()
+            m = list(inc)
+            children = self.children
+            # children rank strictly after parents in by_priority (scores
+            # are strictly increasing down the tree), so the reversed
+            # walk sees every child before its parent; pulling through
+            # the children lists also propagates the inf of any
+            # never-ranked node (budget-bounded expansion) conservatively
+            for nid in reversed(self.by_priority):
+                mn = m[nid]
+                for c in children[nid]:
+                    if m[c] > mn:
+                        mn = m[c]
+                m[nid] = mn
+            self.subtree_max_rank = m
+        return m
 
 
 _KIND_TO_TYPE = {

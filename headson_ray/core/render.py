@@ -141,11 +141,23 @@ class Renderer:
         order: PriorityOrder,
         k: int,
         config: RenderConfig,
+        probe_cache: dict | None = None,
     ) -> None:
         self.o = order
         self.inc = order.ensure_inc_rank()
         self.k = k
         self.cfg = config
+        # shared across the budget-fit probes of ONE document: a subtree
+        # whose subtree_max_rank < k is FULLY included, so its rendered
+        # string is identical for every probe that includes it — cache by
+        # (nid, depth, inline, template). Only the probes share a cache
+        # (same measure config); the final render passes None.
+        self.probe_cache = probe_cache
+        self.sub_max = (
+            order.ensure_subtree_max_rank()
+            if probe_cache is not None
+            else None
+        )
 
     # --- inclusion / omission helpers -----------------------------------
     def _count_kept_children(self, nid: int) -> int:
@@ -195,16 +207,28 @@ class Renderer:
     ) -> str:
         o = self.o
         t = o.node_type[nid]
+        cacheable = (
+            self.probe_cache is not None and self.sub_max[nid] < self.k
+        )
+        if cacheable:
+            key = (nid, depth, inline, template)
+            hit = self.probe_cache.get(key)
+            if hit is not None:
+                return hit
         if t == N_SPLITTABLE:
-            return self._serialize_string(nid, template)
-        if t == N_ATOMIC:
-            return o.payload[nid] or ""
-        out = Out(self.cfg)
-        if t == N_ARRAY:
-            self._write_array(nid, depth, inline, out, template)
+            s = self._serialize_string(nid, template)
+        elif t == N_ATOMIC:
+            s = o.payload[nid] or ""
         else:
-            self._write_object(nid, depth, inline, out, template)
-        return out.value()
+            out = Out(self.cfg)
+            if t == N_ARRAY:
+                self._write_array(nid, depth, inline, out, template)
+            else:
+                self._write_object(nid, depth, inline, out, template)
+            s = out.value()
+        if cacheable:
+            self.probe_cache[key] = s
+        return s
 
     def write_root(self, out: Out) -> None:
         nid = ROOT_PQ_ID
@@ -711,13 +735,16 @@ def render_top_k(
     order: PriorityOrder,
     top_k: int,
     config: RenderConfig,
+    probe_cache: dict | None = None,
 ) -> str:
     """Render the inclusion set = top-k by priority + their ancestors
     (reference: src/utils/graph.rs:41-61 + src/serialization/mod.rs:552-592).
     Membership is evaluated as inc_rank[nid] < k — the subtree-min-rank is
-    computed once per document and shared by every budget-fit probe."""
+    computed once per document and shared by every budget-fit probe.
+    probe_cache (one dict shared by a fit loop's probes) memoizes the
+    renders of FULLY-included subtrees, which are k-independent."""
     k = min(top_k, order.total_nodes)
-    r = Renderer(order, k, config)
+    r = Renderer(order, k, config, probe_cache)
     out = Out(config)
     r.write_root(out)
     return out.value()
