@@ -287,6 +287,68 @@ def embedding_near_dup_pairs_lsh(
     return t.take(idx)
 
 
+def embedding_near_dup_pairs_tiled(
+    ds: "ray.data.Dataset",
+    *,
+    threshold: float = 0.95,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    tile_rows: int = 4096,
+) -> pa.Table:
+    """EXACT all-pairs cosine near-dups, distributed by tiling: the
+    corpus streams into normalized (ids, matrix) tiles held in the
+    object store, and one Ray task per tile pair (i <= j) computes its
+    sims block — O(n^2) total work like any exact all-pairs, but spread
+    over B(B+1)/2 parallel matmuls with no driver-side matrix and
+    O(tile^2) peak memory per task. This replaces the old
+    'test-scale-only' driver concat for the exact/oracle path; the LSH
+    variant remains the sub-quadratic approximate path."""
+    import ray as _ray
+
+    tiles: list = []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=tile_rows):
+        ids = np.asarray(b.column(id_column).to_pylist(), dtype=np.int64)
+        if ids.size == 0:
+            continue
+        m = _normalize(_matrix(b, vec_column))
+        tiles.append(_ray.put((ids, m)))
+
+    @_ray.remote
+    def tile_pairs(ta, tb, same: bool) -> pa.Table:
+        ids_a, ma = ta
+        ids_b, mb = tb
+        sims = ma @ mb.T
+        if same:
+            ia, ib = np.where(np.triu(sims >= threshold, k=1))
+        else:
+            ia, ib = np.where(sims >= threshold)
+        left, right = ids_a[ia], ids_b[ib]
+        a = np.minimum(left, right)
+        bb = np.maximum(left, right)
+        order = np.lexsort((bb, a))
+        return pa.table(
+            {
+                "a": pa.array(a[order], pa.int64()),
+                "b": pa.array(bb[order], pa.int64()),
+            }
+        )
+
+    futs = []
+    for i in range(len(tiles)):
+        for j in range(i, len(tiles)):
+            futs.append(tile_pairs.remote(tiles[i], tiles[j], i == j))
+    parts = _ray.get(futs)
+    if not parts:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables(parts)
+    idx = pa.compute.sort_indices(
+        t, sort_keys=[("a", "ascending"), ("b", "ascending")]
+    )
+    return t.take(idx)
+
+
 def embedding_near_dup_pairs(
     ds: "ray.data.Dataset",
     *,
@@ -297,7 +359,7 @@ def embedding_near_dup_pairs(
 ) -> pa.Table:
     """Pairs (a < b) with cosine >= threshold. Blocked by `block_column`
     (an LSH bucket or class label) so the quadratic pass stays per-block;
-    pass block_column=None for exact all-pairs (test scale only)."""
+    block_column=None delegates to the distributed tiled exact path."""
 
     def pairs_in_block(group: pa.Table) -> pa.Table:
         ids = np.array(group.column(id_column).to_pylist(), dtype=np.int64)
@@ -312,10 +374,12 @@ def embedding_near_dup_pairs(
         )
 
     if block_column is None:
-        tbl = pa.concat_tables(
-            ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+        return embedding_near_dup_pairs_tiled(
+            ds,
+            threshold=threshold,
+            id_column=id_column,
+            vec_column=vec_column,
         )
-        return pairs_in_block(tbl)
     out = ds.groupby(block_column).map_groups(
         pairs_in_block, batch_format="pyarrow"
     )

@@ -283,3 +283,45 @@ def test_audio_real_decoder_is_honest_stub():
     ex = AudioFeatureExtractor(dim=8, use_real_decoder=True)
     with pytest.raises(NotImplementedError):
         ex._features(b"abc")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tiled_exact_near_dups_multi_tile():
+    """Tiled exact all-pairs must equal a single-matrix computation when
+    forced across many tiles (cross-tile pairs included once)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from headson_ray.stages.similarity import (
+        _normalize,
+        embedding_near_dup_pairs_tiled,
+    )
+
+    rng = np.random.RandomState(11)
+    n, dim = 300, 8
+    m = rng.standard_normal((n, dim))
+    m[50] = m[250] * 2.0          # cross-tile duplicate pair
+    m[10] = m[11] + 0.01 * m[12]  # near pair within a tile
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in m],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    got = embedding_near_dup_pairs_tiled(
+        ds, threshold=0.95, tile_rows=64
+    )
+    mm = _normalize(
+        np.array([np.asarray(r, np.float32) for r in m], dtype=np.float64)
+    )
+    sims = mm @ mm.T
+    ia, ib = np.where(np.triu(sims >= 0.95, k=1))
+    expected = sorted(zip(ia.tolist(), ib.tolist()))
+    assert sorted(zip(got["a"].to_pylist(), got["b"].to_pylist())) == expected
+    assert (50, 250) in expected  # the cross-tile pair is really there
