@@ -346,11 +346,16 @@ class CepEngine:
             st["open_panes"] + st["open_slides"] + st["open_sessions"]
             for st in pre
         )
+        import shutil
+
+        # a crashed distributed attempt may have left this batch's spill
+        # partials behind; clear them regardless of which mode this
+        # (re)run takes so the checkpoint dir cannot accumulate
+        spill_root = os.path.join(
+            self.checkpoint_dir, "merge-spill", f"b{b:06d}"
+        )
+        shutil.rmtree(spill_root, ignore_errors=True)
         if open_total > self.distributed_merge_threshold:
-            import shutil
-            spill_root = os.path.join(
-                self.checkpoint_dir, "merge-spill", f"b{b:06d}"
-            )
 
             def paths(tag: str) -> list[str]:
                 return [

@@ -43,15 +43,18 @@ class ExactlyOnceSink:
         `kind` tags the window flow: windows | sliding | sessions."""
         import shutil
 
-        # a replay may switch merge modes (threshold changed between
-        # runs): drop the OTHER mode's artifact for this batch so
-        # read_all_windows never double-counts
+        # a replay may switch merge modes or finalize different rows
+        # (config changed between runs): drop BOTH artifact forms for
+        # this batch before writing so read_all_windows never sees a
+        # stale file from a crashed earlier attempt
         shutil.rmtree(
             self.out_dir / f"{kind}-b{batch_idx:06d}", ignore_errors=True
         )
+        path = self.out_dir / f"{kind}-b{batch_idx:06d}.parquet"
+        if path.exists():
+            path.unlink()
         if table.num_rows == 0:
             return None
-        path = self.out_dir / f"{kind}-b{batch_idx:06d}.parquet"
         tmp = path.with_suffix(".tmp")
         pq.write_table(table, tmp)
         os.replace(tmp, path)
@@ -94,7 +97,6 @@ class ExactlyOnceSink:
         exactly-once semantics match the single-file path. Returns the
         merged row count."""
         import shutil
-        import zlib
 
         import ray.data
 
@@ -112,10 +114,14 @@ class ExactlyOnceSink:
             sort_keys = [(group_keys[1], "ascending"),
                          (group_keys[0], "ascending")]
 
+        from ..state.store import route_domain
+
         def add_part(b: pa.Table) -> pa.Table:
+            # same hash as the actors' routing (state/store.py
+            # route_domain) so partitioning stays co-located by design
             parts = pa.array(
                 [
-                    zlib.crc32((d or "").encode()) % num_parts
+                    route_domain(d or "", num_parts)
                     for d in b.column(group_keys[0]).to_pylist()
                 ],
                 pa.int32(),
