@@ -422,6 +422,17 @@ def q_fingerprints(sf_dir: str):
 
 
 _M64 = "18446744073709551616::HUGEINT"
+
+
+def _mixr_sql(v: str) -> str:
+    """One bijective mix round in HUGEINT SQL — the exact counterpart of
+    stages/hashing.py mix_rounds (shared by the simhash and split
+    oracles so the two sites cannot drift)."""
+    return (
+        f"(((({v}) // 4294967296::HUGEINT) * 4294967296::HUGEINT + "
+        f"(({v}) + 2654435769::HUGEINT * (({v}) // 4294967296::HUGEINT))"
+        f" % 4294967296::HUGEINT) * 2654435761::HUGEINT) % {_M64}"
+    )
 SQL_FINGERPRINTS = f"""
 WITH c AS (
   SELECT doc_id, string_split(text, '') AS cs FROM documents
@@ -452,14 +463,7 @@ def _simhash_sig_sql() -> str:
     Horner + two bijective mix rounds as stages/hashing.py, bit expansion
     via a 64-row powers table, per-(doc, bit) +-1 sums."""
     pw_rows = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
-
-    def mixr(v: str) -> str:
-        return (
-            f"(((({v}) // 4294967296::HUGEINT) * 4294967296::HUGEINT + "
-            f"(({v}) + 2654435769::HUGEINT * (({v}) // 4294967296::HUGEINT))"
-            f" % 4294967296::HUGEINT) * 2654435761::HUGEINT) % {_M64}"
-        )
-
+    mixr = _mixr_sql
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -667,6 +671,46 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]'))
             AS BIGINT) AS n_bpe_tokens
 FROM documents
+"""
+
+
+TEST_SPLIT_PCT = 10
+
+
+def q_doc_split_assign(sf_dir: str):
+    """Deterministic train/test split assignment: split by the 64-bit
+    mix of doc_id (stages/hashing.py mix_rounds) mod 100 — stable across
+    runs, machines and partitionings, reproducible in SQL (the staple
+    held-out-split pattern for training-data pipelines)."""
+    from ..stages.hashing import mix_rounds
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h = mix_rounds(ids.astype(np.uint64))
+        bucket = (h % np.uint64(100)).astype(np.int64)
+        split = np.where(bucket < TEST_SPLIT_PCT, "test", "train")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DOC_SPLIT_ASSIGN = f"""
+WITH m1 AS (
+  SELECT doc_id, {_mixr_sql('CAST(doc_id AS HUGEINT)')} AS v FROM documents
+), m2 AS (
+  SELECT doc_id, {_mixr_sql('v')} AS v FROM m1
+)
+SELECT doc_id,
+       CASE WHEN v % 100 < {TEST_SPLIT_PCT} THEN 'test' ELSE 'train' END
+         AS split
+FROM m2
 """
 
 
@@ -1583,6 +1627,7 @@ QUERIES = {
     "value_rank_select": q_value_rank_select,
     "domain_fileset_previews": q_domain_fileset_previews,
     "click_purchase_pairs": q_click_purchase_pairs,
+    "doc_split_assign": q_doc_split_assign,
     "props_extract": q_props_extract,
     "summarize_documents": q_summarize_documents,
     "image_features": q_image_features,
@@ -1640,4 +1685,5 @@ ORACLE_SQL = {
     "regex_token_counts": SQL_REGEX_TOKEN_COUNTS,
     "value_rank_select": SQL_VALUE_RANK_SELECT,
     "click_purchase_pairs": SQL_CLICK_PURCHASE_PAIRS,
+    "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
 }
