@@ -101,14 +101,16 @@ def write_bucketed_by_domain(
     later domain-keyed stage (windows, dedup, joins) reads only its
     co-located buckets instead of re-shuffling — the "pick ONE
     partitioning key and reuse it" layout for the 100 TB pipeline."""
-    import zlib
-
     import pyarrow as pa
 
+    from ..state.store import route_domain
+
     def add_bucket(b: "pa.Table") -> "pa.Table":
+        # same routing hash as the CEP actors / distributed merge, so
+        # this layout is co-partitioned with every domain-keyed stage
         buckets = pa.array(
             [
-                zlib.crc32((d or "").encode()) % num_buckets
+                route_domain(d or "", num_buckets)
                 for d in b.column("domain").to_pylist()
             ],
             pa.int32(),
