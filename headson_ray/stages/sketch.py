@@ -209,17 +209,44 @@ def heavy_hitter_tokens(
 
     sketches = ds.map_batches(
         batch_sketch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    # DISTRIBUTED sketch merge: summing per-batch MG summaries and then
+    # trimming once is a valid mergeable-summary merge (total undercount
+    # of any token <= sum of per-batch N_i/(C+1) = N/(C+1)), and the
+    # single trim only keeps tokens whose summed count exceeds the
+    # (C+1)-th largest — i.e. the top C+1 rows of a distributed groupby
+    # + sort. The driver only ever sees <= C+1 candidate rows, not the
+    # O(batches x capacity) union the old Counter merge held.
+    total_tokens = int(sketches.sum("batch_total") or 0)
+    from ray.data.aggregate import Sum
+
+    def drop_markers(b: pa.Table) -> pa.Table:
+        mask = pa.compute.and_(
+            pa.compute.is_valid(b.column("token")),
+            pa.compute.greater(b.column("cnt"), 0),
+        )
+        return b.filter(mask).select(["token", "cnt"])
+
+    summed = (
+        sketches.map_batches(
+            drop_markers, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="c"))
+        .sort(["c", "token"], descending=[True, False])
+        .limit(capacity + 1)
     )
+    rows = [
+        r
+        for b in summed.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
     merged: Counter = Counter()
-    total_tokens = 0
-    for b in sketches.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-        for t, c in zip(
-            b.column("token").to_pylist(), b.column("cnt").to_pylist()
-        ):
-            if t is not None and c > 0:
-                merged[t] += c
-        total_tokens += sum(b.column("batch_total").to_pylist())
-        merged = misra_gries_trim(merged, capacity)
+    if rows:
+        dec = rows[-1]["c"] if len(rows) == capacity + 1 else 0
+        for r in rows:
+            if r["c"] - dec > 0:
+                merged[r["token"]] = r["c"] - dec
 
     cand = np.array(sorted(merged), dtype=object)
     cand_ref = ray.put(cand)
