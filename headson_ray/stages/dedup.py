@@ -281,13 +281,22 @@ def candidate_shingle_map(
 
 
 def _collect_candidate_ids(pairs: "ray.data.Dataset") -> np.ndarray:
-    cols = []
+    """Unique ids appearing in the pair set, folded INCREMENTALLY so the
+    driver holds O(unique candidates), never the full pair stream (a
+    boilerplate-heavy corpus has O(cluster^2) pairs over O(cluster)
+    ids)."""
+    acc = np.empty(0, dtype=np.int64)
     for batch in pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-        cols.append(batch.column("a").to_numpy(zero_copy_only=False))
-        cols.append(batch.column("b").to_numpy(zero_copy_only=False))
-    if not cols:
-        return np.empty(0, dtype=np.int64)
-    return np.unique(np.concatenate(cols))
+        chunk = np.unique(
+            np.concatenate(
+                [
+                    batch.column("a").to_numpy(zero_copy_only=False),
+                    batch.column("b").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        acc = np.union1d(acc, chunk)
+    return acc
 
 
 def _verify_pairs_parallel(
