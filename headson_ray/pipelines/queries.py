@@ -628,6 +628,7 @@ def q_value_rank_select(sf_dir: str):
     from ..stages.sketch import rank_select
 
     ds = _read(sf_dir, "events", ["value"])
+    # parquet row count comes from file metadata (no data scan)
     n = ds.count()
     ranks = [n // 2, n * 9 // 10, n * 99 // 100]
     vals = rank_select(ds, "value", ranks)
@@ -970,57 +971,59 @@ def _probe(batch_keys, keys_arr: pa.Array, vals_arr: pa.Array) -> pa.Array:
     return pc.take(vals_arr, idx)
 
 
-def q_orders_by_segment(sf_dir: str):
-    """customer->segment join + two-phase aggregate. The customer side is
-    broadcast (one ray.put, vectorized index_in probe per batch) while it
-    fits BROADCAST_ROW_LIMIT; beyond that it falls back to the
-    hash-partitioned join so no unbounded dict ever lands on the driver."""
+def _orders_with_segment(sf_dir: str, order_columns: list[str]):
+    """Orders joined with c_mktsegment, INNER-join semantics in BOTH
+    paths (rows whose custkey is absent from customer are dropped, like
+    the oracles' JOIN): broadcast + vectorized index_in probe while the
+    customer side fits BROADCAST_ROW_LIMIT, hash-partitioned join beyond
+    it — no unbounded dict ever lands on the driver."""
     import ray as _ray
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = _read(sf_dir, "orders", ["o_custkey", *order_columns])
     small = _collect_small_side(
         cust, "c_custkey", "c_mktsegment", BROADCAST_ROW_LIMIT
     )
-
     if small is None:
         from ..stages.join import hash_join
 
         proj = orders.map_batches(
             lambda b: pa.table(
-                {
-                    "c_custkey": b.column("o_custkey"),
-                    "cents": _cents(b.column("o_totalprice")),
-                }
+                {"c_custkey": b.column("o_custkey"),
+                 **{c: b.column(c) for c in order_columns}}
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        joined = hash_join(proj, cust, key="c_custkey", how="inner")
-
-        def partial_joined(b: pa.Table) -> pa.Table:
-            g = (
-                b.select(["c_mktsegment", "cents"])
-                .group_by(["c_mktsegment"])
-                .aggregate([([], "count_all"), ("cents", "sum")])
-            )
-            return g.rename_columns(
-                ["c_mktsegment", "n_orders", "total_cents"]
-            )
-
-        return _two_phase_sum(
-            joined, ["c_mktsegment"], partial_joined,
-            ["n_orders", "total_cents"],
-        )
+        return hash_join(proj, cust, key="c_custkey", how="inner")
 
     lookup_ref = _ray.put(small)
 
-    def partial(b: pa.Table) -> pa.Table:
+    def probe_batch(b: pa.Table) -> pa.Table:
         keys_arr, vals_arr = _ray.get(lookup_ref)
         segs = _probe(b.column("o_custkey"), keys_arr, vals_arr)
         t = pa.table(
+            {"c_mktsegment": segs,
+             **{c: b.column(c) for c in order_columns}}
+        )
+        # inner-join semantics: drop dangling custkeys (null segment),
+        # matching the hash-join fallback and the SQL oracle
+        return t.filter(pc.is_valid(t.column("c_mktsegment")))
+
+    return orders.map_batches(
+        probe_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_orders_by_segment(sf_dir: str):
+    """customer->segment join + two-phase aggregate (see
+    _orders_with_segment for the broadcast/hash-join mode switch)."""
+    joined = _orders_with_segment(sf_dir, ["o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
             {
-                "c_mktsegment": segs,
+                "c_mktsegment": b.column("c_mktsegment"),
                 "cents": _cents(b.column("o_totalprice")),
             }
         )
@@ -1030,7 +1033,7 @@ def q_orders_by_segment(sf_dir: str):
         return g.rename_columns(["c_mktsegment", "n_orders", "total_cents"])
 
     return _two_phase_sum(
-        orders, ["c_mktsegment"], partial, ["n_orders", "total_cents"]
+        joined, ["c_mktsegment"], partial, ["n_orders", "total_cents"]
     )
 
 
@@ -1246,22 +1249,19 @@ WHERE o_custkey NOT IN (SELECT user_id FROM events)
 
 
 def q_top3_orders_per_segment(sf_dir: str):
-    """Per-group top-k: broadcast customer->segment, then per-segment
-    top-3 orders by price via groupby(segment).map_groups. Partials are
-    pre-trimmed to 3 rows per (segment, batch) inside map_batches so the
-    shuffle moves at most 3 rows per segment per block."""
-    import ray as _ray
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    lookup_ref = _broadcast_lookup(cust, "c_custkey", "c_mktsegment")
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    """Per-group top-k: segment-joined orders (broadcast or hash-join
+    fallback, see _orders_with_segment), then per-segment top-3 orders
+    by price via groupby(segment).map_groups. Partials are pre-trimmed
+    to 3 rows per (segment, batch) inside map_batches so the shuffle
+    moves at most 3 rows per segment per block."""
+    joined = _orders_with_segment(
+        sf_dir, ["o_orderkey", "o_totalprice"]
+    )
 
     def partial(b: pa.Table) -> pa.Table:
-        keys_arr, vals_arr = _ray.get(lookup_ref)
-        segs = _probe(b.column("o_custkey"), keys_arr, vals_arr)
         t = pa.table(
             {
-                "c_mktsegment": segs,
+                "c_mktsegment": b.column("c_mktsegment"),
                 "o_orderkey": b.column("o_orderkey"),
                 "total_cents": _cents(b.column("o_totalprice")),
             }
@@ -1284,7 +1284,7 @@ def q_top3_orders_per_segment(sf_dir: str):
                 count[s] = c + 1
         return t.take(pa.array(keep, pa.int64()))
 
-    partials = orders.map_batches(
+    partials = joined.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
 

@@ -187,16 +187,20 @@ def heavy_hitter_tokens(
         for t in b.column(text_column).to_pylist():
             c.update((t or "").split())
         n_tokens = sum(c.values())
+        n_distinct = len(c)
         c = misra_gries_trim(c, capacity)
         toks = sorted(c)
-        # first row carries the batch's true token total (needed for the
-        # guarantee check); a null-token row if the trim emptied the sketch
+        # first row carries the batch's true token total + whether the
+        # trim dropped anything (needed for the guarantee checks); a
+        # null-token row if the trim emptied the sketch
         if toks:
             totals = [n_tokens] + [0] * (len(toks) - 1)
+            trims = [int(n_distinct > capacity)] + [0] * (len(toks) - 1)
             token_arr = pa.array(toks, pa.string())
             cnt_arr = pa.array([c[t] for t in toks], pa.int64())
         else:
             totals = [n_tokens]
+            trims = [int(n_distinct > capacity)]
             token_arr = pa.array([None], pa.string())
             cnt_arr = pa.array([0], pa.int64())
         return pa.table(
@@ -204,6 +208,7 @@ def heavy_hitter_tokens(
                 "token": token_arr,
                 "cnt": cnt_arr,
                 "batch_total": pa.array(totals, pa.int64()),
+                "batch_trimmed": pa.array(trims, pa.int64()),
             }
         )
 
@@ -218,6 +223,7 @@ def heavy_hitter_tokens(
     # + sort. The driver only ever sees <= C+1 candidate rows, not the
     # O(batches x capacity) union the old Counter merge held.
     total_tokens = int(sketches.sum("batch_total") or 0)
+    any_trimmed = bool(sketches.sum("batch_trimmed") or 0)
     from ray.data.aggregate import Sum
 
     def drop_markers(b: pa.Table) -> pa.Table:
@@ -244,9 +250,18 @@ def heavy_hitter_tokens(
     merged: Counter = Counter()
     if rows:
         dec = rows[-1]["c"] if len(rows) == capacity + 1 else 0
+        any_trimmed = any_trimmed or dec > 0
         for r in rows:
             if r["c"] - dec > 0:
                 merged[r["token"]] = r["c"] - dec
+    if len(merged) < k and any_trimmed and total_tokens:
+        # near-uniform distribution: trimming may have dropped tokens as
+        # frequent as the survivors, so a short candidate list cannot
+        # certify an exact top-k
+        raise ValueError(
+            f"heavy-hitter guarantee violated: only {len(merged)} "
+            f"candidates survived trimming for top-{k}; raise capacity"
+        )
 
     cand = np.array(sorted(merged), dtype=object)
     cand_ref = ray.put(cand)
@@ -273,9 +288,15 @@ def heavy_hitter_tokens(
     from ray.data.aggregate import Sum
 
     agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
-    t = pa.concat_tables(
+    parts = list(
         agg.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
     )
+    if not parts:
+        return pa.table(
+            {"token": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables(parts)
     idx = pa.compute.sort_indices(
         t, sort_keys=[("n", "descending"), ("token", "ascending")]
     )
@@ -284,8 +305,12 @@ def heavy_hitter_tokens(
     # miss threshold, else a more frequent token could have been dropped.
     # A real exception (not assert — `python -O` would silence the
     # documented exactness gate).
-    if top.num_rows == k and total_tokens:
-        kth = top.column("n")[k - 1].as_py()
+    if total_tokens and (top.num_rows == k or any_trimmed):
+        kth = (
+            top.column("n")[top.num_rows - 1].as_py()
+            if top.num_rows
+            else 0
+        )
         if kth <= total_tokens / (capacity + 1):
             raise ValueError(
                 f"heavy-hitter guarantee violated: raise capacity "

@@ -116,8 +116,17 @@ class SeenStore:
 
     # -- bloom tier --------------------------------------------------------
     def _bloom_positions(self, d: str, u: str) -> np.ndarray:
-        h = zlib.crc32(f"{d}\x00{u}".encode())
-        h2 = zlib.crc32(f"{u}\x00{d}".encode(), 0x9E3779B9)
+        # one blake2b call yields two independent 64-bit words for the
+        # double-hashing scheme (paired crc32 would give only ~32 bits
+        # of entropy and could never address blooms past 2^32 bits —
+        # see the hashing rule in CLAUDE.md)
+        import hashlib
+
+        dig = hashlib.blake2b(
+            f"{d}\x00{u}".encode(), digest_size=16
+        ).digest()
+        h = int.from_bytes(dig[:8], "little")
+        h2 = int.from_bytes(dig[8:], "little")
         return (
             (np.uint64(h) + np.arange(4, dtype=np.uint64) * np.uint64(h2 | 1))
             % np.uint64(self.bloom_bits)
@@ -205,7 +214,12 @@ class SeenStore:
         self.spilled = state["spilled"]
         if self.mode == "bloom" and "bloom" in state:
             self.bloom = state["bloom"].copy()
-        if self.spilled:
+        # Roll the cold tier back whenever a db file EXISTS — not just
+        # when the restored snapshot had spilled=True: if the crashed
+        # batch was the FIRST to spill (and its snapshot committed the
+        # rows), the pre-spill snapshot carries spilled=False while the
+        # db holds future-batch rows that must go.
+        if self.spilled or os.path.exists(self.spill_path):
             con = self._ensure_db()
             con.execute("DELETE FROM seen WHERE batch > ?", (batch_idx,))
             con.commit()

@@ -469,3 +469,45 @@ def test_fileset_preview_color_pinned_off(monkeypatch):
     )
     out = fileset_preview_group(g, budget=200)
     assert "\x1b[" not in out.column("preview")[0].as_py()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_uniform_distribution_raises_not_silent():
+    """Review finding: when trimming drops everything (near-uniform
+    distribution beyond capacity) the function must raise the guarantee
+    error, not return an empty/truncated 'exact' top-k."""
+    import ray.data
+
+    from headson_ray.stages.sketch import heavy_hitter_tokens
+
+    texts = [f"tok{i}" for i in range(500)]  # 500 distinct, one each
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+    with pytest.raises(ValueError, match="heavy-hitter guarantee"):
+        heavy_hitter_tokens(ds, k=20, capacity=64)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_small_distinct_corpus_is_exact():
+    """Fewer distinct tokens than k with no trimming: return the full
+    exact counts without raising."""
+    import ray.data
+
+    from headson_ray.stages.sketch import heavy_hitter_tokens
+
+    texts = ["a a a b b c"] * 10
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+    top = heavy_hitter_tokens(ds, k=20, capacity=64)
+    assert top.column("token").to_pylist() == ["a", "b", "c"]
+    assert top.column("n").to_pylist() == [30, 20, 10]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top3_per_segment_hash_join_fallback(con, monkeypatch):
+    """Review finding: top3 must take the hash-join fallback (not raise)
+    past the broadcast limit, and still match the oracle."""
+    import headson_ray.pipelines.queries as q
+
+    monkeypatch.setattr(q, "BROADCAST_ROW_LIMIT", 10)
+    got = _norm(_to_frame(q.q_top3_orders_per_segment(SF_DIR)))
+    exp = _norm(con.execute(ORACLE_SQL["top3_orders_per_segment"]).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -52,3 +52,29 @@ def test_seen_store_rollback_discards_uncommitted_batch(tmp_path):
     # batch-0 urls are duplicates; batch-1 urls must look new again
     assert not s2.add_if_new("d.com", "u3")
     assert s2.add_if_new("d.com", "u40")
+
+
+def test_rollback_first_spill_batch_with_prespill_snapshot(tmp_path):
+    """Review finding: the crashed batch is the FIRST to spill and its
+    snapshot committed sqlite rows, but the restore point's snapshot has
+    spilled=False — the cold tier must still roll back, else replayed
+    urls masquerade as duplicates."""
+    path = str(tmp_path / "seen.db")
+    s = SeenStore(path, max_mem_entries=10)
+    for i in range(5):
+        assert s.add_if_new("d.com", f"pre{i}")
+    snap0 = s.snapshot_state()
+    assert snap0["spilled"] is False
+    s.checkpoint_commit(0)
+    # batch 1 crosses the cap (spills) and its snapshot commit lands
+    for i in range(30):
+        assert s.add_if_new("d.com", f"b1-{i}")
+    assert s.spilled
+    s.checkpoint_commit(1)
+    s.con.close()
+    # crash before the SINK commit of batch 1 -> resume restores batch 0
+    s2 = SeenStore(path, max_mem_entries=10)
+    s2.restore_state(snap0, 0)
+    # batch-1 urls must look new again; batch-0 urls stay duplicates
+    assert s2.add_if_new("d.com", "b1-17")
+    assert not s2.add_if_new("d.com", "pre3")
