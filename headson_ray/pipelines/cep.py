@@ -318,7 +318,14 @@ class CepEngine:
             out = Summarizer(budget=budget)(batch)
             urls = "\n".join(out.column("url").to_pylist()).encode()
             name = f"part-{zlib.crc32(urls):08x}.parquet"
-            tmp = os.path.join(prev_dir, name + ".tmp")
+            # unique tmp: a re-executed task racing its original on one
+            # fixed tmp path could interleave writers; content is
+            # deterministic so last-rename-wins stays byte-identical
+            import uuid
+
+            tmp = os.path.join(
+                prev_dir, f"{name}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
+            )
             pq_mod.write_table(out, tmp)
             os.replace(tmp, os.path.join(prev_dir, name))
             return out.select(["url", "warc_ts", "text"])

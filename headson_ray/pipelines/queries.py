@@ -628,10 +628,19 @@ def q_value_rank_select(sf_dir: str):
     from ..stages.sketch import rank_select
 
     ds = _read(sf_dir, "events", ["value"])
-    # parquet row count comes from file metadata (no data scan)
-    n = ds.count()
-    ranks = [n // 2, n * 9 // 10, n * 99 // 100]
-    vals = rank_select(ds, "value", ranks)
+    # ranks resolve against rank_select's NON-NULL total (ds.count()
+    # would include null rows and select the wrong order statistic on a
+    # null-bearing column)
+    ranks, vals = rank_select(
+        ds,
+        "value",
+        [
+            lambda n: n // 2,
+            lambda n: n * 9 // 10,
+            lambda n: n * 99 // 100,
+        ],
+        return_resolved_ranks=True,
+    )
     return pa.table(
         {
             "rank_k": pa.array(ranks, pa.int64()),
@@ -642,12 +651,13 @@ def q_value_rank_select(sf_dir: str):
 
 SQL_VALUE_RANK_SELECT = """
 WITH o AS (
-  SELECT value, row_number() OVER (ORDER BY value) - 1 AS rn FROM events
+  SELECT value, row_number() OVER (ORDER BY value) - 1 AS rn
+  FROM events WHERE value IS NOT NULL
 ), ks AS (
   SELECT unnest([
-    (SELECT count(*) FROM events) // 2,
-    (SELECT count(*) FROM events) * 9 // 10,
-    (SELECT count(*) FROM events) * 99 // 100
+    (SELECT count(value) FROM events) // 2,
+    (SELECT count(value) FROM events) * 9 // 10,
+    (SELECT count(value) FROM events) * 99 // 100
   ]) AS k
 )
 SELECT k AS rank_k, (SELECT value FROM o WHERE rn = k) AS value FROM ks
@@ -957,7 +967,15 @@ def _collect_small_side(
         keys.append(b.column(key_col))
         vals.append(b.column(val_col))
     if not keys:
-        return pa.array([], pa.int64()), pa.array([], pa.string())
+        # empty side: derive the array types from the dataset's actual
+        # schema (hardcoded int64/string would break the index_in probe
+        # for any other key/value types in this edge case)
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        return (
+            pa.array([], types[key_col]),
+            pa.array([], types[val_col]),
+        )
     return (
         pa.concat_arrays([c.combine_chunks() for c in keys]),
         pa.concat_arrays([c.combine_chunks() for c in vals]),

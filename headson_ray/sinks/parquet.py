@@ -147,7 +147,16 @@ class ExactlyOnceSink:
                 )
             t = t.take(pa.compute.sort_indices(t, sort_keys=sort_keys))
             path = out_dir / f"part-{part:04d}.parquet"
-            tmp = path.with_suffix(".tmp")
+            # unique tmp name: a re-executed group task (worker failure /
+            # object reconstruction) racing the original on one fixed tmp
+            # path could interleave writers and publish a torn file;
+            # content is deterministic so last-rename-wins stays
+            # byte-identical
+            import uuid
+
+            tmp = out_dir / (
+                f"part-{part:04d}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
+            )
             pq.write_table(t, tmp)
             os.replace(tmp, path)
             return pa.table({"n": pa.array([t.num_rows], pa.int64())})

@@ -39,11 +39,12 @@ def misra_gries_trim(counter: Counter, capacity: int) -> Counter:
 def rank_select(
     ds: "ray.data.Dataset",
     column: str,
-    ranks: list[int],
+    ranks: list,
     *,
     num_bins: int = 1024,
     collect_cap: int = 262_144,
-) -> list[float]:
+    return_resolved_ranks: bool = False,
+) -> "list[float] | tuple[list[int], list[float]]":
     """EXACT k-th smallest values (0-based ranks) of a numeric column
     WITHOUT a global sort: iterative histogram refinement.
 
@@ -84,6 +85,10 @@ def rank_select(
     total = sum(v for p in parts for v in p.column("n").to_pylist())
     if not los:
         raise ValueError("rank_select on an empty column")
+    # a rank may be a callable n -> rank, resolved against the NON-NULL
+    # total from this pass (callers deriving ranks from ds.count() would
+    # silently include null rows and select the wrong order statistic)
+    ranks = [k(total) if callable(k) else k for k in ranks]
     for k in ranks:
         if not 0 <= k < total:
             raise ValueError(f"rank {k} out of range [0, {total})")
@@ -169,7 +174,10 @@ def rank_select(
                 r - int(cum[b_idx]),
                 int(agg[b_idx]),
             )
-    return [results[k] for k in ranks]
+    vals = [results[k] for k in ranks]
+    if return_resolved_ranks:
+        return ranks, vals
+    return vals
 
 
 def heavy_hitter_tokens(
@@ -304,8 +312,12 @@ def heavy_hitter_tokens(
     # exactness guarantee: the k-th exact count must clear the sketch's
     # miss threshold, else a more frequent token could have been dropped.
     # A real exception (not assert — `python -O` would silence the
-    # documented exactness gate).
-    if total_tokens and (top.num_rows == k or any_trimmed):
+    # documented exactness gate). Gated on any_trimmed ALONE: when no
+    # per-batch trim occurred and the merge kept the full union, the
+    # candidate set is provably complete and the two-pass result is
+    # exact regardless of the kth-count threshold (a skewed corpus with
+    # few distinct tokens would otherwise raise spuriously).
+    if total_tokens and any_trimmed:
         kth = (
             top.column("n")[top.num_rows - 1].as_py()
             if top.num_rows

@@ -502,6 +502,69 @@ def test_heavy_hitters_small_distinct_corpus_is_exact():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_skewed_exact_when_nothing_trimmed():
+    """Advisor finding (round 2): a skewed corpus whose k-th exact count
+    sits below N/(C+1) must NOT raise when no per-batch trim ever
+    occurred and the merge kept the full union — the candidate set is
+    provably complete, so the top-k is exact."""
+    import ray.data
+
+    from headson_ray.stages.sketch import heavy_hitter_tokens
+
+    texts = ["tok0 " * 1000] * 1000 + [f"rare{i}" for i in range(24)]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+    top = heavy_hitter_tokens(ds, k=20, capacity=4096)
+    assert top.num_rows == 20
+    assert top.column("token")[0].as_py() == "tok0"
+    assert top.column("n")[0].as_py() == 1_000_000
+    # the 19 rare survivors all have exact count 1
+    assert top.column("n").to_pylist()[1:] == [1] * 19
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rank_select_callable_ranks_skip_null_rows():
+    """Advisor finding (round 2): ranks derived from ds.count() would
+    include null rows; callable ranks resolve against the NON-NULL total
+    computed in the min/max pass."""
+    import ray.data
+
+    from headson_ray.stages.sketch import rank_select
+
+    vals = [float(i) for i in range(100)] + [None] * 50
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.float64())}))
+    ranks, got = rank_select(
+        ds,
+        "v",
+        [lambda n: n // 2, lambda n: n - 1],
+        num_bins=16,
+        collect_cap=8,
+        return_resolved_ranks=True,
+    )
+    assert ranks == [50, 99]
+    assert got == [50.0, 99.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_collect_small_side_empty_preserves_schema_types():
+    """Advisor finding (round 2): an empty keyed side must yield empty
+    arrays typed from the dataset schema, not hardcoded int64/string."""
+    import ray.data
+
+    from headson_ray.pipelines.queries import _collect_small_side
+
+    t = pa.table(
+        {
+            "k": pa.array([], pa.string()),
+            "v": pa.array([], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    keys, vals = _collect_small_side(ds, "k", "v", 100)
+    assert keys.type == pa.string()
+    assert vals.type == pa.float64()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_top3_per_segment_hash_join_fallback(con, monkeypatch):
     """Review finding: top3 must take the hash-join fallback (not raise)
     past the broadcast limit, and still match the oracle."""
