@@ -81,5 +81,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return q
 
 
+# ---------------------------------------------------------------------------
+# Oracles for the synthetic-pages queries. The driver compares at sf=0.01,
+# where _q_sniff_pages/_q_cep_stream materialize exactly these deterministic
+# parquet paths (sources/pages.py: tag=f"q-{rows}", rows=min(sf*6M, 20000));
+# DuckDB reads them directly with read_parquet(). Window size 600s and the
+# prior crawl = the first rows//2 pages of the same deterministic stream
+# mirror _q_cep_stream's parameters.
+# ---------------------------------------------------------------------------
+_SF001_ROWS = 20000
+_PAGES_GLOB = (
+    f"/tmp/headson_ray_pages/q-{_SF001_ROWS}-r{_SF001_ROWS}-s42/"
+    "shard-*.parquet"
+)
+_PRIOR_GLOB = (
+    f"/tmp/headson_ray_pages/q-{_SF001_ROWS}-r{_SF001_ROWS // 2}-s42/"
+    "shard-*.parquet"
+)
+
+# content_inspector-parity sniff over the binary html column: BOM-prefixed
+# UTF-8/16/32 payloads are text; otherwise a NUL in the first 1024 bytes
+# (2048 hex chars) is binary. Matches stages/derive.py:looks_binary.
+SQL_SNIFF_PAGES = f"""
+SELECT url,
+       COALESCE(
+         NOT (hex(html) LIKE 'EFBBBF%' OR hex(html) LIKE 'FFFE0000%'
+              OR hex(html) LIKE '0000FEFF%' OR hex(html) LIKE 'FFFE%'
+              OR hex(html) LIKE 'FEFF%')
+         AND regexp_matches(substring(hex(html), 1, 2048),
+                            '^([0-9A-F]{{2}})*?00'),
+         FALSE) AS skipped
+FROM read_parquet('{_PAGES_GLOB}')
+"""
+
+# Batch oracle of the full streaming CEP run (tumbling pane flow): same
+# windowing, dedup (first (domain,url) occurrence in stream order wins)
+# and prior-crawl delta join, expressed over the same parquet stream.
+# total_chars counts first-seen rows only, like the engine.
+_CEP_WINDOW_US = 600 * 1_000_000
+_DOMAIN_RE = "'^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)'"
+SQL_CEP_STREAM_WINDOWS = f"""
+WITH cur AS (
+  SELECT regexp_extract(url, {_DOMAIN_RE}, 1) AS domain,
+         epoch_us(warc_ts) // {_CEP_WINDOW_US} AS window_id,
+         url, length(text) AS n_chars, text, filename, file_row_number
+  FROM read_parquet('{_PAGES_GLOB}', filename=true, file_row_number=true)
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY domain, url ORDER BY filename, file_row_number
+  ) AS occ
+  FROM cur
+), joined AS (
+  SELECT r.domain, r.window_id, r.n_chars,
+         r.occ > 1 AS is_dup,
+         pr.url IS NOT NULL AS in_prior,
+         pr.text IS NOT DISTINCT FROM r.text AS same_text
+  FROM ranked r
+  LEFT JOIN read_parquet('{_PRIOR_GLOB}') pr USING (url)
+)
+SELECT domain, window_id,
+       count(*) AS n_pages,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(sum(CASE WHEN NOT is_dup AND NOT in_prior
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN NOT is_dup AND in_prior AND NOT same_text
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN NOT is_dup AND in_prior AND same_text
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       CAST(sum(CASE WHEN NOT is_dup THEN n_chars ELSE 0 END) AS BIGINT)
+         AS total_chars
+FROM joined
+GROUP BY domain, window_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    o = dict(ORACLE_SQL)
+    o["sniff_pages"] = SQL_SNIFF_PAGES
+    o["cep_stream_windows"] = SQL_CEP_STREAM_WINDOWS
+    return o

@@ -11,7 +11,10 @@ from .core.api import (
     headson_many_yaml,
     headson_text,
     headson_yaml,
+    register_format,
+    registered_formats,
     summarize,
+    unregister_format,
 )
 from .core.config import PriorityConfig, RenderConfig
 
@@ -22,7 +25,10 @@ __all__ = [
     "headson_many_yaml",
     "headson_text",
     "headson_yaml",
+    "register_format",
+    "registered_formats",
     "summarize",
+    "unregister_format",
     "PriorityConfig",
     "RenderConfig",
 ]

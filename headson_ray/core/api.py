@@ -34,6 +34,57 @@ _PARSE_MANY = {
     "text": parse_text_many,
 }
 
+_BUILTIN_FORMATS = frozenset(_PARSE_ONE)
+
+
+def register_format(
+    name: str,
+    parse_one,
+    parse_many=None,
+    *,
+    replace: bool = False,
+) -> None:
+    """Format-extension point mirroring the reference's ``Ingest`` trait
+    (/root/reference/src/ingest/mod.rs:6-14): register an input format so
+    ``headson``/``headson_many``/``summarize(input_format=name)`` accept
+    it without editing this module.
+
+    - ``parse_one(data, priority_cfg) -> arena`` parses a single document
+      (the trait's ``ingest``);
+    - ``parse_many(inputs, priority_cfg) -> arena`` parses a named fileset
+      into one arena (the trait's ``ingest_many``); optional — fileset
+      calls raise for formats registered without it.
+
+    Built-in formats (json/yaml/text) cannot be replaced; a duplicate
+    third-party registration needs ``replace=True``.
+    """
+    key = name.lower()
+    if key in _BUILTIN_FORMATS:
+        raise ValueError(f"cannot replace built-in format: {key}")
+    if key in _PARSE_ONE and not replace:
+        raise ValueError(f"format already registered: {key}")
+    if not callable(parse_one):
+        raise TypeError("parse_one must be callable")
+    _PARSE_ONE[key] = parse_one
+    if parse_many is not None:
+        _PARSE_MANY[key] = parse_many
+    else:
+        _PARSE_MANY.pop(key, None)
+
+
+def unregister_format(name: str) -> None:
+    """Remove a third-party format registered via register_format."""
+    key = name.lower()
+    if key in _BUILTIN_FORMATS:
+        raise ValueError(f"cannot unregister built-in format: {key}")
+    _PARSE_ONE.pop(key, None)
+    _PARSE_MANY.pop(key, None)
+
+
+def registered_formats() -> list[str]:
+    """All input formats currently accepted (built-ins first)."""
+    return sorted(_PARSE_ONE, key=lambda k: (k not in _BUILTIN_FORMATS, k))
+
 
 def headson(
     data: bytes | str,
@@ -56,7 +107,13 @@ def headson_many(
     input_format: str = "json",
 ) -> str:
     """Fileset summarize: one shared budget across named inputs."""
-    arena = _PARSE_MANY[input_format](inputs, priority_cfg)
+    parser = _PARSE_MANY.get(input_format)
+    if parser is None:
+        raise ValueError(
+            f"format {input_format!r} has no fileset parser "
+            "(register_format(parse_many=...))"
+        )
+    arena = parser(inputs, priority_cfg)
     order = build_order(arena, priority_cfg, stop_after=max(budget, 1))
     return find_largest_render_under_budget(order, config, budget)
 

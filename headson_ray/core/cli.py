@@ -244,11 +244,15 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 with open(path, "rb") as fh:
                     first = fh.read(64 * 1024)
-                    # content_inspector only inspects the first 1024 bytes
-                    # of the probe chunk (reference src/main.rs:313-346 via
-                    # content_inspector::inspect); a NUL later in the file
-                    # does NOT make it binary.
-                    if b"\x00" in first[:1024]:
+                    # content_inspector parity (reference
+                    # src/main.rs:313-346): only the first 1024 bytes of
+                    # the probe chunk are scanned for NUL (a NUL later in
+                    # the file does NOT make it binary), and BOM-prefixed
+                    # UTF-8/16/32 files are TEXT even though UTF-16/32
+                    # bytes contain NULs.
+                    from ..stages.derive import looks_binary
+
+                    if looks_binary(first):
                         print(
                             f"Ignored binary file: {path}", file=sys.stderr
                         )

@@ -46,17 +46,27 @@ from ..sinks.parquet import ExactlyOnceSink
 from ..state.store import (
     PANE_FIELDS,
     StateStoreActor,
-    route_partition,
 )
 from ..stages.derive import add_domain
 
 
 def text_fingerprint_column(texts: pa.ChunkedArray) -> pa.Array:
-    """Stable per-row content fingerprint (crc32) for change detection."""
-    fps = [
-        zlib.crc32(t.encode()) if t is not None else 0
-        for t in texts.to_pylist()
-    ]
+    """Stable 64-bit per-row content fingerprint for change detection:
+    the vectorized stages/hashing.py family (one numpy pass per batch),
+    not per-row crc32 (32 bits, one python-loop C call per row — see the
+    hashing rule in CLAUDE.md). Nulls fingerprint to 0."""
+    import numpy as np
+
+    from ..stages.hashing import hash_strings
+
+    lst = texts.to_pylist()
+    fps = hash_strings(["" if t is None else t for t in lst]).view(np.int64)
+    nulls = np.fromiter(
+        (t is None for t in lst), dtype=bool, count=len(lst)
+    )
+    if nulls.any():
+        fps = fps.copy()
+        fps[nulls] = 0
     return pa.array(fps, pa.int64())
 
 
@@ -67,7 +77,11 @@ def _prepare(size_us: int):
         wid = pc.divide(micros, pa.scalar(size_us, pa.int64()))
         batch = batch.append_column("window_id", wid)
         batch = batch.append_column(
-            "n_chars", pc.cast(pc.utf8_length(batch.column("text")), pa.int64())
+            "n_chars",
+            pc.fill_null(
+                pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+                0,
+            ),
         )
         batch = batch.append_column(
             "text_fp", text_fingerprint_column(batch.column("text"))
@@ -89,28 +103,21 @@ def make_router(actors: list):
 
     def route(batch: pa.Table) -> pa.Table:
         import numpy as np
-        import zlib
+
+        from ..stages.hashing import combine_hash_pair, hash_strings
 
         domains = batch.column("domain").to_pylist()
         urls = batch.column("url").to_pylist()
-        n = len(urls)
-        # one C-speed crc32 call per row, then Arrow-native filter per
-        # partition (no per-row python appends)
-        part_du = np.fromiter(
-            (
-                zlib.crc32(f"{d or ''}\x00{u}".encode()) % p
-                for d, u in zip(domains, urls)
-            ),
-            dtype=np.int64,
-            count=n,
-        )
+        # fully vectorized routing (stages/hashing.py): one numpy pass
+        # per batch, no per-row hashing calls; the domain hash is shared
+        # between the salted (domain,url) flow and the session flow
+        hd = hash_strings(["" if d is None else d for d in domains])
+        hu = hash_strings(urls)
+        pu = np.uint64(p)
+        part_du = (combine_hash_pair(hd, hu) % pu).astype(np.int64)
         # session flow routes by domain only (session state for a domain
         # must live on one actor); the pane/dedup flow stays salted.
-        part_d = np.fromiter(
-            (zlib.crc32((d or "").encode()) % p for d in domains),
-            dtype=np.int64,
-            count=n,
-        )
+        part_d = (hd % pu).astype(np.int64)
         ts_col = pc.cast(batch.column("warc_ts"), pa.int64())
         refs = []
         for i in range(p):
@@ -121,10 +128,12 @@ def make_router(actors: list):
                     actors[i].update.remote(
                         {
                             "domain": sub.column("domain").to_pylist(),
-                            "window_id": sub.column("window_id").to_pylist(),
+                            "window_id": sub.column(
+                                "window_id"
+                            ).to_numpy(),
                             "url": sub.column("url").to_pylist(),
-                            "n_chars": sub.column("n_chars").to_pylist(),
-                            "text_fp": sub.column("text_fp").to_pylist(),
+                            "n_chars": sub.column("n_chars").to_numpy(),
+                            "text_fp": sub.column("text_fp").to_numpy(),
                         }
                     )
                 )
@@ -263,31 +272,63 @@ class CepEngine:
         self.summarizer_concurrency = summarizer_concurrency
 
     def load_prior_crawl(self, paths: list[str]) -> int:
-        """Broadcast the prior-crawl index into the actor pool (join side)."""
-        ds = ray.data.read_parquet(paths, columns=["url", "text"])
-        total = 0
-        for batch in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-            batch = batch.append_column(
-                "text_fp", text_fingerprint_column(batch.column("text"))
-            )
+        """Load the prior-crawl index (the join side) into the actor pool
+        WORKER-SIDE: a map_batches task stage fingerprints each batch and
+        scatters (url, fp) slices straight to the state actors using the
+        same vectorized routing hash as the live stream (make_router), so
+        the corpus-sized prior crawl never flows through the driver — the
+        driver only sums tiny per-batch row counts. Domain derivation
+        matches the stream's add_domain, keeping (domain, url) routing
+        consistent between the prior index and the rows that probe it."""
+        actors = self.actors
+        p = len(actors)
+
+        def scatter(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            from ..stages.hashing import combine_hash_pair, hash_strings
+
+            batch = add_domain(batch)
             urls = batch.column("url").to_pylist()
-            fps = batch.column("text_fp").to_pylist()
-            parts: list[tuple[list, list]] = [
-                ([], []) for _ in range(len(self.actors))
+            doms = [
+                "" if d is None else d
+                for d in batch.column("domain").to_pylist()
             ]
-            for u, f in zip(urls, fps):
-                d = u.split("/")[2] if "://" in u else ""
-                slot = parts[route_partition(d, u, len(self.actors))]
-                slot[0].append(u)
-                slot[1].append(f)
-            ray.get(
-                [
-                    self.actors[i].load_prior.remote(parts[i][0], parts[i][1])
-                    for i in range(len(self.actors))
-                    if parts[i][0]
-                ]
+            fps = text_fingerprint_column(batch.column("text")).to_numpy()
+            hd = hash_strings(doms)
+            hu = hash_strings(urls)
+            parts = (combine_hash_pair(hd, hu) % np.uint64(p)).astype(
+                np.int64
             )
-            total += batch.num_rows
+            refs = []
+            for i in range(p):
+                idx = np.flatnonzero(parts == i)
+                if idx.size:
+                    refs.append(
+                        actors[i].load_prior.remote(
+                            [urls[j] for j in idx],
+                            fps[idx].tolist(),
+                        )
+                    )
+            # block until delivered (backpressure; all rows are in actor
+            # state before the driver sees this batch's count)
+            ray.get(refs)
+            return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+        ds = ray.data.read_parquet(paths, columns=["url", "text"])
+        stats = ds.map_batches(
+            scatter,
+            batch_format="pyarrow",
+            batch_size=8192,
+            num_cpus=0.5,
+        )
+        # the only thing that reaches the driver: one-row count tables
+        total = 0
+        for b in stats.iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        ):
+            s = pc.sum(b.column("n")).as_py()
+            total += int(s or 0)
         return total
 
     def _summarize_batch(self, ds, b: int):

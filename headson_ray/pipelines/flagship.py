@@ -103,18 +103,17 @@ def write_bucketed_by_domain(
     partitioning key and reuse it" layout for the 100 TB pipeline."""
     import pyarrow as pa
 
-    from ..state.store import route_domain
+    from ..state.store import route_domains_batch
 
     def add_bucket(b: "pa.Table") -> "pa.Table":
         # same routing hash as the CEP actors / distributed merge, so
         # this layout is co-partitioned with every domain-keyed stage
-        buckets = pa.array(
-            [
-                route_domain(d or "", num_buckets)
-                for d in b.column("domain").to_pylist()
-            ],
-            pa.int32(),
+        # (vectorized: one numpy hashing pass per batch)
+        parts = route_domains_batch(
+            ["" if d is None else d for d in b.column("domain").to_pylist()],
+            num_buckets,
         )
+        buckets = pa.array(parts.astype("int32"), pa.int32())
         return b.append_column("bucket", buckets)
 
     ds.map_batches(

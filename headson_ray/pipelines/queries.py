@@ -1064,20 +1064,50 @@ GROUP BY c_mktsegment
 
 
 def q_top_orders(sf_dir: str):
+    """Global top-10 WITHOUT a global sort: each block pre-trims to its
+    own top-10 (ds.sort().limit() would be an all-to-all shuffle of the
+    whole orders table), then the driver merges the tiny partials
+    (<= 10 rows per block) and takes the final 10."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    top = ds.sort(
-        ["o_totalprice", "o_orderkey"], descending=[True, False]
-    ).limit(10)
 
-    def shape(b: pa.Table) -> pa.Table:
-        return pa.table(
+    def trim(b: pa.Table) -> pa.Table:
+        t = pa.table(
             {
                 "o_orderkey": b.column("o_orderkey"),
                 "total_cents": _cents(b.column("o_totalprice")),
             }
         )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("total_cents", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        return t.take(idx.slice(0, 10))
 
-    return top.map_batches(shape, batch_format="pyarrow")
+    partials = ds.map_batches(
+        trim, batch_format="pyarrow", zero_copy_batch=True
+    )
+    parts = list(partials.iter_batches(batch_format="pyarrow"))
+    merged = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "total_cents": pa.array([], pa.int64()),
+            }
+        )
+    )
+    idx = pc.sort_indices(
+        merged,
+        sort_keys=[
+            ("total_cents", "descending"),
+            ("o_orderkey", "ascending"),
+        ],
+    )
+    return merged.take(idx.slice(0, 10))
 
 
 SQL_TOP_ORDERS = """
@@ -1293,14 +1323,25 @@ def q_top3_orders_per_segment(sf_dir: str):
             ],
         )
         t = t.take(idx)
-        keep = []
-        count: dict[str, int] = {}
-        for i, s in enumerate(t.column("c_mktsegment").to_pylist()):
-            c = count.get(s, 0)
-            if c < 3:
-                keep.append(i)
-                count[s] = c + 1
-        return t.take(pa.array(keep, pa.int64()))
+        # vectorized per-segment rank < 3: rows are sorted so equal
+        # segments are contiguous — run starts via dictionary codes,
+        # position-within-run via a cumulative offset subtraction
+        codes = (
+            t.column("c_mktsegment")
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        n = len(codes)
+        if n == 0:
+            return t
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = codes[1:] != codes[:-1]
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        pos_in_run = np.arange(n) - starts[run_id]
+        return t.filter(pa.array(pos_in_run < 3))
 
     partials = joined.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
@@ -1380,33 +1421,39 @@ def q_asof_latest_order_per_event(sf_dir: str):
     )
 
     def sweep(group: pa.Table) -> pa.Table:
-        # order rows first at equal timestamps (<=), break order ties by
-        # orderkey so "latest" is deterministic: max date then max key
-        idx = pc.sort_indices(
-            group,
-            sort_keys=[
-                ("t_us", "ascending"),
-                ("is_event", "ascending"),
-                ("o_orderkey", "ascending"),
-            ],
-        )
-        t = group.take(idx)
-        out_ev, out_ok = [], []
-        current = None
-        for ev, is_ev, ok in zip(
-            t.column("event_id").to_pylist(),
-            t.column("is_event").to_pylist(),
-            t.column("o_orderkey").to_pylist(),
-        ):
-            if is_ev:
-                out_ev.append(ev)
-                out_ok.append(current)
-            else:
-                current = ok
+        # vectorized as-of probe: sort the key's orders by (t, orderkey)
+        # and searchsorted each event's ts with side="right" — the match
+        # is the latest order with t <= ts (orders at equal ts count,
+        # ties broken toward the max orderkey), identical to the old
+        # row-at-a-time sweep without the per-row python loop.
+        is_ev = group.column("is_event")
+        ev = group.filter(is_ev)
+        orders = group.filter(pc.invert(is_ev))
+        ev_ids = ev.column("event_id").to_numpy(zero_copy_only=False)
+        ev_t = ev.column("t_us").to_numpy(zero_copy_only=False)
+        if orders.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array(
+                        ev_ids.astype(np.int64), pa.int64()
+                    ),
+                    "o_orderkey": pa.nulls(len(ev_ids), pa.int64()),
+                }
+            )
+        o_t = orders.column("t_us").to_numpy(zero_copy_only=False)
+        o_k = orders.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((o_k, o_t))
+        o_t = o_t[order]
+        o_k = o_k[order]
+        pos = np.searchsorted(o_t, ev_t, side="right") - 1
+        matched = pos >= 0
+        keys = np.where(matched, o_k[np.maximum(pos, 0)], 0)
         return pa.table(
             {
-                "event_id": pa.array(out_ev, pa.int64()),
-                "o_orderkey": pa.array(out_ok, pa.int64()),
+                "event_id": pa.array(ev_ids.astype(np.int64), pa.int64()),
+                "o_orderkey": pa.array(
+                    keys.astype(np.int64), pa.int64(), mask=~matched
+                ),
             }
         )
 

@@ -114,18 +114,20 @@ class ExactlyOnceSink:
             sort_keys = [(group_keys[1], "ascending"),
                          (group_keys[0], "ascending")]
 
-        from ..state.store import route_domain
+        from ..state.store import route_domains_batch
 
         def add_part(b: pa.Table) -> pa.Table:
             # same hash as the actors' routing (state/store.py
-            # route_domain) so partitioning stays co-located by design
-            parts = pa.array(
+            # route_domains_batch) so partitioning stays co-located by
+            # design (vectorized: one numpy hashing pass per batch)
+            vals = route_domains_batch(
                 [
-                    route_domain(d or "", num_parts)
+                    "" if d is None else d
                     for d in b.column(group_keys[0]).to_pylist()
                 ],
-                pa.int32(),
+                num_parts,
             )
+            parts = pa.array(vals.astype("int32"), pa.int32())
             return b.append_column("part", parts)
 
         ds = ds.map_batches(

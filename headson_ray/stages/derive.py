@@ -25,16 +25,40 @@ def add_domain(batch: pa.Table, url_column: str = "url") -> pa.Table:
     return batch.append_column("domain", host)
 
 
+# content_inspector parity (reference src/main.rs:313-346 via
+# content_inspector::inspect): a BOM-prefixed UTF-8/16/32 payload is TEXT
+# even though UTF-16/32 encodings contain NUL bytes; otherwise a NUL in
+# the first `scan` bytes means binary.
+_TEXT_BOMS = (
+    b"\xef\xbb\xbf",  # UTF-8 BOM
+    b"\xff\xfe\x00\x00",  # UTF-32 LE (checked before its UTF-16 prefix)
+    b"\x00\x00\xfe\xff",  # UTF-32 BE
+    b"\xff\xfe",  # UTF-16 LE
+    b"\xfe\xff",  # UTF-16 BE
+)
+
+
+def looks_binary(first: bytes, scan: int = 1024) -> bool:
+    """True when a payload prefix sniffs as binary: NUL in the first
+    `scan` bytes UNLESS the payload starts with a text BOM."""
+    if not first:
+        return False
+    for bom in _TEXT_BOMS:
+        if first.startswith(bom):
+            return False
+    return b"\x00" in first[:scan]
+
+
 def add_binary_sniff(
     batch: pa.Table, html_column: str = "html", sniff_bytes: int = 1024
 ) -> pa.Table:
-    """Append `skipped` = payload-looks-binary (NUL in the first chunk)."""
+    """Append `skipped` = payload-looks-binary (looks_binary above)."""
     col = batch.column(html_column)
     flags = []
     for chunk in col.chunks:
         for buf in chunk:
             v = buf.as_py()
-            flags.append(v is not None and b"\x00" in v[:sniff_bytes])
+            flags.append(v is not None and looks_binary(v, sniff_bytes))
     return batch.append_column("skipped", pa.array(flags, pa.bool_()))
 
 

@@ -80,25 +80,35 @@ for _k in range(_MAX_UNPAD + 1):
     _acc = (_acc * _BINV) & MASK64
 
 
-def hash_strings(strs: list[str]) -> np.ndarray:
-    """Hash a list of strings to uint64, fully vectorized.
+# Cap on the (rows x maxlen) codepoint-matrix size: 2^23 uint64 cells =
+# 64 MiB transient. Bigger batches hash in length-sorted chunks so one
+# long outlier doesn't pad the whole batch to its width.
+_CELL_BUDGET = 1 << 23
 
-    One numpy (n, maxlen) uint32 codepoint matrix (the 'U' dtype is
-    native-endian UTF-32), a Horner pass down the columns, an un-padding
-    multiply by B**-(pad), then the mixing rounds.
-    """
-    n = len(strs)
+
+def _hash_long_string(s: str) -> int:
+    """Single long string, vectorized WITHIN the string: Horner(s) =
+    sum_i cp_i * B**(n-1-i), computed as one codepoint array times a
+    cumulative-product power ladder (wrapping uint64), then mixed.
+    Identical to horner_hash_int without the per-character python loop."""
+    cps = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+    n = cps.shape[0]
     if n == 0:
-        return np.empty(0, dtype=np.uint64)
-    lens = np.fromiter(map(len, strs), dtype=np.int64, count=n)
-    maxlen = int(lens.max(initial=0))
-    if maxlen == 0:
-        return mix_rounds(np.zeros(n, dtype=np.uint64))
-    if maxlen > _MAX_UNPAD:
-        # rare giant tokens: hash individually (still correct)
-        return np.fromiter(
-            (horner_hash_int(s) for s in strs), dtype=np.uint64, count=n
+        return mix_rounds_int(0)
+    pows = np.empty(n, dtype=np.uint64)
+    pows[0] = 1
+    if n > 1:
+        np.multiply.accumulate(
+            np.full(n - 1, B, dtype=np.uint64), out=pows[1:]
         )
+    h = int((cps * pows[::-1]).sum(dtype=np.uint64))
+    return mix_rounds_int(h)
+
+
+def _hash_matrix(strs: list[str], lens: np.ndarray, maxlen: int) -> np.ndarray:
+    """The core fixed-width matrix pass (callers guarantee
+    maxlen in (0, _MAX_UNPAD])."""
+    n = len(strs)
     mat = (
         np.array(strs, dtype=f"U{maxlen}")
         .view(np.uint32)
@@ -110,6 +120,83 @@ def hash_strings(strs: list[str]) -> np.ndarray:
         h = h * _B + mat[:, j]
     h = h * _BINV_POWS[maxlen - lens]
     return mix_rounds(h)
+
+
+def hash_strings(strs: list[str]) -> np.ndarray:
+    """Hash a list of strings to uint64, fully vectorized.
+
+    One numpy (n, maxlen) uint32 codepoint matrix (the 'U' dtype is
+    native-endian UTF-32), a Horner pass down the columns, an un-padding
+    multiply by B**-(pad), then the mixing rounds. Batches whose padded
+    matrix would exceed _CELL_BUDGET cells (or that contain strings
+    longer than _MAX_UNPAD) hash in length-sorted chunks; giant strings
+    hash individually via the in-string vectorized ladder.
+    """
+    n = len(strs)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter(map(len, strs), dtype=np.int64, count=n)
+    maxlen = int(lens.max(initial=0))
+    if maxlen == 0:
+        return mix_rounds(np.zeros(n, dtype=np.uint64))
+    if maxlen <= _MAX_UNPAD and n * maxlen <= _CELL_BUDGET:
+        return _hash_matrix(strs, lens, maxlen)
+    out = np.empty(n, dtype=np.uint64)
+    order = np.argsort(lens, kind="stable")
+    start = 0
+    while start < n:
+        L = int(lens[order[start]])
+        if L > _MAX_UNPAD:
+            # everything from here on is giant (sorted): one at a time,
+            # still vectorized within the string
+            for i in order[start:]:
+                out[i] = _hash_long_string(strs[i])
+            break
+        if L == 0:
+            end = start
+            while end < n and lens[order[end]] == 0:
+                end += 1
+            out[order[start:end]] = mix_rounds(
+                np.zeros(end - start, dtype=np.uint64)
+            )
+            start = end
+            continue
+        # grow the chunk while the padded matrix stays under budget
+        end = start
+        cm = 0
+        while end < n:
+            Lj = int(lens[order[end]])
+            if Lj > _MAX_UNPAD:
+                break
+            cm2 = Lj if Lj > cm else cm
+            if (end - start + 1) * cm2 > _CELL_BUDGET and end > start:
+                break
+            cm = cm2
+            end += 1
+        idx = order[start:end]
+        out[idx] = _hash_matrix(
+            [strs[i] for i in idx], lens[idx], cm
+        )
+        start = end
+    return out
+
+
+def combine_hash_pair(ha: np.ndarray, hb: np.ndarray) -> np.ndarray:
+    """Combine two per-row uint64 hash arrays into one (a Horner round
+    over the pair, then the mixing rounds) — the vectorized composite
+    key for (domain, url)-style routing."""
+    return mix_rounds(ha * _B + hb)
+
+
+def hash_string_pairs(a: list[str], b: list[str]) -> np.ndarray:
+    """Vectorized 64-bit hash of (a[i], b[i]) pairs."""
+    return combine_hash_pair(hash_strings(a), hash_strings(b))
+
+
+def hash_pair_int(a: str, b: str) -> int:
+    """Python-int reference of hash_string_pairs for one pair."""
+    h = (horner_hash_int(a) * B + horner_hash_int(b)) & MASK64
+    return mix_rounds_int(h)
 
 
 def hash_u64_rows(mat: np.ndarray, seed: np.ndarray | int = 0) -> np.ndarray:

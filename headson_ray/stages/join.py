@@ -19,8 +19,6 @@ pipelines/queries.py (_broadcast_lookup).
 
 from __future__ import annotations
 
-import zlib
-
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -35,12 +33,15 @@ def _bucket_of(col: pa.ChunkedArray) -> pa.Array:
             pc.bit_wise_and(pc.cast(col, pa.int64()), NUM_JOIN_BUCKETS - 1),
             pa.int32(),
         )
+    # string keys: one vectorized numpy hashing pass per batch
+    # (stages/hashing.py), not a per-row python crc32 loop
+    from .hashing import hash_strings
+
+    import numpy as np
+
+    h = hash_strings([str(v) for v in col.to_pylist()])
     return pa.array(
-        [
-            zlib.crc32(str(v).encode()) % NUM_JOIN_BUCKETS
-            for v in col.to_pylist()
-        ],
-        pa.int32(),
+        (h % np.uint64(NUM_JOIN_BUCKETS)).astype(np.int32), pa.int32()
     )
 
 

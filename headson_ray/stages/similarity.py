@@ -296,27 +296,48 @@ def embedding_near_dup_pairs_tiled(
     tile_rows: int = 4096,
 ) -> pa.Table:
     """EXACT all-pairs cosine near-dups, distributed by tiling: the
-    corpus streams into normalized (ids, matrix) tiles held in the
-    object store, and one Ray task per tile pair (i <= j) computes its
-    sims block — O(n^2) total work like any exact all-pairs, but spread
-    over B(B+1)/2 parallel matmuls with no driver-side matrix and
-    O(tile^2) peak memory per task. This replaces the old
-    'test-scale-only' driver concat for the exact/oracle path; the LSH
-    variant remains the sub-quadratic approximate path."""
+    corpus materializes as Arrow block refs in the object store, one Ray
+    task per block converts it to a normalized (ids, matrix) tile (the
+    tile stays in the object store as the task's return), and one Ray
+    task per tile pair (i <= j) computes its sims block — O(n^2) total
+    work like any exact all-pairs, but spread over B(B+1)/2 parallel
+    matmuls with no driver-side matrix. The driver only ever holds
+    ObjectRefs and the (bounded) matching pairs: the old form pumped
+    every tile through driver-side iter_batches + ray.put — a
+    single-point ingest at corpus scale."""
+    import math
+
     import ray as _ray
 
-    tiles: list = []
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=tile_rows):
-        ids = np.asarray(b.column(id_column).to_pylist(), dtype=np.int64)
-        if ids.size == 0:
-            continue
-        m = _normalize(_matrix(b, vec_column))
-        tiles.append(_ray.put((ids, m)))
+    n_rows = ds.count()
+    if n_rows == 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    num_tiles = max(1, math.ceil(n_rows / tile_rows))
+    # split-only repartition (no shuffle) bounds each tile's rows, then
+    # materialize pins the blocks in the object store
+    block_refs = (
+        ds.repartition(num_tiles)
+        .materialize()
+        .to_arrow_refs()
+    )
+
+    @_ray.remote
+    def prep(tbl: pa.Table):
+        ids = np.asarray(tbl.column(id_column).to_pylist(), dtype=np.int64)
+        return ids, _normalize(_matrix(tbl, vec_column))
+
+    tiles = [prep.remote(r) for r in block_refs]
 
     @_ray.remote
     def tile_pairs(ta, tb, same: bool) -> pa.Table:
         ids_a, ma = ta
         ids_b, mb = tb
+        if ids_a.size == 0 or ids_b.size == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
         sims = ma @ mb.T
         if same:
             ia, ib = np.where(np.triu(sims >= threshold, k=1))

@@ -32,7 +32,6 @@ import os
 import pickle
 import sqlite3
 import tempfile
-import zlib
 from bisect import bisect_left
 from collections import defaultdict
 
@@ -135,31 +134,80 @@ class SeenStore:
     # -- api ---------------------------------------------------------------
     def add_if_new(self, d: str, u: str) -> bool:
         """True if (d, u) was NOT seen before (and records it)."""
-        self.total += 1
+        return bool(self.add_if_new_batch([d], [u])[0])
+
+    # chunk size for the batched cold-tier membership probe (sqlite's
+    # default variable limit is 999; 2 params per key)
+    _PROBE_CHUNK = 450
+
+    def add_if_new_batch(
+        self, domains: list[str], urls: list[str]
+    ) -> np.ndarray:
+        """Vectorized membership+insert: returns a bool array where True
+        means (d, u) was NOT seen before this call (first in-batch
+        occurrence wins). Once spilled, the cold tier is probed with ONE
+        chunked row-value IN query per batch instead of one SELECT per
+        row (the per-row point query was the CEP throughput ceiling)."""
+        n = len(urls)
+        self.total += n
+        out = np.zeros(n, dtype=bool)
         if self.mode == "bloom":
-            pos = self._bloom_positions(d, u)
-            byte, bit = pos >> np.uint64(3), pos & np.uint64(7)
-            hits = (self.bloom[byte] >> bit.astype(np.uint8)) & 1
-            if hits.all():
-                return False
-            np.bitwise_or.at(
-                self.bloom, byte, (1 << bit).astype(np.uint8)
-            )
-            return True
-        s = self.mem.get(d)
-        if s is not None and u in s:
-            return False
-        if self.spilled:
-            cur = self.con.execute(
-                "SELECT 1 FROM seen WHERE domain = ? AND url = ?", (d, u)
-            )
-            if cur.fetchone() is not None:
-                return False
-        self.mem[d].add(u)
-        self.mem_count += 1
+            # bloom bits set by earlier rows must be visible to later
+            # rows (sequential semantics), so this stays a per-row loop
+            # over the (cheap) bit ops; the exact tier is the hot path.
+            for i, (d, u) in enumerate(zip(domains, urls)):
+                pos = self._bloom_positions(d, u)
+                byte, bit = pos >> np.uint64(3), pos & np.uint64(7)
+                hits = (self.bloom[byte] >> bit.astype(np.uint8)) & 1
+                if hits.all():
+                    continue
+                np.bitwise_or.at(
+                    self.bloom, byte, (1 << bit).astype(np.uint8)
+                )
+                out[i] = True
+            return out
+        # pass 1: hot tier + in-batch first-occurrence
+        batch_new: set = set()
+        maybe_new: list[int] = []
+        mem = self.mem
+        for i, (d, u) in enumerate(zip(domains, urls)):
+            key = (d, u)
+            if key in batch_new:
+                continue
+            s = mem.get(d)
+            if s is not None and u in s:
+                continue
+            batch_new.add(key)
+            maybe_new.append(i)
+        # pass 2: one chunked cold-tier probe for the remaining candidates
+        if self.spilled and maybe_new:
+            found: set = set()
+            for ofs in range(0, len(maybe_new), self._PROBE_CHUNK):
+                chunk = maybe_new[ofs : ofs + self._PROBE_CHUNK]
+                params: list[str] = []
+                for i in chunk:
+                    params.append(domains[i])
+                    params.append(urls[i])
+                placeholders = ",".join(["(?,?)"] * len(chunk))
+                cur = self.con.execute(
+                    "SELECT domain, url FROM seen WHERE (domain, url) IN "
+                    f"(VALUES {placeholders})",
+                    params,
+                )
+                found.update(cur.fetchall())
+            if found:
+                maybe_new = [
+                    i
+                    for i in maybe_new
+                    if (domains[i], urls[i]) not in found
+                ]
+        for i in maybe_new:
+            out[i] = True
+            mem[domains[i]].add(urls[i])
+        self.mem_count += len(maybe_new)
         if self.mem_count > self.max_mem:
             self._spill()
-        return True
+        return out
 
     def domain_count(self) -> int:
         n = len(self.mem)
@@ -274,6 +322,45 @@ class PriorIndex:
         ).fetchone()
         return row[0] if row else None
 
+    # chunk size for the batched cold-tier lookup (sqlite variable cap)
+    _PROBE_CHUNK = 900
+
+    def get_batch(
+        self, urls: list[str]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized lookup: (found_mask, fps) arrays. Hot-tier hits
+        resolve from the dict; misses probe the cold tier with ONE
+        chunked IN query per batch instead of a SELECT per row."""
+        n = len(urls)
+        found = np.zeros(n, dtype=bool)
+        fps = np.zeros(n, dtype=np.int64)
+        misses: list[int] = []
+        mem = self.mem
+        for i, u in enumerate(urls):
+            fp = mem.get(u)
+            if fp is not None:
+                found[i] = True
+                fps[i] = fp
+            elif self.spilled:
+                misses.append(i)
+        if misses:
+            lookup: dict[str, int] = {}
+            for ofs in range(0, len(misses), self._PROBE_CHUNK):
+                chunk = misses[ofs : ofs + self._PROBE_CHUNK]
+                placeholders = ",".join(["?"] * len(chunk))
+                cur = self.con.execute(
+                    "SELECT url, fp FROM prior WHERE url IN "
+                    f"({placeholders})",
+                    [urls[i] for i in chunk],
+                )
+                lookup.update(cur.fetchall())
+            for i in misses:
+                fp = lookup.get(urls[i])
+                if fp is not None:
+                    found[i] = True
+                    fps[i] = fp
+        return found, fps
+
     def __len__(self) -> int:
         # stats-only figure; mem may briefly shadow spilled urls
         n = len(self.mem)
@@ -286,14 +373,41 @@ class PriorIndex:
 
 def route_partition(domain: str, url: str, num_partitions: int) -> int:
     """Salted routing: same (domain,url) always lands on one actor while a
-    hot domain spreads across the pool. crc32 is stable across processes
-    (python hash() is per-process salted) and C-speed in the hot path."""
-    return zlib.crc32(f"{domain}\x00{url}".encode()) % num_partitions
+    hot domain spreads across the pool. Scalar reference of
+    route_partitions_batch (stages/hashing.py family: process-stable,
+    64-bit, and the batch form is fully vectorized — python hash() is
+    per-process salted and per-row crc32 calls were the hot-path cost)."""
+    from ..stages.hashing import hash_pair_int
+
+    return hash_pair_int(domain, url) % num_partitions
 
 
 def route_domain(domain: str, num_partitions: int) -> int:
-    """Unsalted per-domain routing (session state must be co-located)."""
-    return zlib.crc32(domain.encode()) % num_partitions
+    """Unsalted per-domain routing (session state must be co-located).
+    Scalar reference of route_domains_batch."""
+    from ..stages.hashing import horner_hash_int
+
+    return horner_hash_int(domain) % num_partitions
+
+
+def route_partitions_batch(
+    domains: list[str], urls: list[str], num_partitions: int
+) -> "np.ndarray":
+    """Vectorized route_partition over a batch (int64 partition ids)."""
+    from ..stages.hashing import hash_string_pairs
+
+    h = hash_string_pairs(domains, urls)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def route_domains_batch(
+    domains: list[str], num_partitions: int
+) -> "np.ndarray":
+    """Vectorized route_domain over a batch (int64 partition ids)."""
+    from ..stages.hashing import hash_strings
+
+    h = hash_strings(domains)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
 PANE_FIELDS = [
@@ -358,46 +472,86 @@ class StateStoreActor:
 
     # --- per-micro-batch update ------------------------------------------
     def update(self, batch: dict) -> int:
-        """Consume routed rows: domain, window_id, url, n_chars, text_fp."""
+        """Consume routed rows: domain, window_id, url, n_chars, text_fp.
+
+        Vectorized: late-row masking in numpy, ONE batched seen-store
+        membership+insert (batched cold-tier probe), ONE batched prior
+        lookup for first-seen rows, then a pyarrow group_by that reduces
+        the per-row stream to per-(domain, window) increments — the
+        python loop below runs once per OPEN PANE touched, not once per
+        row (the old per-row loop + per-row sqlite probe was the CEP
+        throughput ceiling)."""
         domains = batch["domain"]
-        wids = batch["window_id"]
         urls = batch["url"]
-        chars = batch["n_chars"]
-        fps = batch["text_fp"]
+        wids = np.asarray(batch["window_id"], dtype=np.int64)
+        chars = np.asarray(batch["n_chars"], dtype=np.int64)
+        fps = np.asarray(batch["text_fp"], dtype=np.int64)
+        n = len(urls)
+        self.rows_seen += n
+        live = wids > self.frontier
+        n_live = int(live.sum())
+        self.n_late += n - n_live
+        if n_live == 0:
+            return n
+        if n_live < n:
+            idx = np.flatnonzero(live)
+            domains = [domains[i] for i in idx]
+            urls = [urls[i] for i in idx]
+            wids = wids[idx]
+            chars = chars[idx]
+            fps = fps[idx]
+        is_new = self.seen.add_if_new_batch(domains, urls)
+        found = np.zeros(n_live, dtype=bool)
+        pfps = np.zeros(n_live, dtype=np.int64)
+        new_idx = np.flatnonzero(is_new)
+        if new_idx.size:
+            f, p = self.prior.get_batch([urls[i] for i in new_idx])
+            found[new_idx] = f
+            pfps[new_idx] = p
+        dup = ~is_new
+        fresh = is_new & ~found
+        chg = is_new & found & (pfps != fps)
+        unc = is_new & found & (pfps == fps)
+        t = pa.table(
+            {
+                "d": pa.array(domains, pa.string()),
+                "w": pa.array(wids),
+                "one": pa.array(np.ones(n_live, np.int64)),
+                "dup": pa.array(dup.astype(np.int64)),
+                "new": pa.array(fresh.astype(np.int64)),
+                "chg": pa.array(chg.astype(np.int64)),
+                "unc": pa.array(unc.astype(np.int64)),
+                # total_chars counts first-seen rows only (dup rows
+                # contribute to the pane count but not its chars)
+                "ach": pa.array(np.where(is_new, chars, 0)),
+                "ch": pa.array(chars),
+            }
+        )
+        fields = ["one", "dup", "new", "chg", "unc", "ach", "ch"]
+        g = t.group_by(["d", "w"]).aggregate([(f, "sum") for f in fields])
+        gd = g.column("d").to_pylist()
+        gw = g.column("w").to_pylist()
+        sums = [g.column(f"{f}_sum").to_pylist() for f in fields]
         panes = self.panes
         slides = self.slides
-        seen = self.seen
-        prior = self.prior
-        frontier = self.frontier
-        for d, w, u, c, fp in zip(domains, wids, urls, chars, fps):
-            if w <= frontier:
-                self.n_late += 1
-                continue
-            key = (d, w)
+        for j, key in enumerate(zip(gd, gw)):
             pane = panes.get(key)
             if pane is None:
                 pane = [0, 0, 0, 0, 0, 0]
                 panes[key] = pane
-            pane[0] += 1
+            pane[0] += sums[0][j]
+            pane[1] += sums[1][j]
+            pane[2] += sums[2][j]
+            pane[3] += sums[3][j]
+            pane[4] += sums[4][j]
+            pane[5] += sums[5][j]
             slide = slides.get(key)
             if slide is None:
                 slide = [0, 0]
                 slides[key] = slide
-            slide[0] += 1
-            slide[1] += c
-            if not seen.add_if_new(d, u):
-                pane[1] += 1  # duplicate within this crawl stream
-            else:
-                pane[5] += c
-                pfp = prior.get(u)
-                if pfp is None:
-                    pane[2] += 1  # new vs prior crawl
-                elif pfp != fp:
-                    pane[3] += 1  # changed
-                else:
-                    pane[4] += 1  # unchanged
-        self.rows_seen += len(urls)
-        return len(urls)
+            slide[0] += sums[0][j]
+            slide[1] += sums[6][j]
+        return n
 
     def update_sessions(self, domains: list[str], ts: list[int],
                         chars: list[int]) -> int:

@@ -97,6 +97,59 @@ def _pane_dict(table: pa.Table):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_load_prior_crawl_never_pumps_through_driver(
+    pages_shards, prior_crawl, tmp_path
+):
+    """Round-3 scale fix: the prior crawl is corpus-sized, so it must
+    load as a worker-side map_batches scatter — any driver-side
+    iter_batches/iter_rows pump fails this test. The per-actor entry
+    spread also proves rows landed on the (domain,url)-routed actors."""
+    import ray as _ray
+    import ray.data as rd
+    from unittest import mock
+
+    prior_path, unchanged_urls, changed_urls = prior_crawl
+    eng = CepEngine(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_state_actors=3,
+        window_size_s=WINDOW_S,
+        allowed_lateness_s=LATENESS_S,
+    )
+
+    # the driver may only ever iterate TINY per-batch count tables (one
+    # "n" row per scatter batch) — a corpus pump (url/text columns or
+    # row-sized batches) fails the assertion inside the wrapper
+    orig_iter = rd.Dataset.iter_batches
+
+    def _guarded_iter(self, *a, **k):
+        for b in orig_iter(self, *a, **k):
+            names = set(
+                b.column_names if hasattr(b, "column_names") else b.keys()
+            )
+            assert names <= {"n"}, (
+                f"driver-side corpus pump in load_prior_crawl: {names}"
+            )
+            yield b
+
+    def _no_rows(self, *a, **k):
+        raise AssertionError("driver-side iter_rows in load_prior_crawl")
+
+    with mock.patch.object(
+        rd.Dataset, "iter_batches", _guarded_iter
+    ), mock.patch.object(rd.Dataset, "iter_rows", _no_rows):
+        total = eng.load_prior_crawl([prior_path])
+    n_prior = len(unchanged_urls) + len(changed_urls)
+    assert total == n_prior
+    per_actor = [
+        st["prior_entries"]
+        for st in _ray.get([a.stats.remote() for a in eng.actors])
+    ]
+    assert sum(per_actor) == n_prior
+    assert sum(1 for c in per_actor if c > 0) >= 2  # really scattered
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_cep_full_run_matches_oracle(pages_shards, prior_crawl, tmp_path):
     paths, src = pages_shards
     prior_path, unchanged_urls, changed_urls = prior_crawl

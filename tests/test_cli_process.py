@@ -78,6 +78,35 @@ def test_nul_after_1024_bytes_is_not_binary(tmp_path):
     assert "aaa" in out
 
 
+def test_utf16le_bom_file_is_text_not_skipped(tmp_path):
+    # content_inspector parity (reference src/main.rs:313-346): a
+    # BOM-prefixed UTF-16LE file is TEXT even though every other byte is
+    # NUL — the reference summarizes it rather than skipping it.
+    f = tmp_path / "u16.txt"
+    f.write_bytes(b"\xff\xfe" + "hello utf16".encode("utf-16-le"))
+    rc, out, err = run_cli(["-n", "200", str(f)])
+    assert rc == 0
+    assert "Ignored binary file" not in err
+    assert out.strip() != ""
+
+
+def test_utf8_and_utf32_boms_are_text(tmp_path):
+    # .txt so text ingest handles the raw BOM bytes; the parity claim is
+    # only about the binary SKIP decision (a BOM'd .json would fail the
+    # JSON parse in the reference too — serde_json rejects BOMs)
+    for name, payload in [
+        ("u8.txt", b"\xef\xbb\xbf" + b'{"a": 1}'),
+        ("u32le.txt", b"\xff\xfe\x00\x00" + "hi".encode("utf-32-le")),
+        ("u32be.txt", b"\x00\x00\xfe\xff" + "hi".encode("utf-32-be")),
+        ("u16be.txt", b"\xfe\xff" + "hi".encode("utf-16-be")),
+    ]:
+        f = tmp_path / name
+        f.write_bytes(payload)
+        rc, out, err = run_cli(["-n", "200", str(f)])
+        assert rc == 0, name
+        assert "Ignored binary file" not in err, name
+
+
 def test_missing_file_is_error():
     rc, out, err = run_cli(["-n", "100", "/nonexistent/x.json"])
     assert rc == 1

@@ -31,18 +31,18 @@ def test_oracle_keys_subset_of_queries():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 44
-    assert len(o) >= 35
+    assert len(o) >= 37
     missing_oracle = set(q) - set(o)
-    # every non-oracled entry is a genuinely non-SQL-expressible op
     # every non-oracled entry is a genuinely non-SQL-expressible op:
-    # approximate/recall-based (minhash, ivf, lsh), preview strings, the
-    # stubbed multimodal decode, or synthetic-page inputs the driver's
-    # DuckDB session has no view of (summarize/sniff/cep over pages).
+    # approximate/recall-based (minhash, ivf, lsh), preview strings, or
+    # the stubbed multimodal decode. sniff_pages/cep_stream_windows are
+    # oracled via read_parquet over their deterministic /tmp page shards
+    # (round 3); summarize previews stay rows-only (the per-document
+    # algorithm's oracle is the byte-exact reference snapshot corpus).
     assert missing_oracle <= {
         "minhash_near_dups", "summarize_documents",
         "image_features", "ivf_topk", "embedding_near_dups_lsh",
-        "summarize_pages", "sniff_pages", "cep_stream_windows",
-        "domain_fileset_previews",
+        "summarize_pages", "domain_fileset_previews",
     }
 
 

@@ -12,7 +12,13 @@ text_snapshots.rs:13-17 does the same).
 
 Orphan snapshots whose producing tests were removed upstream
 (priority_queue__*, *_head_style_headers, combined_limits_two_files,
-yaml_fileset_mapping) are intentionally not covered.
+yaml_fileset_mapping) are intentionally not covered; each exclusion is
+ADJUDICATED by test_orphan_snapshots_have_no_producing_test below, which
+fails if the reference ever re-adds a producing test (forcing coverage).
+The yaml_fileset_mapping snap even shows a retired fileset header style
+(`"name":` mapping keys vs today's `==> name <==` sections), and the
+priority_queue snaps are Rust `Debug` dumps of internal structs — dead
+behavior, not a coverage gap.
 """
 
 from __future__ import annotations
@@ -176,3 +182,43 @@ def test_color_snapshots(tmpl, kind, text):
         CliOptions(budget=1000, format="json", style=style, color=True), text
     )
     _check(f"strings_color_param__color_{kind}_{tmpl}.snap", out)
+
+
+# Orphan snapshots: committed .snap files whose producing insta test was
+# removed from the reference. Each entry pins (snapshot file, the source
+# test file insta recorded, the producing test name). The assertion is
+# self-verifying: if the reference re-adds the producing test (or the
+# test file for priority_queue), these snaps stop being orphans and this
+# test fails — forcing round-N+1 to cover them instead of skipping.
+_ORPHAN_SNAPS = [
+    ("combined_limits__combined_limits_two_files_json_min120.snap",
+     "combined_limits.rs", "combined_limits_two_files_json_min120"),
+    ("fileset_js__js_fileset_head_style_headers.snap",
+     "fileset_js.rs", "js_fileset_head_style_headers"),
+    ("fileset_pseudo__pseudo_fileset_head_style_headers.snap",
+     "fileset_pseudo.rs", "pseudo_fileset_head_style_headers"),
+    ("fileset_yaml__yaml_fileset_mapping.snap",
+     "fileset_yaml.rs", "yaml_fileset_mapping"),
+    ("priority_queue__pq_empty_array_queue.snap",
+     "priority_queue.rs", "pq_empty_array_queue"),
+    ("priority_queue__pq_full_empty.snap",
+     "priority_queue.rs", "pq_full_empty"),
+    ("priority_queue__pq_single_string_array_queue.snap",
+     "priority_queue.rs", "pq_single_string_array_queue"),
+]
+
+
+@pytest.mark.parametrize(
+    "snap,src,test_name",
+    [pytest.param(*o, id=o[2]) for o in _ORPHAN_SNAPS],
+)
+def test_orphan_snapshots_have_no_producing_test(snap, src, test_name):
+    assert (SNAP / snap).exists(), "orphan list is stale — drop the entry"
+    src_path = REF / "tests" / src
+    if not src_path.exists():
+        return  # whole producing test file removed upstream
+    body = src_path.read_text()
+    assert f"fn {test_name}(" not in body and test_name not in body, (
+        f"{snap}: producing test {test_name!r} exists again in {src} — "
+        "cover the snapshot instead of skipping it"
+    )

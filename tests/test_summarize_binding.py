@@ -189,3 +189,92 @@ def test_yaml_detailed_shows_counts():
         character_budget=60,
     )
     assert "more items" in out or "more properties" in out, out
+
+
+# --- U2: the Ingest extension surface (reference src/ingest/mod.rs:6-14) ---
+def test_register_format_end_to_end_through_summarizer():
+    """A third-party format registered via register_format must flow
+    through summarize(), headson() and the Ray Summarizer stage without
+    editing core modules."""
+    import pyarrow as pa
+
+    from headson_ray import register_format, registered_formats, unregister_format
+    from headson_ray.core.ingest_text import parse_text_many, parse_text_one
+    from headson_ray.stages.summarize import Summarizer
+
+    def parse_upper_one(data, prio):
+        if isinstance(data, bytes):
+            data = data.decode("utf-8", errors="replace")
+        return parse_text_one(data.upper(), prio)
+
+    def parse_upper_many(inputs, prio):
+        up = [
+            (n, (d.decode("utf-8", "replace") if isinstance(d, bytes) else d).upper())
+            for n, d in inputs
+        ]
+        return parse_text_many(up, prio)
+
+    register_format("upper", parse_upper_one, parse_upper_many)
+    try:
+        assert "upper" in registered_formats()
+        out = summarize("hello world", input_format="upper",
+                        format="text", character_budget=100)
+        assert "HELLO WORLD" in out
+        # the Ray map_batches stage dispatches through the same registry
+        s = Summarizer(budget=100, format="text", input_format="upper")
+        batch = pa.table({"text": pa.array(["abc def", None])})
+        got = s(batch)
+        assert "ABC DEF" in got.column("preview")[0].as_py()
+        assert got.column("summarize_error")[1].as_py() == "null input"
+        # fileset path
+        from headson_ray import headson_many
+        from headson_ray.core.config import PriorityConfig, RenderConfig
+        from headson_ray.core.config import TEMPLATE_TEXT
+
+        cfg = RenderConfig(template=TEMPLATE_TEXT, indent_unit="  ",
+                           space=" ", newline="\n",
+                           prefer_tail_arrays=False, color_enabled=False,
+                           style="default")
+        prio = PriorityConfig(max_string_graphemes=100, array_max_items=50,
+                              prefer_tail_arrays=False)
+        many = headson_many([("a.up", "x y"), ("b.up", "z w")], cfg, prio,
+                            200, input_format="upper")
+        assert "X Y" in many and "Z W" in many
+    finally:
+        unregister_format("upper")
+    assert "upper" not in registered_formats()
+
+
+def test_register_format_guards():
+    import pytest as _pytest
+
+    from headson_ray import register_format, unregister_format
+    from headson_ray.core.ingest_text import parse_text_one
+
+    with _pytest.raises(ValueError, match="built-in"):
+        register_format("json", parse_text_one)
+    with _pytest.raises(ValueError, match="built-in"):
+        unregister_format("text")
+    register_format("toy2", parse_text_one)
+    try:
+        with _pytest.raises(ValueError, match="already registered"):
+            register_format("toy2", parse_text_one)
+        register_format("toy2", parse_text_one, replace=True)
+        # registered without parse_many: fileset use raises cleanly
+        from headson_ray import headson_many
+        from headson_ray.core.config import (
+            PriorityConfig,
+            RenderConfig,
+            TEMPLATE_TEXT,
+        )
+
+        cfg = RenderConfig(template=TEMPLATE_TEXT, indent_unit="  ",
+                           space=" ", newline="\n",
+                           prefer_tail_arrays=False, color_enabled=False,
+                           style="default")
+        prio = PriorityConfig(max_string_graphemes=100, array_max_items=50,
+                              prefer_tail_arrays=False)
+        with _pytest.raises(ValueError, match="no fileset parser"):
+            headson_many([("a", "x")], cfg, prio, 100, input_format="toy2")
+    finally:
+        unregister_format("toy2")

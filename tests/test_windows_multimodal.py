@@ -210,17 +210,18 @@ def test_write_bucketed_by_domain(tmp_path):
     out = str(tmp_path / "bucketed")
     write_bucketed_by_domain(ds, out, num_buckets=8)
     # hive-partitioned layout, one dir per bucket; re-read sees all rows
-    import zlib
+    from headson_ray.state.store import route_domain
 
     back = ray.data.read_parquet(out)
     assert back.count() == 400
     dirs = {p.name for p in Path(out).iterdir() if p.is_dir()}
     assert dirs and all(d.startswith("bucket=") for d in dirs)
     # a bucket's files contain exactly the domains that hash there
+    # (route_domain is the shared CEP/actor routing hash)
     some = sorted(dirs)[0]
     b = int(some.split("=")[1])
     t = ray.data.read_parquet(f"{out}/{some}").to_pandas()
-    assert all(zlib.crc32(d.encode()) % 8 == b for d in t["domain"])
+    assert all(route_domain(d, 8) == b for d in t["domain"])
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -314,9 +315,22 @@ def test_tiled_exact_near_dups_multi_tile():
             }
         )
     )
-    got = embedding_near_dup_pairs_tiled(
-        ds, threshold=0.95, tile_rows=64
-    )
+    # driver-isolation assertion: tile construction must happen in Ray
+    # tasks over materialized block refs — any driver-side iter_batches /
+    # iter_rows pump over the corpus fails the test
+    def _no_driver_pump(self, *a, **k):
+        raise AssertionError(
+            "driver-side iter_batches pump in the tiled exact path"
+        )
+
+    from unittest import mock
+
+    with mock.patch.object(
+        ray.data.Dataset, "iter_batches", _no_driver_pump
+    ), mock.patch.object(ray.data.Dataset, "iter_rows", _no_driver_pump):
+        got = embedding_near_dup_pairs_tiled(
+            ds, threshold=0.95, tile_rows=64
+        )
     mm = _normalize(
         np.array([np.asarray(r, np.float32) for r in m], dtype=np.float64)
     )
