@@ -414,51 +414,65 @@ class CepEngine:
             pane_p = paths("panes")
             slide_p = paths("slides")
             sess_p = paths("sessions")
-            pane_n = ray.get(
+            # one ray.get over all three flows' spill futures (3 round
+            # trips -> 1), then the three independent merge jobs run
+            # concurrently — each is a small Ray Dataset execution whose
+            # ~1s fixed cost would otherwise serialize per micro-batch
+            na = len(self.actors)
+            futs = (
                 [
                     a.finalize_upto.remote(max_window, p)
                     for a, p in zip(self.actors, pane_p)
                 ]
-            )
-            slide_n = ray.get(
-                [
+                + [
                     a.finalize_sliding.remote(
                         self.sliding_frontier, max_window, p
                     )
                     for a, p in zip(self.actors, slide_p)
                 ]
-            )
-            sess_n = ray.get(
-                [
+                + [
                     a.finalize_sessions.remote(wm, p)
                     for a, p in zip(self.actors, sess_p)
                 ]
             )
-            n_win = self.sink.write_windows_distributed(
-                b,
-                [p for p, n in zip(pane_p, pane_n) if n],
-                kind="windows",
-                sum_fields=PANE_FIELDS,
-                num_parts=self.merge_parts,
+            ns = ray.get(futs)
+            pane_n, slide_n, sess_n = (
+                ns[:na], ns[na : 2 * na], ns[2 * na :]
             )
-            n_slide = self.sink.write_windows_distributed(
-                b,
-                [p for p, n in zip(slide_p, slide_n) if n],
-                kind="sliding",
-                sum_fields=["n_pages", "total_chars"],
-                num_parts=self.merge_parts,
-            )
-            n_sess = self.sink.write_windows_distributed(
-                b,
-                [p for p, n in zip(sess_p, sess_n) if n],
-                kind="sessions",
-                sum_fields=None,
-                sort_keys=[
-                    ("domain", "ascending"),
-                    ("session_start", "ascending"),
-                ],
-                num_parts=self.merge_parts,
-            )
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                f_win = pool.submit(
+                    self.sink.write_windows_distributed,
+                    b,
+                    [p for p, n in zip(pane_p, pane_n) if n],
+                    kind="windows",
+                    sum_fields=PANE_FIELDS,
+                    num_parts=self.merge_parts,
+                )
+                f_slide = pool.submit(
+                    self.sink.write_windows_distributed,
+                    b,
+                    [p for p, n in zip(slide_p, slide_n) if n],
+                    kind="sliding",
+                    sum_fields=["n_pages", "total_chars"],
+                    num_parts=self.merge_parts,
+                )
+                f_sess = pool.submit(
+                    self.sink.write_windows_distributed,
+                    b,
+                    [p for p, n in zip(sess_p, sess_n) if n],
+                    kind="sessions",
+                    sum_fields=None,
+                    sort_keys=[
+                        ("domain", "ascending"),
+                        ("session_start", "ascending"),
+                    ],
+                    num_parts=self.merge_parts,
+                )
+                n_win = f_win.result()
+                n_slide = f_slide.result()
+                n_sess = f_sess.result()
             # partials are fully merged into the sink parts; a replay
             # regenerates them from restored actor state, so the spill
             # dir must not accumulate over a long stream

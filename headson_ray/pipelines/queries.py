@@ -1578,6 +1578,156 @@ GROUP BY o_orderpriority
 """
 
 
+Q3_CUTOFF_US = 897_696_000_000_000  # 1998-06-01 epoch microseconds
+Q3_SEGMENT = "BUILDING"
+Q3_TOPK = 10
+
+
+def q_order_revenue_topk(sf_dir: str):
+    """TPC-H Q3 shape: BUILDING-segment customers, orders placed before
+    the cutoff, lineitems shipped after it; revenue per ORDER (not per
+    priority — high-cardinality key), global top-10 by revenue.
+
+    Scale composition: dimension semi-filter (customer segment ->
+    broadcast custkey set; hash-join fallback past BROADCAST_ROW_LIMIT)
+    -> selective date filters pushed before the shuffle -> fact-fact
+    bucket join (lineitem x orders) whose bucket_post aggregates
+    per-order revenue and trims to its own top-10 INSIDE the bucket —
+    each bucket holds every row of its keys, so no second shuffle over
+    the per-order key; the driver merges <= 10 rows per bucket."""
+    import ray as _ray
+
+    cutoff = Q3_CUTOFF_US
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr=f"c_mktsegment == {Q3_SEGMENT!r}"
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    small = _collect_small_side(
+        cust, "c_custkey", "c_custkey", BROADCAST_ROW_LIMIT
+    )
+
+    def orders_shape(b: pa.Table) -> pa.Table:
+        t_us = pc.cast(b.column("o_orderdate"), pa.int64())
+        t = pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "o_date_us": t_us,
+            }
+        ).filter(pc.less(t_us, pa.scalar(cutoff, pa.int64())))
+        return t
+
+    orders_f = orders.map_batches(
+        orders_shape, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if small is None:
+        # customer side too big to broadcast: hash-partitioned semi join
+        from ..stages.join import hash_join as _hj
+
+        cust_keyed = cust.map_batches(
+            lambda b: pa.table({"o_custkey": b.column("c_custkey")}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        orders_seg = _hj(orders_f, cust_keyed, key="o_custkey", how="inner")
+    else:
+        keys_ref = _ray.put(small[0])
+
+        def semi(b: pa.Table) -> pa.Table:
+            keys_arr = _ray.get(keys_ref)
+            return b.filter(pc.is_in(b.column("o_custkey"),
+                                     value_set=keys_arr))
+
+        orders_seg = orders_f.map_batches(
+            semi, batch_format="pyarrow", zero_copy_batch=True
+        )
+    orders_seg = orders_seg.select_columns(["o_orderkey", "o_date_us"])
+
+    def li_shape(b: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.cast(b.column("l_shipdate"), pa.int64()),
+            pa.scalar(cutoff, pa.int64()),
+        )
+        b = b.filter(keep)
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "rev_cents": _cents(rev),
+            }
+        )
+
+    li_proj = li.map_batches(
+        li_shape, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_post(joined: pa.Table) -> pa.Table:
+        # every row of each o_orderkey is in this bucket: the per-order
+        # sum is COMPLETE here, so trim to the bucket's own top-10
+        g = joined.group_by(["o_orderkey", "o_date_us"]).aggregate(
+            [("rev_cents", "sum")]
+        )
+        g = g.rename_columns(["o_orderkey", "o_date_us", "rev_cents"])
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("rev_cents", "descending"),
+                       ("o_orderkey", "ascending")],
+        )
+        return g.select(["o_orderkey", "rev_cents", "o_date_us"]).take(
+            idx.slice(0, Q3_TOPK)
+        )
+
+    from ..stages.join import hash_join
+
+    trimmed = hash_join(
+        li_proj, orders_seg, key="o_orderkey", how="inner",
+        bucket_post=bucket_post,
+    )
+    parts = list(trimmed.iter_batches(batch_format="pyarrow"))
+    merged = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "rev_cents": pa.array([], pa.int64()),
+                "o_date_us": pa.array([], pa.int64()),
+            }
+        )
+    )
+    idx = pc.sort_indices(
+        merged,
+        sort_keys=[("rev_cents", "descending"), ("o_orderkey", "ascending")],
+    )
+    return merged.take(idx.slice(0, Q3_TOPK))
+
+
+SQL_ORDER_REVENUE_TOPK = f"""
+SELECT o_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS rev_cents,
+       epoch_us(o_orderdate) AS o_date_us
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND epoch_us(o_orderdate) < {Q3_CUTOFF_US}
+  AND epoch_us(l_shipdate) > {Q3_CUTOFF_US}
+GROUP BY o_orderkey, o_orderdate
+ORDER BY rev_cents DESC, o_orderkey
+LIMIT {Q3_TOPK}
+"""
+
+
 VALUE_BUCKETS = [0.0, 10.0, 25.0, 50.0, 100.0, 250.0, 1000.0]
 
 
@@ -1711,6 +1861,7 @@ QUERIES = {
     "asof_latest_order_per_event": q_asof_latest_order_per_event,
     "events_value_ranges": q_events_value_ranges,
     "revenue_by_priority": q_revenue_by_priority,
+    "order_revenue_topk": q_order_revenue_topk,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
 }
@@ -1736,6 +1887,7 @@ ORACLE_SQL = {
     "asof_latest_order_per_event": SQL_ASOF_LATEST_ORDER_PER_EVENT,
     "events_value_ranges": SQL_EVENTS_VALUE_RANGES,
     "revenue_by_priority": SQL_REVENUE_BY_PRIORITY,
+    "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,

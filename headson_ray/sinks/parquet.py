@@ -11,10 +11,20 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from pathlib import Path
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+# Ray's read_parquet path resolution lazily attempts
+# `from fsspec.implementations.http import HTTPFileSystem`; when two
+# driver threads construct Datasets concurrently (the per-flow merge
+# jobs), that import can race and surface as a spurious
+# "cannot import name 'HTTPFileSystem'" ImportError (only
+# ModuleNotFoundError is swallowed upstream). Dataset CONSTRUCTION is
+# serialized here; execution still overlaps.
+_DATASET_CTOR_LOCK = threading.Lock()
 
 
 class ExactlyOnceSink:
@@ -109,7 +119,8 @@ class ExactlyOnceSink:
         out_dir.mkdir(parents=True, exist_ok=True)
         if not partial_paths:
             return 0
-        ds = ray.data.read_parquet(partial_paths)
+        with _DATASET_CTOR_LOCK:
+            ds = ray.data.read_parquet(partial_paths)
         if sort_keys is None:
             sort_keys = [(group_keys[1], "ascending"),
                          (group_keys[0], "ascending")]

@@ -52,6 +52,7 @@ def hash_join(
     key: str,
     how: str = "inner",
     salt: int = 1,
+    bucket_post=None,
 ) -> "ray.data.Dataset":
     """Join two Datasets on an equality key.
 
@@ -62,7 +63,14 @@ def hash_join(
     `salt` sub-buckets per key; right rows replicate into every
     sub-bucket, so results are identical to the unsalted join while a
     single hot key's probe work runs `salt`-way parallel.
+    bucket_post: optional pa.Table -> pa.Table applied to each joined
+    bucket IN PLACE of the deterministic sort. A bucket holds every row
+    of its keys (salt=1), so per-key aggregation / top-k trimming can
+    COMPLETE inside it — no second shuffle over high-cardinality keys.
+    Incompatible with salt>1 (a salted key spans sub-buckets).
     """
+    if bucket_post is not None and salt > 1:
+        raise ValueError("bucket_post requires salt=1 (key co-location)")
     lsch = left.schema()
     rsch = right.schema()
     ltypes = dict(zip(lsch.names, lsch.types))
@@ -131,6 +139,8 @@ def hash_join(
         joined = lrows.join(
             rrows, keys=[key], join_type=how, use_threads=False
         )
+        if bucket_post is not None:
+            return bucket_post(joined)
         # deterministic output order within the bucket
         sort_keys = [(key, "ascending")] + [
             (c, "ascending")

@@ -136,18 +136,17 @@ class SeenStore:
         """True if (d, u) was NOT seen before (and records it)."""
         return bool(self.add_if_new_batch([d], [u])[0])
 
-    # chunk size for the batched cold-tier membership probe (sqlite's
-    # default variable limit is 999; 2 params per key)
-    _PROBE_CHUNK = 450
-
     def add_if_new_batch(
         self, domains: list[str], urls: list[str]
     ) -> np.ndarray:
         """Vectorized membership+insert: returns a bool array where True
         means (d, u) was NOT seen before this call (first in-batch
         occurrence wins). Once spilled, the cold tier is probed with ONE
-        chunked row-value IN query per batch instead of one SELECT per
-        row (the per-row point query was the CEP throughput ceiling)."""
+        temp-table JOIN per batch instead of one SELECT per row (the
+        per-row point query was the CEP throughput ceiling). The join
+        probes the (domain, url) PRIMARY KEY — a row-value
+        `IN (VALUES ...)` form would full-scan the seen table in
+        sqlite and anti-scale with cold-tier size."""
         n = len(urls)
         self.total += n
         out = np.zeros(n, dtype=bool)
@@ -179,22 +178,25 @@ class SeenStore:
                 continue
             batch_new.add(key)
             maybe_new.append(i)
-        # pass 2: one chunked cold-tier probe for the remaining candidates
+        # pass 2: one temp-table-join cold-tier probe for the candidates
         if self.spilled and maybe_new:
-            found: set = set()
-            for ofs in range(0, len(maybe_new), self._PROBE_CHUNK):
-                chunk = maybe_new[ofs : ofs + self._PROBE_CHUNK]
-                params: list[str] = []
-                for i in chunk:
-                    params.append(domains[i])
-                    params.append(urls[i])
-                placeholders = ",".join(["(?,?)"] * len(chunk))
-                cur = self.con.execute(
-                    "SELECT domain, url FROM seen WHERE (domain, url) IN "
-                    f"(VALUES {placeholders})",
-                    params,
-                )
-                found.update(cur.fetchall())
+            con = self.con
+            con.execute(
+                "CREATE TEMP TABLE IF NOT EXISTS seen_probe "
+                "(domain TEXT, url TEXT)"
+            )
+            con.execute("DELETE FROM seen_probe")
+            con.executemany(
+                "INSERT INTO seen_probe VALUES (?, ?)",
+                ((domains[i], urls[i]) for i in maybe_new),
+            )
+            found = set(
+                con.execute(
+                    "SELECT s.domain, s.url FROM seen_probe p "
+                    "JOIN seen s ON s.domain = p.domain AND s.url = p.url"
+                ).fetchall()
+            )
+            con.execute("DELETE FROM seen_probe")
             if found:
                 maybe_new = [
                     i
