@@ -1530,6 +1530,80 @@ GROUP BY c.user_id
 """
 
 
+def q_funnel_depths(sf_dir: str):
+    """Multi-step CEP sequence detection (funnel `view -> click ->
+    purchase`, each step within 1 hour of the previous, per user):
+    emit (user_id, depth) where depth is the longest prefix of the
+    funnel the user completed (1 = viewed, 2 = view->click chain,
+    3 = full chain). A click only advances the funnel if a view
+    precedes it within the window, and a purchase only completes it
+    from such a QUALIFIED click — the chained constraint a pairwise
+    interval join can't express.
+
+    Scale design: groupby(user).map_groups with vectorized
+    searchsorted step qualification — per-key state is three sorted
+    timestamp arrays, never a cross join. Same partitioning assumption
+    as q_click_purchase_pairs (one user's events fit in memory)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def depth(group: pa.Table) -> pa.Table:
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        views = np.sort(ts[et == "view"])
+        if views.size == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "depth": pa.array([], pa.int64()),
+                }
+            )
+        uid = group.column("user_id")[0].as_py()
+        d = 1
+        clicks = np.sort(ts[et == "click"])
+        # a click qualifies iff some view falls in [click - 1h, click)
+        lo = np.searchsorted(views, clicks - HOUR_US, side="left")
+        hi = np.searchsorted(views, clicks, side="left")  # strict <
+        qclicks = clicks[hi > lo]
+        if qclicks.size:
+            d = 2
+            purchases = ts[et == "purchase"]
+            lo = np.searchsorted(qclicks, purchases - HOUR_US, side="left")
+            hi = np.searchsorted(qclicks, purchases, side="left")
+            if np.any(hi > lo):
+                d = 3
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "depth": pa.array([d], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(depth, batch_format="pyarrow")
+
+
+SQL_FUNNEL_DEPTHS = f"""
+WITH v AS (SELECT user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'view'),
+     c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'click'),
+     p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'purchase'),
+     qc AS (SELECT DISTINCT c.user_id, c.t FROM c
+            JOIN v ON v.user_id = c.user_id
+                  AND v.t < c.t AND c.t - v.t <= {HOUR_US}),
+     d3 AS (SELECT DISTINCT p.user_id FROM p
+            JOIN qc ON qc.user_id = p.user_id
+                   AND qc.t < p.t AND p.t - qc.t <= {HOUR_US})
+SELECT DISTINCT v.user_id,
+       CAST(CASE WHEN v.user_id IN (SELECT user_id FROM d3) THEN 3
+                 WHEN v.user_id IN (SELECT user_id FROM qc) THEN 2
+                 ELSE 1 END AS BIGINT) AS depth
+FROM v
+"""
+
+
 def q_revenue_by_priority(sf_dir: str):
     """Fact-fact hash-partitioned join (TPC-H Q3-ish): lineitem x orders
     on orderkey — both sides too big to broadcast at scale — then
@@ -1728,6 +1802,40 @@ LIMIT {Q3_TOPK}
 """
 
 
+QUANTILES_BY_TYPE = [("p25", 0.25), ("p50", 0.50), ("p90", 0.90)]
+
+
+def q_value_quantiles_by_type(sf_dir: str):
+    """EXACT per-group quantiles (p25/p50/p90 of events.value per
+    event_type) via grouped histogram refinement — no sort, no
+    one-group-fits-in-memory assumption (stages/sketch.py
+    grouped_rank_select). Each refinement pass is a map_batches
+    partial-count + tiny driver merge; a skewed group refines in
+    log_bins(n) passes instead of shipping its whole value set to one
+    map_groups task."""
+    from ..stages.sketch import grouped_rank_select
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_rank_select(
+        ds, "event_type", "value", QUANTILES_BY_TYPE
+    )
+
+
+SQL_VALUE_QUANTILES_BY_TYPE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*)    OVER (PARTITION BY event_type) AS n
+  FROM events
+  WHERE value IS NOT NULL AND isfinite(value)
+)
+SELECT event_type, q, value
+FROM ranked
+JOIN (VALUES ('p25', 0.25), ('p50', 0.50), ('p90', 0.90)) AS quants(q, f)
+  ON rn = greatest(CAST(ceil(f * n) AS BIGINT), 1)
+"""
+
+
 VALUE_BUCKETS = [0.0, 10.0, 25.0, 50.0, 100.0, 250.0, 1000.0]
 
 
@@ -1859,6 +1967,8 @@ QUERIES = {
     "order_customers_without_events": q_order_customers_without_events,
     "top3_orders_per_segment": q_top3_orders_per_segment,
     "asof_latest_order_per_event": q_asof_latest_order_per_event,
+    "funnel_depths": q_funnel_depths,
+    "value_quantiles_by_type": q_value_quantiles_by_type,
     "events_value_ranges": q_events_value_ranges,
     "revenue_by_priority": q_revenue_by_priority,
     "order_revenue_topk": q_order_revenue_topk,
@@ -1885,6 +1995,8 @@ ORACLE_SQL = {
     "order_customers_without_events": SQL_ORDER_CUSTOMERS_WITHOUT_EVENTS,
     "top3_orders_per_segment": SQL_TOP3_ORDERS_PER_SEGMENT,
     "asof_latest_order_per_event": SQL_ASOF_LATEST_ORDER_PER_EVENT,
+    "funnel_depths": SQL_FUNNEL_DEPTHS,
+    "value_quantiles_by_type": SQL_VALUE_QUANTILES_BY_TYPE,
     "events_value_ranges": SQL_EVENTS_VALUE_RANGES,
     "revenue_by_priority": SQL_REVENUE_BY_PRIORITY,
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,

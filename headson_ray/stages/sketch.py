@@ -329,3 +329,280 @@ def heavy_hitter_tokens(
                 f"(kth={kth}, N/(C+1)={total_tokens / (capacity + 1):.1f})"
             )
     return top
+
+
+def grouped_rank_select(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    quantiles: "list[tuple[str, float]]",
+    *,
+    num_bins: int = 512,
+    collect_cap: int = 65_536,
+) -> pa.Table:
+    """EXACT per-group discrete quantiles of a numeric column WITHOUT a
+    sort and WITHOUT assuming a group's values fit in memory: the
+    grouped generalization of rank_select's histogram refinement.
+
+    quantiles: (label, q) pairs; each selects the 0-based order
+    statistic k = ceil(q*n_g) - 1 within its group (the smallest value
+    whose rank fraction is >= q — DuckDB row_number()-reproducible).
+    Returns a pa.Table (group_col, q, value) with one row per
+    (non-empty group) x quantile.
+
+    Scale design: groupby(g).map_groups + sort would require one
+    group's values in one task (fatal for skewed groups); ds.sort() is
+    an all-to-all shuffle. Here every pass is a map_batches
+    partial-count + driver merge — no shuffle. Per round, each
+    unresolved (group, quantile) narrows its candidate range ~num_bins
+    x; ranges holding <= collect_cap values resolve by exact
+    collection. Binning uses exact edge comparisons (a vectorized
+    arithmetic guess corrected against the stored edge values), so
+    cross-round counts are consistent like np.histogram's.
+
+    Driver state: O(#groups x num_bins) counters per quantile per
+    round (stats, never values). At >~10^5 groups shard the group
+    domain or lower num_bins.
+    """
+    import ray as _ray
+
+    if not quantiles:
+        raise ValueError("no quantiles requested")
+    for _, q in quantiles:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile {q} outside (0, 1]")
+
+    # pass 0: per-group (lo, hi, n) — partial group_by per batch, small
+    # Ray groupby merge, driver collects one row per group
+    def stat_partial(b: pa.Table) -> pa.Table:
+        col = pa.compute.cast(b.column(value_col), pa.float64())
+        t = pa.table({"g": b.column(group_col), "v": col}).filter(
+            pa.compute.and_(
+                pa.compute.is_valid(col),
+                pa.compute.is_finite(pa.compute.fill_null(col, 0.0)),
+            )
+        )
+        g = t.group_by(["g"]).aggregate(
+            [("v", "min"), ("v", "max"), ("v", "count")]
+        )
+        return g.rename_columns(["g", "lo", "hi", "n"])
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    stats = (
+        ds.map_batches(
+            stat_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("g")
+        .aggregate(
+            Min("lo", alias_name="lo"),
+            Max("hi", alias_name="hi"),
+            Sum("n", alias_name="n"),
+        )
+    )
+    groups: list = []
+    g_stats: dict = {}
+    for b in stats.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            groups.append(r["g"])
+            g_stats[r["g"]] = (float(r["lo"]), float(r["hi"]), int(r["n"]))
+    groups.sort()
+
+    # per (group, label): [lo, hi, r_rel, cnt]
+    pending: dict = {}
+    results: dict = {}
+    for g in groups:
+        lo, hi, n = g_stats[g]
+        for label, q in quantiles:
+            k = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+            pending[(g, label)] = [lo, hi, k, n]
+
+    def _resolve_degenerate() -> None:
+        for key in [k for k, (lo, hi, _, _) in pending.items() if hi <= lo]:
+            results[key] = pending[key][0]
+            del pending[key]
+
+    _resolve_degenerate()
+    labels = [lab for lab, _ in quantiles]
+    g_order = {g: i for i, g in enumerate(groups)}
+
+    def run_round(entries):
+        """One distributed pass over `entries` = [(group, state)]: big
+        slots get histogrammed, small slots (cnt <= collect_cap) get
+        their in-range values collected exactly. Returns (small mask,
+        hist array, collected values per slot)."""
+        slot_groups = [g for g, _ in entries]
+        lo_arr = np.array([st[0] for _, st in entries])
+        hi_arr = np.array([st[1] for _, st in entries])
+        step_arr = (hi_arr - lo_arr) / num_bins
+        small = np.array(
+            [st[3] <= collect_cap for _, st in entries], dtype=bool
+        )
+        garr = pa.array(slot_groups)
+        refs = _ray.put((garr, lo_arr, hi_arr, step_arr, small))
+
+        def scan(b: pa.Table) -> pa.Table:
+            ga, lo_a, hi_a, st_a, sm = _ray.get(refs)
+            idx = pa.compute.index_in(b.column(group_col), value_set=ga)
+            col = pa.compute.cast(b.column(value_col), pa.float64())
+            sl = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+            v = col.to_numpy(zero_copy_only=False)
+            ok = ~np.isnan(sl) & ~np.isnan(v)
+            sl_i = sl[ok].astype(np.int64)
+            vv = v[ok]
+            lo = lo_a[sl_i]
+            hi = hi_a[sl_i]
+            inr = (vv >= lo) & (vv <= hi)
+            sl_i, vv, lo = sl_i[inr], vv[inr], lo[inr]
+            step = st_a[sl_i]
+            smv = sm[sl_i]
+            # exact collection rows for small slots
+            col_sl = sl_i[smv]
+            col_v = vv[smv]
+            # histogram rows for big slots: arithmetic bin guess, then
+            # exact correction against edge(s, j) = lo + j*step so
+            # cross-round bin membership is FP-consistent
+            hb_sl = sl_i[~smv]
+            hb_v = vv[~smv]
+            hb_lo = lo[~smv]
+            hb_step = step[~smv]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                j = np.floor((hb_v - hb_lo) / hb_step).astype(np.int64)
+            j = np.clip(j, 0, num_bins - 1)
+            for _ in range(2):
+                edge_j = hb_lo + j * hb_step
+                j = np.where((hb_v < edge_j) & (j > 0), j - 1, j)
+                edge_j1 = hb_lo + (j + 1) * hb_step
+                too_high = (hb_v >= edge_j1) & (j < num_bins - 1)
+                j = np.where(too_high, j + 1, j)
+            key = hb_sl * num_bins + j
+            counts = np.bincount(key)
+            nz = np.nonzero(counts)[0]
+            return pa.table(
+                {
+                    "kind": pa.array(
+                        np.concatenate(
+                            [
+                                np.zeros(len(nz), np.int64),
+                                np.ones(len(col_sl), np.int64),
+                            ]
+                        ),
+                        pa.int64(),
+                    ),
+                    "key": pa.array(
+                        np.concatenate([nz, col_sl]), pa.int64()
+                    ),
+                    "c": pa.array(
+                        np.concatenate(
+                            [counts[nz], np.zeros(len(col_sl), np.int64)]
+                        ),
+                        pa.int64(),
+                    ),
+                    "v": pa.array(
+                        np.concatenate([np.zeros(len(nz)), col_v]),
+                        pa.float64(),
+                    ),
+                }
+            )
+
+        hist = np.zeros(len(entries) * num_bins, dtype=np.int64)
+        collected: dict = {}
+        for b in ds.map_batches(
+            scan, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            kind = b.column("kind").to_numpy(zero_copy_only=False)
+            keys = b.column("key").to_numpy(zero_copy_only=False)
+            cs = b.column("c").to_numpy(zero_copy_only=False)
+            vs = b.column("v").to_numpy(zero_copy_only=False)
+            hsel = kind == 0
+            np.add.at(hist, keys[hsel], cs[hsel])
+            for s, val in zip(keys[~hsel], vs[~hsel]):
+                collected.setdefault(int(s), []).append(float(val))
+        return small, hist, collected
+
+    def apply_update(keyp, st, si, small, hist, collected) -> bool:
+        """Resolve or refine one pending (group, label) from a round's
+        scan of slot si; returns True if state changed."""
+        lo, hi, r, cnt = st
+        if small[si]:
+            vals = np.sort(np.array(collected.get(si, [])))
+            if r >= len(vals):
+                raise AssertionError(
+                    f"grouped_rank_select: rank {r} outside collected "
+                    f"range ({len(vals)} values) for group {keyp[0]!r}"
+                )
+            results[keyp] = float(vals[r])
+            del pending[keyp]
+            return True
+        seg = hist[si * num_bins : (si + 1) * num_bins]
+        cum = np.concatenate(([0], np.cumsum(seg)))
+        b_idx = int(np.searchsorted(cum, r, side="right") - 1)
+        b_idx = min(max(b_idx, 0), num_bins - 1)
+        step = (hi - lo) / num_bins
+        new_lo = lo + b_idx * step
+        new_hi = hi if b_idx == num_bins - 1 else lo + (b_idx + 1) * step
+        pending[keyp] = [new_lo, new_hi, r - int(cum[b_idx]), int(seg[b_idx])]
+        return (new_lo, new_hi) != (lo, hi)
+
+    while pending:
+        progressed = False
+        # range signature per group: when every pending label of a group
+        # shares one (lo, hi) — always true in round 1 and in the
+        # all-small endgame — ONE scan slot serves all its labels
+        by_group: dict = {}
+        for (g, lab), st in pending.items():
+            by_group.setdefault(g, []).append((lab, st))
+        shared = all(
+            len({(st[0], st[1]) for _, st in labs}) == 1
+            for labs in by_group.values()
+        )
+        if shared:
+            entries = [
+                (g, max((st for _, st in labs), key=lambda s: s[3]))
+                for g, labs in sorted(
+                    by_group.items(), key=lambda kv: g_order[kv[0]]
+                )
+            ]
+            small, hist, collected = run_round(entries)
+            for si, (g, _) in enumerate(entries):
+                for lab, st in by_group[g]:
+                    if (g, lab) in pending:
+                        progressed |= apply_update(
+                            (g, lab), st, si, small, hist, collected
+                        )
+        else:
+            by_label: dict = {lab: [] for lab in labels}
+            for (g, lab), st in pending.items():
+                by_label[lab].append((g, st))
+            for lab in labels:
+                entries = by_label[lab]
+                if not entries:
+                    continue
+                entries.sort(key=lambda e: g_order[e[0]])
+                small, hist, collected = run_round(entries)
+                for si, (g, st) in enumerate(entries):
+                    if (g, lab) in pending:
+                        progressed |= apply_update(
+                            (g, lab), st, si, small, hist, collected
+                        )
+        _resolve_degenerate()
+        if not progressed and pending:
+            # ranges stopped shrinking (pathological duplicates): force
+            # exact collection next round
+            for keyp in pending:
+                pending[keyp][3] = 0
+
+    out_g, out_q, out_v = [], [], []
+    for g in groups:
+        for lab, _ in quantiles:
+            if (g, lab) in results:
+                out_g.append(g)
+                out_q.append(lab)
+                out_v.append(results[(g, lab)])
+    return pa.table(
+        {
+            group_col: pa.array(out_g),
+            "q": pa.array(out_q, pa.string()),
+            "value": pa.array(out_v, pa.float64()),
+        }
+    )

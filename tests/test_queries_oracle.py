@@ -574,3 +574,74 @@ def test_top3_per_segment_hash_join_fallback(con, monkeypatch):
     got = _norm(_to_frame(q.q_top3_orders_per_segment(SF_DIR)))
     exp = _norm(con.execute(ORACLE_SQL["top3_orders_per_segment"]).df())
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_rank_select_multi_round_refinement():
+    """Grouped histogram refinement with a tiny collect_cap / few bins
+    (forcing several rounds AND the per-label divergent-range path)
+    must equal per-group sorted selection for every (group, quantile),
+    across skewed sizes, heavy ties, and a constant group."""
+    import numpy as np
+    import ray.data
+
+    from headson_ray.stages.sketch import grouped_rank_select
+
+    rng = np.random.RandomState(11)
+    parts = {
+        "big": np.concatenate(
+            [rng.normal(0, 1, 30_000), np.full(4_000, 0.25)]
+        ),
+        "small": rng.uniform(-5, 5, 137),
+        "const": np.full(900, 42.0),
+        "far": rng.uniform(1e6, 1e6 + 1, 3_000),
+    }
+    g = np.concatenate(
+        [np.repeat(k, len(v)) for k, v in parts.items()]
+    )
+    v = np.concatenate(list(parts.values()))
+    perm = rng.permutation(len(v))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "grp": pa.array(g[perm]),
+                "val": pa.array(v[perm], pa.float64()),
+            }
+        )
+    ).repartition(8)
+    quants = [("p10", 0.10), ("p50", 0.50), ("p99", 0.99)]
+    out = grouped_rank_select(
+        ds, "grp", "val", quants, num_bins=16, collect_cap=100
+    )
+    got = {
+        (r["grp"], r["q"]): r["value"] for r in out.to_pylist()
+    }
+    assert len(got) == len(parts) * len(quants)
+    for name, vals in parts.items():
+        s = np.sort(vals)
+        n = len(s)
+        for lab, q in quants:
+            k = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+            assert got[(name, lab)] == s[k], (name, lab)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_rank_select_nulls_and_nonfinite_excluded():
+    """Null / NaN / inf values must be excluded from ranks the same way
+    the oracle's WHERE value IS NOT NULL AND isfinite(value) is."""
+    import numpy as np
+    import ray.data
+
+    from headson_ray.stages.sketch import grouped_rank_select
+
+    vals = [1.0, None, float("nan"), float("inf"), 3.0, 2.0]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "grp": pa.array(["a"] * len(vals)),
+                "val": pa.array(vals, pa.float64()),
+            }
+        )
+    )
+    out = grouped_rank_select(ds, "grp", "val", [("p50", 0.5)])
+    assert out.to_pylist() == [{"grp": "a", "q": "p50", "value": 2.0}]
