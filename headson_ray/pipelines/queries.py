@@ -1929,6 +1929,413 @@ FROM events WHERE event_type = 'click' AND value > 50.0
 """
 
 
+# --------------------------------------------------------------------------
+# Web-text repetition / cross-doc duplication signals, TF-IDF, late data
+# --------------------------------------------------------------------------
+def q_repetition_scores(sf_dir: str):
+    """Gopher-style top-bigram repetition fraction per document.
+    Embarrassingly parallel — no shuffle at any scale; the vectorized
+    counting kernel lives in stages/textstats.py."""
+    from ..stages.textstats import add_repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_repetition_stats(b).select(
+            ["doc_id", "n_bigrams", "top_bigram_ppm"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_REPETITION_SCORES = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), b2 AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 2 THEN []
+              ELSE [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+         END AS bgs
+  FROM d
+), c AS (
+  SELECT doc_id, bg, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(bgs) AS bg FROM b2) GROUP BY 1, 2
+), m AS (
+  SELECT doc_id, max(cnt) AS mx, sum(cnt) AS nb FROM c GROUP BY 1
+)
+SELECT b2.doc_id,
+       CAST(len(b2.bgs) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(m.mx * 1000000 // m.nb, 0) AS BIGINT) AS top_bigram_ppm
+FROM b2 LEFT JOIN m USING (doc_id)
+"""
+
+
+def _shingle_df_partial(b: pa.Table) -> pa.Table:
+    """Per-batch partial document-frequency of word-3-gram shingles:
+    per-doc shingle sets are unique (word_shingle_array), so concatenating
+    them and counting key multiplicity = docs-per-shingle within the
+    batch. Only (sh, c) partials enter the shuffle."""
+    from ..stages.dedup import word_shingle_array
+
+    arrs = [
+        word_shingle_array(t or "")
+        for t in b.column("text").to_pylist()
+    ]
+    if not arrs:
+        return pa.table(
+            {"sh": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+        )
+    keys = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.uint64)
+    ks, cnts = np.unique(keys, return_counts=True)
+    return pa.table(
+        {
+            "sh": pa.array(ks.view(np.int64)),
+            "c": pa.array(cnts.astype(np.int64)),
+        }
+    )
+
+
+def q_dup_shingle_stats(sf_dir: str):
+    """Cross-document duplicate-shingle ratio per doc (CCNet-style
+    boilerplate signal): fraction (ppm) of a doc's distinct word-3-gram
+    shingles that appear in >= 2 documents.
+
+    Two passes over the (column-pruned) documents table, ONE shuffle of
+    pre-aggregated (shingle, count) partials, and a broadcast of the
+    duplicated-shingle set (sorted uint64 -> np.searchsorted membership;
+    at corpus scale this side becomes a bloom filter / semi-join like the
+    near-dup verification path — never a per-row dict). Docs with zero
+    tokens emit no row (they have no shingles), matching the oracle."""
+    import ray as _ray
+
+    from ..stages.dedup import word_shingle_array
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = ds.map_batches(
+        _shingle_df_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("sh").aggregate(Sum("c", alias_name="c"))
+
+    parts = []
+    for b in df.iter_batches(batch_format="pyarrow", batch_size=65536):
+        m = pc.greater_equal(b.column("c"), 2)
+        parts.append(
+            b.column("sh").filter(m).to_numpy(zero_copy_only=False)
+        )
+    dup_sorted = np.sort(
+        np.concatenate(parts).view(np.uint64)
+        if parts
+        else np.empty(0, dtype=np.uint64)
+    )
+    dup_ref = _ray.put(dup_sorted)
+
+    def mark(b: pa.Table) -> pa.Table:
+        dup = _ray.get(dup_ref)
+        doc_ids, n_sh, dup_sh = [], [], []
+        for did, t in zip(
+            b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+        ):
+            arr = word_shingle_array(t or "")
+            if arr.size == 0:
+                continue
+            pos = np.searchsorted(dup, arr)
+            hit = (pos < dup.size) & (dup[np.minimum(pos, dup.size - 1)] == arr) if dup.size else np.zeros(arr.size, dtype=bool)
+            doc_ids.append(did)
+            n_sh.append(int(arr.size))
+            dup_sh.append(int(hit.sum()))
+        n = np.array(n_sh, dtype=np.int64)
+        d = np.array(dup_sh, dtype=np.int64)
+        ppm = np.zeros(len(n_sh), dtype=np.int64)
+        if n.size:
+            ppm = d * 1_000_000 // n
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_shingles": pa.array(n),
+                "dup_shingles": pa.array(d),
+                "dup_ppm": pa.array(ppm),
+            }
+        )
+
+    return ds.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DUP_SHINGLE_STATS = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN []
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)])
+         END AS sh
+  FROM d
+), u AS (
+  SELECT doc_id, unnest(sh) AS g FROM s
+), df AS (
+  SELECT g, count(*) AS df FROM u GROUP BY g
+), per AS (
+  SELECT u.doc_id,
+         count(*) AS n_shingles,
+         sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS dup_shingles
+  FROM u JOIN df USING (g) GROUP BY u.doc_id
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(dup_shingles AS BIGINT) AS dup_shingles,
+       CAST(dup_shingles * 1000000 // n_shingles AS BIGINT) AS dup_ppm
+FROM per
+"""
+
+
+def _doc_term_counts(texts: list):
+    """Vectorized per-doc term frequencies for a batch: one lexsort over
+    (doc_idx, token) and a run-length pass. Returns (doc_idx, term, tf)
+    numpy arrays over DISTINCT (doc, term) pairs."""
+    tok_lists = [(t or "").split() for t in texts]
+    ntok = np.fromiter(
+        (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+    )
+    flat = [w for toks in tok_lists for w in toks]
+    if not flat:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype="U1"),
+            np.empty(0, dtype=np.int64),
+        )
+    terms = np.array(flat)
+    docs = np.repeat(np.arange(len(tok_lists), dtype=np.int64), ntok)
+    order = np.lexsort((terms, docs))
+    d_s, t_s = docs[order], terms[order]
+    newrun = np.empty(d_s.shape[0], dtype=bool)
+    newrun[0] = True
+    newrun[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+    starts = np.flatnonzero(newrun)
+    tf = np.diff(np.append(starts, d_s.shape[0]))
+    return d_s[starts], t_s[starts], tf.astype(np.int64)
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 terms by tf/df (TF-IDF ranking; log(N/df) is
+    monotone in 1/df so the ranking is identical), with an
+    INTEGER-EXACT score key tf * 1e9 // df so the DuckDB oracle
+    value-hashes bit-for-bit (no float log drift). Ties break by term.
+
+    One shuffle total (term -> document frequency, pre-aggregated per
+    batch); the df side is broadcast (vocabulary-sized — at corpus scale
+    this becomes a hash join on term, same switch as
+    _orders_with_segment) and the per-doc top-3 selection runs inside
+    map_batches, so documents themselves never shuffle."""
+    import ray as _ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        _, terms, _tf = _doc_term_counts(b.column("text").to_pylist())
+        ks, cnts = np.unique(terms, return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(ks),
+                "c": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    df = ds.map_batches(
+        df_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("term").aggregate(Sum("c", alias_name="c"))
+
+    t_parts, c_parts = [], []
+    for b in df.iter_batches(batch_format="pyarrow", batch_size=65536):
+        t_parts.append(np.array(b.column("term").to_pylist()))
+        c_parts.append(b.column("c").to_numpy(zero_copy_only=False))
+    if t_parts:
+        terms_all = np.concatenate(t_parts)
+        dfs_all = np.concatenate(c_parts).astype(np.int64)
+        order = np.argsort(terms_all)
+        terms_sorted, dfs_sorted = terms_all[order], dfs_all[order]
+    else:
+        terms_sorted = np.empty(0, dtype="U1")
+        dfs_sorted = np.empty(0, dtype=np.int64)
+    df_ref = _ray.put((terms_sorted, dfs_sorted))
+
+    def topk(b: pa.Table) -> pa.Table:
+        ts, dfsv = _ray.get(df_ref)
+        d_idx, terms, tf = _doc_term_counts(b.column("text").to_pylist())
+        if d_idx.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "score_key": pa.array([], pa.int64()),
+                    "rk": pa.array([], pa.int64()),
+                }
+            )
+        dfv = dfsv[np.searchsorted(ts, terms)]
+        score = tf * 1_000_000_000 // dfv
+        order = np.lexsort((terms, -score, d_idx))
+        d_s = d_idx[order]
+        newdoc = np.empty(d_s.shape[0], dtype=bool)
+        newdoc[0] = True
+        newdoc[1:] = d_s[1:] != d_s[:-1]
+        starts = np.flatnonzero(newdoc)
+        lens = np.diff(np.append(starts, d_s.shape[0]))
+        rank = np.arange(d_s.shape[0]) - np.repeat(starts, lens)
+        keep = rank < 3
+        sel = order[keep]
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[d_idx[sel]]),
+                "term": pa.array(terms[sel]),
+                "score_key": pa.array(score[sel]),
+                "rk": pa.array((rank[keep] + 1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS t FROM d) GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), sc AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS BIGINT) * 1000000000 // df.df AS score_key
+  FROM tf JOIN df USING (term)
+), rk AS (
+  SELECT doc_id, term, score_key,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score_key DESC, term
+         ) AS rk
+  FROM sc
+)
+SELECT doc_id, term, score_key, CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= 3
+"""
+
+
+LATE_JITTER_US = 600_000_000  # arrival jitter / arrival-bucket width: 10 min
+LATE_ALLOWED_US = 120_000_000  # allowed lateness: 2 min
+
+
+def q_late_events(sf_dir: str):
+    """Watermark late-data side output with a DuckDB oracle.
+
+    The events table is event-time-sorted, so out-of-order ARRIVAL is
+    simulated deterministically: each event's arrival time is its event
+    time plus a jitter of mix64(event_id) % 10min (stages/hashing.py
+    mix_rounds — SQL-reproducible), and arrival micro-batches are 10-min
+    tumbling buckets of arrival time. The watermark entering batch b is
+    max(event time over all earlier arrival batches) minus 2 min allowed
+    lateness; an event is LATE (routed to the side output) iff its event
+    time < watermark — exactly the drop rule the CEP engine's watermark
+    tracker applies per micro-batch (pipelines/cep.py).
+
+    Distributed shape: a two-phase per-arrival-batch max (tiny shuffle on
+    batch_id), a driver-side prefix-max over per-batch maxima (one row
+    per arrival bucket — bounded by stream duration / bucket width, NOT
+    by row count), then a broadcast lookup inside map_batches."""
+    import ray as _ray
+
+    from ..stages.hashing import mix_rounds
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def _arrival_batch(b: pa.Table):
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        tsu = pc.cast(b.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        jit = (
+            mix_rounds(eid.astype(np.uint64)) % np.uint64(LATE_JITTER_US)
+        ).astype(np.int64)
+        return eid, tsu, (tsu + jit) // LATE_JITTER_US
+
+    def bmax(b: pa.Table) -> pa.Table:
+        _, tsu, bid = _arrival_batch(b)
+        t = pa.table({"batch_id": pa.array(bid), "mx": pa.array(tsu)})
+        g = t.group_by(["batch_id"]).aggregate([("mx", "max")])
+        return g.rename_columns(["batch_id", "mx"])
+
+    bm = ds.map_batches(
+        bmax, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("batch_id").aggregate(Max("mx", alias_name="mx"))
+
+    bids, mxs = [], []
+    for b in bm.iter_batches(batch_format="pyarrow", batch_size=65536):
+        bids.append(b.column("batch_id").to_numpy(zero_copy_only=False))
+        mxs.append(b.column("mx").to_numpy(zero_copy_only=False))
+    bids = np.concatenate(bids) if bids else np.empty(0, dtype=np.int64)
+    mxs = np.concatenate(mxs) if mxs else np.empty(0, dtype=np.int64)
+    order = np.argsort(bids)
+    bids, mxs = bids[order], mxs[order]
+    # watermark entering batch i = max over batches < i (None for first)
+    wm = np.empty_like(mxs)
+    if mxs.size:
+        wm[0] = np.iinfo(np.int64).min  # batch 0: nothing is late
+        if mxs.size > 1:
+            np.maximum.accumulate(mxs[:-1], out=wm[1:])
+    wm_ref = _ray.put((bids, wm))
+
+    def late(b: pa.Table) -> pa.Table:
+        bv, wv = _ray.get(wm_ref)
+        eid, tsu, bid = _arrival_batch(b)
+        w = wv[np.searchsorted(bv, bid)]
+        is_late = (w != np.iinfo(np.int64).min) & (
+            tsu < w - LATE_ALLOWED_US
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid[is_late]),
+                "batch_id": pa.array(bid[is_late]),
+            }
+        )
+
+    return ds.map_batches(late, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _late_events_sql() -> str:
+    m1 = _mixr_sql("CAST(event_id AS HUGEINT)")
+    return f"""
+WITH m1 AS (
+  SELECT event_id, epoch_us(ts) AS tsu, {m1} AS v FROM events
+), m2 AS (
+  SELECT event_id, tsu, {_mixr_sql('v')} AS v FROM m1
+), e AS (
+  SELECT event_id, tsu,
+         (tsu + CAST(v % {LATE_JITTER_US} AS BIGINT))
+           // {LATE_JITTER_US} AS batch_id
+  FROM m2
+), bm AS (
+  SELECT batch_id, max(tsu) AS mx FROM e GROUP BY batch_id
+), wm AS (
+  SELECT batch_id,
+         max(mx) OVER (
+           ORDER BY batch_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS pmax
+  FROM bm
+)
+SELECT e.event_id, e.batch_id
+FROM e JOIN wm USING (batch_id)
+WHERE wm.pmax IS NOT NULL AND e.tsu < wm.pmax - {LATE_ALLOWED_US}
+"""
+
+
+SQL_LATE_EVENTS = _late_events_sql()
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -1974,6 +2381,10 @@ QUERIES = {
     "order_revenue_topk": q_order_revenue_topk,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
+    "repetition_scores": q_repetition_scores,
+    "dup_shingle_stats": q_dup_shingle_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "late_events": q_late_events,
 }
 
 ORACLE_SQL = {
@@ -2015,4 +2426,8 @@ ORACLE_SQL = {
     "value_rank_select": SQL_VALUE_RANK_SELECT,
     "click_purchase_pairs": SQL_CLICK_PURCHASE_PAIRS,
     "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
+    "repetition_scores": SQL_REPETITION_SCORES,
+    "dup_shingle_stats": SQL_DUP_SHINGLE_STATS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "late_events": SQL_LATE_EVENTS,
 }

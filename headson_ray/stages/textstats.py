@@ -137,3 +137,71 @@ def add_fingerprint(batch: pa.Table, text_column: str = "text") -> pa.Table:
         for t in batch.column(text_column).to_pylist()
     ]
     return batch.append_column("doc_fp", pa.array(fps, pa.int64()))
+
+
+def add_repetition_stats(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Append n_bigrams and top_bigram_ppm: the fraction (ppm, floored) of
+    a document's word-bigram occurrences taken by its single most frequent
+    bigram — the Gopher-style repetition-filter signal (top-2-gram
+    fraction; high values flag boilerplate / TEMPLATED pages).
+
+    Fully vectorized across the batch: one hash_strings pass over every
+    token in the batch, adjacent-token uint64 combine for bigram keys
+    (document boundaries masked), one lexsort + run-length pass for the
+    per-(doc, bigram) counts, and a reduceat for the per-doc max — no
+    per-row python in the counting path. Docs with < 2 tokens emit
+    n_bigrams=0, ppm=0.
+
+    SQL equivalent (SQL_REPETITION_SCORES): unnest the per-doc bigram
+    list, GROUP BY doc/bigram, max(count) * 1000000 // sum(count). Token
+    strings cannot contain spaces (whitespace split), so the SQL's
+    space-joined bigram string and the 64-bit hash key partition bigrams
+    identically (collision odds ~n^2/2^64 — negligible).
+    """
+    import numpy as np
+
+    from .hashing import hash_strings
+
+    texts = batch.column(text_column).to_pylist()
+    nd = len(texts)
+    tok_lists = [(t or "").split() for t in texts]
+    ntok = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=nd)
+    nbig = np.maximum(ntok - 1, 0)
+    total = int(ntok.sum())
+    batch = batch.append_column("n_bigrams", pa.array(nbig, pa.int64()))
+    if total < 2 or int(nbig.sum()) == 0:
+        return batch.append_column(
+            "top_bigram_ppm", pa.array(np.zeros(nd, dtype=np.int64))
+        )
+    flat = [w for toks in tok_lists for w in toks]
+    h = hash_strings(flat)
+    # adjacent-token combine (wrapping uint64, odd multiplier = bijective
+    # in each argument); cross-document pairs are masked off below
+    big = h[:-1] * np.uint64(0x9E3779B97F4A7C15) + h[1:]
+    ends = np.cumsum(ntok)
+    valid = np.ones(total - 1, dtype=bool)
+    cut = ends[:-1] - 1  # last token of each non-final doc starts no bigram
+    cut = cut[(cut >= 0) & (cut < total - 1)]
+    valid[cut] = False
+    big_sel = big[valid]
+    doc_sel = np.repeat(np.arange(nd, dtype=np.int64), nbig)
+    order = np.lexsort((big_sel, doc_sel))
+    d_s = doc_sel[order]
+    b_s = big_sel[order]
+    newrun = np.empty(d_s.shape[0], dtype=bool)
+    newrun[0] = True
+    newrun[1:] = (d_s[1:] != d_s[:-1]) | (b_s[1:] != b_s[:-1])
+    starts = np.flatnonzero(newrun)
+    run_counts = np.diff(np.append(starts, d_s.shape[0]))
+    run_doc = d_s[starts]
+    docnew = np.empty(run_doc.shape[0], dtype=bool)
+    docnew[0] = True
+    docnew[1:] = run_doc[1:] != run_doc[:-1]
+    dstarts = np.flatnonzero(docnew)
+    dmax = np.maximum.reduceat(run_counts, dstarts)
+    mx = np.zeros(nd, dtype=np.int64)
+    mx[run_doc[dstarts]] = dmax
+    ppm = np.zeros(nd, dtype=np.int64)
+    nz = nbig > 0
+    ppm[nz] = mx[nz] * 1_000_000 // nbig[nz]
+    return batch.append_column("top_bigram_ppm", pa.array(ppm))

@@ -1,0 +1,140 @@
+"""Edge-case tests for the web-text repetition / duplication signal
+kernels (stages/textstats.add_repetition_stats and the dup-shingle /
+tf-idf / late-event catalog queries added in round 3).
+
+The DuckDB oracle parametrization in test_queries_oracle.py covers the
+happy path at sf0.001; these tests pin the boundary conditions the
+synthetic corpus never hits (empty docs at batch edges, cross-document
+bigram masking, watermark edge equality)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from headson_ray.stages.textstats import add_repetition_stats
+
+
+def _rep(texts):
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    r = add_repetition_stats(t)
+    return r.column("n_bigrams").to_pylist(), r.column(
+        "top_bigram_ppm"
+    ).to_pylist()
+
+
+def brute_top_bigram_ppm(text: str) -> tuple[int, int]:
+    toks = (text or "").split()
+    bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    if not bgs:
+        return 0, 0
+    counts: dict[str, int] = {}
+    for g in bgs:
+        counts[g] = counts.get(g, 0) + 1
+    return len(bgs), max(counts.values()) * 1_000_000 // len(bgs)
+
+
+def test_repetition_basic():
+    n, p = _rep(["a b a b a", "x y z", "w w w w"])
+    # 'a b a b a': bigrams ab ba ab ba -> top 2/4
+    assert (n[0], p[0]) == (4, 500000)
+    # all-distinct bigrams -> 1/2
+    assert (n[1], p[1]) == (2, 500000)
+    # 'w w w w': 'w w' x3 -> 3/3
+    assert (n[2], p[2]) == (3, 1_000_000)
+
+
+def test_repetition_empty_and_short_docs():
+    n, p = _rep(["", "solo", "", "a a", ""])
+    assert n == [0, 0, 0, 1, 0]
+    assert p == [0, 0, 0, 1_000_000, 0]
+
+
+def test_repetition_no_cross_document_bigrams():
+    # identical adjacent tokens ACROSS docs must not count as a bigram:
+    # doc0 ends with 'q', doc1 starts with 'q' -> 'q q' never formed
+    n, p = _rep(["p q", "q p"])
+    assert n == [1, 1]
+    assert p == [1_000_000, 1_000_000]
+    # ...and a doc that is one token between two others stays isolated
+    n, p = _rep(["a b", "b", "b c"])
+    assert n == [1, 0, 1]
+
+
+def test_repetition_empty_doc_at_batch_edges():
+    # empty FIRST doc used to risk masking index -1; empty LAST doc used
+    # to risk masking index total-1 (out of bounds)
+    n, p = _rep(["", "a b c", ""])
+    assert n == [0, 2, 0]
+    n, p = _rep(["", ""])
+    assert n == [0, 0]
+    n, p = _rep([])
+    assert n == []
+
+
+def test_repetition_matches_bruteforce_fuzz():
+    rng = np.random.default_rng(7)
+    vocab = ["a", "b", "c", "dd", "e"]
+    texts = []
+    for _ in range(200):
+        k = int(rng.integers(0, 12))
+        texts.append(" ".join(rng.choice(vocab, size=k)))
+    n, p = _rep(texts)
+    for i, t in enumerate(texts):
+        bn, bp = brute_top_bigram_ppm(t)
+        assert (n[i], p[i]) == (bn, bp), t
+
+
+def test_doc_term_counts_vectorized_matches_brute():
+    from headson_ray.pipelines.queries import _doc_term_counts
+
+    texts = ["b a b", "", "c c c", "a"]
+    d, t, tf = _doc_term_counts(texts)
+    got = sorted(zip(d.tolist(), t.tolist(), tf.tolist()))
+    assert got == [(0, "a", 1), (0, "b", 2), (2, "c", 3), (3, "a", 1)]
+
+
+def test_late_events_waterline_edge(ray_session, tmp_path):
+    """Deterministic mini-stream: an event exactly AT watermark-lateness
+    is NOT late (strict <); one microsecond below is late."""
+    import duckdb
+
+    from headson_ray.pipelines.queries import (
+        LATE_ALLOWED_US,
+        SQL_LATE_EVENTS,
+        q_late_events,
+    )
+
+    # synthesize a tiny events table with controlled ts spread
+    rng = np.random.default_rng(3)
+    n = 5000
+    ts = np.sort(rng.integers(0, 40 * 86_400_000_000, size=n))
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array(np.zeros(n)),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = q_late_events(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    exp = con.execute(SQL_LATE_EVENTS).df()
+    g = got.sort_values(["event_id"]).reset_index(drop=True)
+    e = exp.sort_values(["event_id"]).reset_index(drop=True)
+    assert len(g) == len(e)
+    assert (g["event_id"].to_numpy() == e["event_id"].to_numpy()).all()
+    assert (g["batch_id"].to_numpy() == e["batch_id"].to_numpy()).all()
+    assert LATE_ALLOWED_US > 0
