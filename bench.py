@@ -130,6 +130,8 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "orders_by_segment", "minhash_near_dups",
         "ngram_jaccard_pairs", "simhash_near_dups", "near_dup_canonical",
         "heavy_hitter_tokens", "value_rank_select", "regex_token_counts",
+        "repetition_scores", "dup_shingle_stats", "tfidf_top_terms",
+        "late_events",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)
