@@ -46,9 +46,44 @@ DAY_US = 86_400_000_000
 HOUR_US = 3_600_000_000
 
 
-def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+_TARGET_BLOCK_BYTES = 64 << 20  # on-disk parquet bytes per block at scale
+_SMALL_BLOCK_BYTES = 256 << 10  # min useful work per task on tiny tables
+
+
+def _num_blocks_for(path: Path, heavy: bool = False) -> int:
+    """Scale-aware block count: big inputs get ~64 MiB-of-parquet blocks
+    (thousands of blocks at 100 TB — streaming parallelism is unbounded),
+    while tiny inputs stop being sliced into 2x-CPU-count confetti blocks
+    whose per-task scheduling overhead dominates wall time (a 1.5 MB
+    table in Ray's default 64 blocks spent 8x longer on task dispatch
+    than on the actual dedup).
+
+    `heavy` marks compute-dense per-row stages (shingle/signature
+    builders, summarizers) where CPU work — not bytes — sets the right
+    parallelism: those keep near-full fan-out down to much smaller
+    inputs (an 8x-smaller per-block byte floor)."""
+    try:
+        size = path.stat().st_size
+    except OSError:
+        return 1
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
+    except Exception:
+        cpus = 8
+    floor_bytes = _SMALL_BLOCK_BYTES // 8 if heavy else _SMALL_BLOCK_BYTES
+    wide = size // _TARGET_BLOCK_BYTES
+    narrow = min(2 * cpus, size // floor_bytes + 1)
+    return max(1, int(max(wide, narrow)))
+
+
+def _read(
+    sf_dir: str, table: str, columns=None, heavy: bool = False
+) -> "ray.data.Dataset":
+    p = Path(sf_dir) / f"{table}.parquet"
     return ray.data.read_parquet(
-        str(Path(sf_dir) / f"{table}.parquet"), columns=columns
+        str(p),
+        columns=columns,
+        override_num_blocks=_num_blocks_for(p, heavy),
     )
 
 
@@ -510,7 +545,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 def q_minhash_near_dups(sf_dir: str):
     """MinHash+LSH near-dup pairs (rows-only: custom signatures)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
     return minhash_near_dups(ds, threshold=0.5)
 
 
@@ -518,7 +553,7 @@ def q_ngram_jaccard(sf_dir: str):
     """Exact word-3-gram Jaccard near-dup pairs via distributed inverted
     index with prefix filtering; jaccard emitted as integer ppm
     (inter*1e6 // union) so the DuckDB oracle matches bit-for-bit."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
     return ngram_jaccard_pairs(ds, threshold=0.5)
 
 
@@ -550,12 +585,12 @@ WHERE len(a.sh) + len(b.sh) > 0
 def q_simhash_near_dups(sf_dir: str):
     """SimHash near-dup pairs via pigeonhole banding (rows-only; exactness
     vs brute-force Hamming asserted in tests)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
     return simhash_near_dups(ds, max_hamming=3)
 
 
 def q_simhash(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
     return ds.map_batches(
         simhash_signatures, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -565,7 +600,7 @@ def q_near_dup_canonical(sf_dir: str):
     """Cluster dedup: canonical (min) doc id per connected component of
     the exact Jaccard>=0.5 near-dup graph; oracle = recursive-CTE
     transitive closure over the same pair set."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
     return near_dup_canonical(ds, threshold=0.5)
 
 
@@ -803,7 +838,7 @@ def q_props_extract(sf_dir: str):
 def q_summarize_documents(sf_dir: str):
     """The flagship per-document transform over the documents table
     (rows-only: previews have no SQL equivalent)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
     out = ds.map_batches(
         Summarizer,
         fn_constructor_kwargs=dict(budget=200, input_format="text"),
@@ -2012,7 +2047,7 @@ def q_dup_shingle_stats(sf_dir: str):
 
     from ..stages.dedup import word_shingle_array
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
     df = ds.map_batches(
         _shingle_df_partial, batch_format="pyarrow", zero_copy_batch=True
     ).groupby("sh").aggregate(Sum("c", alias_name="c"))
@@ -2132,7 +2167,7 @@ def q_tfidf_top_terms(sf_dir: str):
     map_batches, so documents themselves never shuffle."""
     import ray as _ray
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
 
     def df_partial(b: pa.Table) -> pa.Table:
         _, terms, _tf = _doc_term_counts(b.column("text").to_pylist())
@@ -2222,6 +2257,73 @@ WITH d AS (
 )
 SELECT doc_id, term, score_key, CAST(rk AS BIGINT) AS rk
 FROM rk WHERE rk <= 3
+"""
+
+
+QF_MIN_TOKENS = 30
+QF_MIN_STOPWORD_PCT = 2
+QF_MAX_TOP_BIGRAM_PPM = 100_000
+
+
+def q_quality_filter(sf_dir: str):
+    """C4/Gopher-style composite keep-filter — the end-user shape of the
+    individual signals: keep docs with >= 30 tokens, stopword ratio
+    >= 2% (integer cross-multiply, no float compare), and top-bigram
+    repetition <= 10%. One map_batches, zero shuffle; all three signals
+    come from the vectorized kernels in stages/textstats.py."""
+    from ..stages.textstats import add_repetition_stats, add_token_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        b = add_repetition_stats(add_token_stats(b))
+        tc = b.column("token_count")
+        sw = b.column("stopword_count")
+        rep = b.column("top_bigram_ppm")
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(tc, QF_MIN_TOKENS),
+                pc.greater_equal(
+                    pc.multiply(sw, 100),
+                    pc.multiply(tc, QF_MIN_STOPWORD_PCT),
+                ),
+            ),
+            pc.less_equal(rep, QF_MAX_TOP_BIGRAM_PPM),
+        )
+        t = b.select(["doc_id", "token_count", "top_bigram_ppm"])
+        return t.filter(m)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_QUALITY_FILTER = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), b2 AS (
+  SELECT doc_id, len(toks) AS token_count,
+         len(list_filter(toks, x -> x IN ({_SW}))) AS sw,
+         CASE WHEN len(toks) < 2 THEN []
+              ELSE [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+         END AS bgs
+  FROM d
+), c AS (
+  SELECT doc_id, bg, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(bgs) AS bg FROM b2) GROUP BY 1, 2
+), m AS (
+  SELECT doc_id, max(cnt) AS mx, sum(cnt) AS nb FROM c GROUP BY 1
+), j AS (
+  SELECT b2.doc_id, b2.token_count, b2.sw,
+         COALESCE(m.mx * 1000000 // m.nb, 0) AS top_bigram_ppm
+  FROM b2 LEFT JOIN m USING (doc_id)
+)
+SELECT doc_id, CAST(token_count AS BIGINT) AS token_count,
+       CAST(top_bigram_ppm AS BIGINT) AS top_bigram_ppm
+FROM j
+WHERE token_count >= {QF_MIN_TOKENS}
+  AND sw * 100 >= token_count * {QF_MIN_STOPWORD_PCT}
+  AND top_bigram_ppm <= {QF_MAX_TOP_BIGRAM_PPM}
 """
 
 
@@ -2385,6 +2487,7 @@ QUERIES = {
     "dup_shingle_stats": q_dup_shingle_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "late_events": q_late_events,
+    "quality_filter": q_quality_filter,
 }
 
 ORACLE_SQL = {
@@ -2430,4 +2533,5 @@ ORACLE_SQL = {
     "dup_shingle_stats": SQL_DUP_SHINGLE_STATS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "late_events": SQL_LATE_EVENTS,
+    "quality_filter": SQL_QUALITY_FILTER,
 }
