@@ -2012,12 +2012,9 @@ def _shingle_df_partial(b: pa.Table) -> pa.Table:
     per-doc shingle sets are unique (word_shingle_array), so concatenating
     them and counting key multiplicity = docs-per-shingle within the
     batch. Only (sh, c) partials enter the shuffle."""
-    from ..stages.dedup import word_shingle_array
+    from ..stages.dedup import word_shingle_arrays
 
-    arrs = [
-        word_shingle_array(t or "")
-        for t in b.column("text").to_pylist()
-    ]
+    arrs = word_shingle_arrays(b.column("text").to_pylist())
     if not arrs:
         return pa.table(
             {"sh": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
@@ -2045,7 +2042,7 @@ def q_dup_shingle_stats(sf_dir: str):
     tokens emit no row (they have no shingles), matching the oracle."""
     import ray as _ray
 
-    from ..stages.dedup import word_shingle_array
+    from ..stages.dedup import word_shingle_arrays
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
     df = ds.map_batches(
@@ -2067,23 +2064,29 @@ def q_dup_shingle_stats(sf_dir: str):
 
     def mark(b: pa.Table) -> pa.Table:
         dup = _ray.get(dup_ref)
-        doc_ids, n_sh, dup_sh = [], [], []
-        for did, t in zip(
-            b.column("doc_id").to_pylist(), b.column("text").to_pylist()
-        ):
-            arr = word_shingle_array(t or "")
-            if arr.size == 0:
-                continue
-            pos = np.searchsorted(dup, arr)
-            hit = (pos < dup.size) & (dup[np.minimum(pos, dup.size - 1)] == arr) if dup.size else np.zeros(arr.size, dtype=bool)
-            doc_ids.append(did)
-            n_sh.append(int(arr.size))
-            dup_sh.append(int(hit.sum()))
-        n = np.array(n_sh, dtype=np.int64)
-        d = np.array(dup_sh, dtype=np.int64)
-        ppm = np.zeros(len(n_sh), dtype=np.int64)
+        arrs = word_shingle_arrays(b.column("text").to_pylist())
+        ids_all = b.column("doc_id").to_numpy(zero_copy_only=False)
+        lens = np.fromiter(
+            (a.size for a in arrs), dtype=np.int64, count=len(arrs)
+        )
+        keep = lens > 0
+        n = lens[keep]
+        doc_ids = ids_all[keep]
         if n.size:
+            flat = np.concatenate([a for a in arrs if a.size])
+            if dup.size:
+                pos = np.searchsorted(dup, flat)
+                hit = (pos < dup.size) & (
+                    dup[np.minimum(pos, dup.size - 1)] == flat
+                )
+            else:
+                hit = np.zeros(flat.size, dtype=bool)
+            starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+            d = np.add.reduceat(hit.astype(np.int64), starts)
             ppm = d * 1_000_000 // n
+        else:
+            d = np.empty(0, dtype=np.int64)
+            ppm = np.empty(0, dtype=np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),

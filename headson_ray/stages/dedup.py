@@ -70,6 +70,47 @@ def word_shingles(text: str, k: int = 3) -> set[int]:
     return set(map(int, word_shingle_array(text, k)))
 
 
+def word_shingle_arrays(
+    texts: "list[str | None]", k: int = 3
+) -> list[np.ndarray]:
+    """Per-doc sorted unique shingle hashes for a whole batch.
+
+    Batch-vectorized version of word_shingle_array (identical values):
+    one tokenize pass, ONE hash_strings call over the flattened token
+    stream of every doc, one windowed-combine pass over the flat hash
+    array (windows crossing doc boundaries are discarded by slicing),
+    then a per-doc np.unique. Amortizes the codepoint-matrix setup that
+    per-doc hash_strings calls pay per document."""
+    n = len(texts)
+    toks_all: list[str] = []
+    bounds = np.empty(n + 1, dtype=np.int64)
+    bounds[0] = 0
+    for i, t in enumerate(texts):
+        toks_all.extend((t or "").split())
+        bounds[i + 1] = len(toks_all)
+    empty = np.empty(0, dtype=np.uint64)
+    if not toks_all:
+        return [empty] * n
+    th = hash_strings(toks_all)
+    if th.shape[0] >= k:
+        wh_all = hash_u64_rows(
+            np.lib.stride_tricks.sliding_window_view(th, k)
+        )
+    else:
+        wh_all = empty
+    out: list[np.ndarray] = []
+    for i in range(n):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        c = e - s
+        if c == 0:
+            out.append(empty)
+        elif c < k:
+            out.append(hash_u64_rows(th[s:e][None, :]))
+        else:
+            out.append(np.unique(wh_all[s : e - k + 1]))
+    return out
+
+
 class MinHasher:
     """Vectorized MinHash signatures: sig[j] = min over shingles s of
     mix_j(s). Permutation params derived from a fixed seed in __init__
@@ -103,9 +144,12 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> pa.Table:
     ids = batch.column(id_column).to_pylist()
-    sigs = []
-    for t in batch.column(text_column).to_pylist():
-        sigs.append(hasher.signature(word_shingle_array(t or "", shingle_k)))
+    sigs = [
+        hasher.signature(sh)
+        for sh in word_shingle_arrays(
+            batch.column(text_column).to_pylist(), shingle_k
+        )
+    ]
     return pa.table(
         {
             id_column: pa.array(ids),
@@ -272,11 +316,11 @@ def candidate_shingle_map(
     )
     shingle_map: dict[int, np.ndarray] = {}
     for batch in filtered.iter_batches(batch_format="pyarrow", batch_size=8192):
-        for i, t in zip(
-            batch.column(id_column).to_pylist(),
-            batch.column(text_column).to_pylist(),
-        ):
-            shingle_map[i] = word_shingle_array(t or "", shingle_k)
+        arrs = word_shingle_arrays(
+            batch.column(text_column).to_pylist(), shingle_k
+        )
+        for i, sh in zip(batch.column(id_column).to_pylist(), arrs):
+            shingle_map[i] = sh
     return shingle_map
 
 
@@ -433,8 +477,10 @@ def _postings(
     def postings(b: pa.Table) -> pa.Table:
         ids_np = b.column(id_column).to_numpy(zero_copy_only=False)
         id_chunks, sh_chunks = [], []
-        for i, t in zip(ids_np, b.column(text_column).to_pylist()):
-            sh = word_shingle_array(t or "", shingle_k)
+        arrs = word_shingle_arrays(
+            b.column(text_column).to_pylist(), shingle_k
+        )
+        for i, sh in zip(ids_np, arrs):
             sh_chunks.append(sh)
             id_chunks.append(np.full(sh.shape[0], i, dtype=np.int64))
         hs = (
