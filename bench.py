@@ -131,7 +131,8 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "ngram_jaccard_pairs", "simhash_near_dups", "near_dup_canonical",
         "heavy_hitter_tokens", "value_rank_select", "regex_token_counts",
         "repetition_scores", "dup_shingle_stats", "tfidf_top_terms",
-        "late_events", "quality_filter",
+        "late_events", "quality_filter", "windowed_topk_events",
+        "event_transitions", "user_running_value",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)

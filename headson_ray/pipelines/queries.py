@@ -2441,6 +2441,193 @@ WHERE wm.pmax IS NOT NULL AND e.tsu < wm.pmax - {LATE_ALLOWED_US}
 SQL_LATE_EVENTS = _late_events_sql()
 
 
+TOPK_PER_WINDOW = 2
+
+
+def q_windowed_topk_events(sf_dir: str):
+    """Windowed ranking: top-2 events by value per (event_type, 1-day
+    tumbling window) — the streaming "trending items per pane" shape.
+
+    Scale design: per-batch partials are trimmed to <= 2 rows per
+    (type, window) run BEFORE the shuffle (the run-length trim used by
+    q_top3_orders_per_segment), so the groupby moves at most k rows per
+    pane per block regardless of pane size — no global sort, no
+    pane-sized groups."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    k = TOPK_PER_WINDOW
+
+    def partial(b: pa.Table) -> pa.Table:
+        wid = pc.divide(pc.cast(b.column("ts"), pa.int64()), DAY_US)
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "window_id": wid,
+                "event_id": b.column("event_id"),
+                "val_cents": _cents(b.column("value")),
+            }
+        )
+        n = t.num_rows
+        if n == 0:
+            return t
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("event_type", "ascending"),
+                ("window_id", "ascending"),
+                ("val_cents", "descending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        codes = (
+            t.column("event_type")
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        wids = t.column("window_id").to_numpy(zero_copy_only=False)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (codes[1:] != codes[:-1]) | (wids[1:] != wids[:-1])
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        pos = np.arange(n) - starts[run_id]
+        return t.filter(pa.array(pos < k))
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("val_cents", "descending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = group.take(idx).slice(0, k)
+        return t.append_column(
+            "rnk", pa.array(range(1, t.num_rows + 1), pa.int64())
+        )
+
+    return partials.groupby(["event_type", "window_id"]).map_groups(
+        topk, batch_format="pyarrow"
+    )
+
+
+SQL_WINDOWED_TOPK_EVENTS = f"""
+WITH r AS (
+  SELECT event_type,
+         epoch_us(ts) // {DAY_US} AS window_id,
+         event_id,
+         CAST(round(value * 100) AS BIGINT) AS val_cents,
+         row_number() OVER (
+           PARTITION BY event_type, epoch_us(ts) // {DAY_US}
+           ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id
+         ) AS rk
+  FROM events
+)
+SELECT event_type, window_id, event_id, val_cents,
+       CAST(rk AS BIGINT) AS rnk
+FROM r WHERE rk <= {TOPK_PER_WINDOW}
+"""
+
+
+def q_event_transitions(sf_dir: str):
+    """Per-user event-sequence bigram transitions (Markov counts): for
+    each user's events ordered by (ts, event_id), count consecutive
+    (prev_type -> next_type) pairs across the whole corpus.
+
+    Scale design: ONE groupby(user) shuffle for sequence locality (the
+    same partitioning assumption every per-key CEP stage makes), a
+    vectorized shift inside map_groups, and per-group pyarrow partial
+    counts so the second shuffle only moves (prev, next, n) partials —
+    never the event stream twice."""
+    ds = _read(
+        sf_dir, "events", ["user_id", "event_type", "ts", "event_id"]
+    )
+
+    def transitions(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+        )
+        et = group.column("event_type").take(idx).combine_chunks()
+        n = len(et)
+        if n < 2:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], pa.string()),
+                    "next_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        pairs = pa.table(
+            {"prev_type": et.slice(0, n - 1), "next_type": et.slice(1)}
+        )
+        g = pairs.group_by(["prev_type", "next_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["prev_type", "next_type", "n"])
+
+    partials = ds.groupby("user_id").map_groups(
+        transitions, batch_format="pyarrow"
+    )
+    return partials.groupby(["prev_type", "next_type"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_user_running_value(sf_dir: str):
+    """Per-user running (cumulative) value in cents ordered by
+    (ts, event_id) — SUM() OVER (ROWS UNBOUNDED PRECEDING) as a Ray
+    pipeline. One groupby(user) shuffle for sequence locality, then one
+    vectorized cumsum per group; emits one row per event."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def running(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+        )
+        t = group.take(idx)
+        cents = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "cum_cents": pa.array(np.cumsum(cents), pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pyarrow")
+
+
+SQL_USER_RUNNING_VALUE = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_cents
+FROM events
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -2491,6 +2678,9 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "late_events": q_late_events,
     "quality_filter": q_quality_filter,
+    "windowed_topk_events": q_windowed_topk_events,
+    "event_transitions": q_event_transitions,
+    "user_running_value": q_user_running_value,
 }
 
 ORACLE_SQL = {
@@ -2537,4 +2727,7 @@ ORACLE_SQL = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "late_events": SQL_LATE_EVENTS,
     "quality_filter": SQL_QUALITY_FILTER,
+    "windowed_topk_events": SQL_WINDOWED_TOPK_EVENTS,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "user_running_value": SQL_USER_RUNNING_VALUE,
 }

@@ -645,3 +645,77 @@ def test_grouped_rank_select_nulls_and_nonfinite_excluded():
     )
     out = grouped_rank_select(ds, "grp", "val", [("p50", 0.5)])
     assert out.to_pylist() == [{"grp": "a", "q": "p50", "value": 2.0}]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_windowed_topk_partial_trim_across_batches(tmp_path, con):
+    """One giant (event_type, window) pane whose true top-2 rows sit far
+    apart in the file: the per-batch partial trim must still surface the
+    global top-2 after the merge (k-selection survives any block split),
+    and ranks/ties must match the row_number() oracle."""
+    import duckdb
+    import numpy as np
+
+    from headson_ray.pipelines.queries import (
+        SQL_WINDOWED_TOPK_EVENTS,
+        q_windowed_topk_events,
+    )
+
+    n = 5000
+    rng = np.random.RandomState(7)
+    values = rng.uniform(0.0, 50.0, size=n)
+    values[10] = 99.0       # global max, early batch
+    values[4000] = 98.5     # runner-up, late batch
+    values[4500] = 98.5     # tie with 4000 -> event_id breaks it
+    ts = np.full(n, 86_400_000_000 * 3 + 1000, dtype="datetime64[us]")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = _norm(_to_frame(q_windowed_topk_events(str(tmp_path))))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}')"
+    )
+    exp = _norm(c.execute(SQL_WINDOWED_TOPK_EVENTS).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert set(got["event_id"]) == {10, 4000}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_transitions_single_event_users_emit_nothing(tmp_path):
+    """Users with one event contribute no transition rows; ordering is
+    by (ts, event_id) so same-ts events break ties by id."""
+    import pyarrow.parquet as pq
+
+    from headson_ray.pipelines.queries import q_event_transitions
+
+    t0 = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(
+                [t0, t0, t0 + 5, t0 + 9], pa.timestamp("us")
+            ),
+            "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+            "event_type": pa.array(["view", "click", "purchase", "view"]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = _to_frame(q_event_transitions(str(tmp_path)))
+    rows = {
+        (r.prev_type, r.next_type): r.n for r in got.itertuples()
+    }
+    assert rows == {("view", "click"): 1, ("click", "purchase"): 1}
