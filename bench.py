@@ -132,7 +132,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "heavy_hitter_tokens", "value_rank_select", "regex_token_counts",
         "repetition_scores", "dup_shingle_stats", "tfidf_top_terms",
         "late_events", "quality_filter", "windowed_topk_events",
-        "event_transitions", "user_running_value",
+        "event_transitions", "user_running_value", "kmeans_clusters",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)

@@ -2628,6 +2628,91 @@ FROM events
 """
 
 
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed k-means cluster assignment over the embeddings table
+    (k=4, 2 exact Lloyd steps, k-lowest-id init). Assignment is a
+    vectorized integer distance per batch against broadcast centroids;
+    updates fold O(k*d) partial sums — see stages/cluster.py for the
+    exact-arithmetic design that makes the DuckDB oracle bit-exact."""
+    from ..stages.cluster import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_assign(ds, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Chained-CTE mirror of kmeans_assign: floor-quantized int grid,
+    HUGEINT-exact distances, row_number tie-break on (dist, cluster),
+    floor(sum/count) updates with empty-cluster carry."""
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(
+           embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+         ) AS q
+  FROM embeddings
+), ed AS (
+  SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS d FROM e
+), init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, q
+  FROM e ORDER BY vec_id LIMIT {k}
+), c0 AS (
+  SELECT cluster, unnest(q) AS v, generate_subscripts(q, 1) AS d FROM init
+)"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", d{i} AS (
+  SELECT ed.vec_id, {prev}.cluster,
+         sum((ed.v - {prev}.v) * (ed.v - {prev}.v)) AS dist
+  FROM ed JOIN {prev} ON ed.d = {prev}.d
+  GROUP BY 1, 2
+), a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY dist, cluster
+           ) AS rk
+    FROM d{i}
+  ) WHERE rk = 1
+), c{i} AS (
+  SELECT c.cluster, c.d, COALESCE(u.v, c.v) AS v
+  FROM {prev} c LEFT JOIN (
+    SELECT a{i}.cluster, ed.d,
+           CAST(floor(CAST(sum(ed.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+    FROM ed JOIN a{i} USING (vec_id)
+    GROUP BY 1, 2
+  ) u ON u.cluster = c.cluster AND u.d = c.d
+)"""
+        )
+        prev = f"c{i}"
+    fin = iters + 1
+    parts.append(
+        f""", dfin AS (
+  SELECT ed.vec_id, {prev}.cluster,
+         sum((ed.v - {prev}.v) * (ed.v - {prev}.v)) AS dist
+  FROM ed JOIN {prev} ON ed.d = {prev}.d
+  GROUP BY 1, 2
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+  FROM dfin
+) WHERE rk = 1"""
+    )
+    del fin
+    return "".join(parts)
+
+
+SQL_KMEANS_CLUSTERS = _kmeans_sql()
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -2681,6 +2766,7 @@ QUERIES = {
     "windowed_topk_events": q_windowed_topk_events,
     "event_transitions": q_event_transitions,
     "user_running_value": q_user_running_value,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 ORACLE_SQL = {
@@ -2730,4 +2816,5 @@ ORACLE_SQL = {
     "windowed_topk_events": SQL_WINDOWED_TOPK_EVENTS,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "user_running_value": SQL_USER_RUNNING_VALUE,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
 }

@@ -719,3 +719,47 @@ def test_event_transitions_single_event_users_emit_nothing(tmp_path):
         (r.prev_type, r.next_type): r.n for r in got.itertuples()
     }
     assert rows == {("view", "click"): 1, ("click", "purchase"): 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_empty_cluster_carries_centroid(tmp_path):
+    """Two identical lowest-id init vectors: every point ties to cluster
+    0 (argmin == row_number tie-break), cluster 1 goes empty and must
+    carry its previous centroid instead of dividing by zero — and the
+    result must still match the SQL mirror on the same file."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from headson_ray.pipelines.queries import (
+        _kmeans_sql,
+        q_kmeans_clusters,
+    )
+    from headson_ray.pipelines import queries as qmod
+
+    vecs = [
+        [0.5, 0.5],          # init centroid 0
+        [0.5, 0.5],          # init centroid 1 (identical -> always loses ties)
+        [0.4, 0.6],
+        [-0.3, -0.2],
+        [0.1, 0.0],
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(5), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * 5, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    got = _norm(_to_frame(q_kmeans_clusters(str(tmp_path))))
+    # the duplicate init vector (cluster 1) loses every tie to cluster 0,
+    # goes empty, and must never be assigned (its carried centroid stays
+    # coincident with cluster 0's start point, which always wins ties)
+    assert 1 not in set(got["cluster"])
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'embeddings.parquet'}')"
+    )
+    exp = _norm(c.execute(_kmeans_sql()).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
