@@ -133,6 +133,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "repetition_scores", "dup_shingle_stats", "tfidf_top_terms",
         "late_events", "quality_filter", "windowed_topk_events",
         "event_transitions", "user_running_value", "kmeans_clusters",
+        "stratified_sample", "cluster_label_purity",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)

@@ -2713,6 +2713,129 @@ SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
 SQL_KMEANS_CLUSTERS = _kmeans_sql()
 
 
+STRATUM_RATES = {"view": 1, "click": 10, "purchase": 100}
+STRATUM_DEFAULT_RATE = 5
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: keep p% of events per
+    event_type (different p per stratum — the data-mixing knob of a
+    training pipeline). Membership is mix_rounds(event_id) % 100 <
+    rate[type]: stable across runs, machines and partitionings, zero
+    shuffle, and SQL-reproducible via the shared mixer."""
+    from ..stages.hashing import mix_rounds
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy(zero_copy_only=False)
+        h = mix_rounds(ids.astype(np.uint64)) % np.uint64(100)
+        rate = np.full(len(ids), STRATUM_DEFAULT_RATE, dtype=np.uint64)
+        et = b.column("event_type")
+        for t, r in STRATUM_RATES.items():
+            rate[pc.equal(et, t).to_numpy(zero_copy_only=False)] = r
+        return b.filter(pa.array(h < rate))
+
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _stratified_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{t}' THEN {r}" for t, r in STRATUM_RATES.items()
+    )
+    return f"""
+WITH m1 AS (
+  SELECT event_id, event_type,
+         {_mixr_sql('CAST(event_id AS HUGEINT)')} AS v
+  FROM events
+), m2 AS (
+  SELECT event_id, event_type, {_mixr_sql('v')} AS v FROM m1
+)
+SELECT event_id, event_type FROM m2
+WHERE v % 100 < CASE event_type {cases}
+                ELSE {STRATUM_DEFAULT_RATE} END
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _stratified_sample_sql()
+
+
+def q_cluster_label_purity(sf_dir: str):
+    """Cluster quality audit: join the k-means assignment with the
+    embeddings' labels and report, per cluster, the member count, the
+    majority label and its purity (ppm). Labels ride the assignment map
+    as a passthrough column (no post-hoc join); counts are two-phase
+    (per-batch pyarrow partials, then a (cluster, label) groupby), so
+    the driver folds at most k * n_labels rows."""
+    from ..stages.cluster import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    assigned = kmeans_assign(
+        ds, k=KMEANS_K, iters=KMEANS_ITERS, passthrough=("label",)
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["cluster", "label"]).aggregate([([], "count_all")])
+        return g.rename_columns(["cluster", "label", "n"])
+
+    counts = (
+        assigned.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["cluster", "label"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    t = pa.Table.from_pandas(counts.to_pandas())  # k * n_labels rows
+    cl = t.column("cluster").to_numpy(zero_copy_only=False)
+    lb = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    out = []
+    for c in np.unique(cl):
+        m = cl == c
+        tot = int(n[m].sum())
+        order = np.lexsort((lb[m], -n[m]))  # n desc, label asc
+        top = order[0]
+        out.append(
+            (
+                int(c),
+                int(lb[m][top]),
+                tot,
+                int(n[m][top]) * 1_000_000 // tot,
+            )
+        )
+    return pa.table(
+        {
+            "cluster": pa.array([r[0] for r in out], pa.int64()),
+            "major_label": pa.array([r[1] for r in out], pa.int64()),
+            "n": pa.array([r[2] for r in out], pa.int64()),
+            "purity_ppm": pa.array([r[3] for r in out], pa.int64()),
+        }
+    )
+
+
+SQL_CLUSTER_LABEL_PURITY = f"""
+WITH km AS ({SQL_KMEANS_CLUSTERS}),
+j AS (
+  SELECT km.cluster, e.label
+  FROM km JOIN embeddings e USING (vec_id)
+),
+c AS (SELECT cluster, label, count(*) AS n FROM j GROUP BY 1, 2),
+t AS (SELECT cluster, sum(n) AS tot FROM c GROUP BY 1),
+m AS (
+  SELECT cluster, label, n,
+         row_number() OVER (
+           PARTITION BY cluster ORDER BY n DESC, label
+         ) AS rk
+  FROM c
+)
+SELECT m.cluster,
+       CAST(m.label AS BIGINT) AS major_label,
+       CAST(t.tot AS BIGINT) AS n,
+       CAST(m.n * 1000000 // t.tot AS BIGINT) AS purity_ppm
+FROM m JOIN t USING (cluster) WHERE rk = 1
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -2767,6 +2890,8 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "user_running_value": q_user_running_value,
     "kmeans_clusters": q_kmeans_clusters,
+    "stratified_sample": q_stratified_sample,
+    "cluster_label_purity": q_cluster_label_purity,
 }
 
 ORACLE_SQL = {
@@ -2817,4 +2942,6 @@ ORACLE_SQL = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "user_running_value": SQL_USER_RUNNING_VALUE,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "cluster_label_purity": SQL_CLUSTER_LABEL_PURITY,
 }

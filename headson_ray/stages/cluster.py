@@ -77,11 +77,14 @@ def kmeans_assign(
     iters: int = 2,
     id_column: str = "vec_id",
     vec_column: str = "embedding",
+    passthrough: tuple = (),
 ):
     """Lloyd's k-means, `iters` exact integer update steps, then a final
-    assignment pass. Returns a Dataset of (id_column, cluster). Empty
-    clusters keep their previous centroid (the oracle mirrors this with
-    a LEFT JOIN + COALESCE)."""
+    assignment pass. Returns a Dataset of (id_column, *passthrough,
+    cluster) — passthrough columns ride along the final map so callers
+    never need a post-hoc join back to the input. Empty clusters keep
+    their previous centroid (the oracle mirrors this with a LEFT JOIN +
+    COALESCE)."""
     import ray
 
     C = _init_centroids(
@@ -153,12 +156,11 @@ def kmeans_assign(
                 - 2 * (M @ cc.T)
             )
             a = np.argmin(d2, axis=1).astype(np.int64)
-        return pa.table(
-            {
-                id_column: b.column(id_column),
-                "cluster": pa.array(a),
-            }
-        )
+        cols = {id_column: b.column(id_column)}
+        for c in passthrough:
+            cols[c] = b.column(c)
+        cols["cluster"] = pa.array(a)
+        return pa.table(cols)
 
     return ds.map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True
