@@ -2836,6 +2836,148 @@ FROM m JOIN t USING (cluster) WHERE rk = 1
 """
 
 
+def q_event_session_ids(sf_dir: str):
+    """Per-event sessionization: assign every event its user-local
+    session index (a new session starts when the gap to the previous
+    event exceeds SESSION_GAP_US) — the row-level companion of the
+    session-window aggregate, and the label a training pipeline joins
+    back onto raw events. One groupby(user) shuffle, then a vectorized
+    gap-cumsum per group (no per-row python)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def label(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+        )
+        t = group.take(idx)
+        tus = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        new_sess = np.ones(len(tus), dtype=np.int64)
+        if len(tus) > 1:
+            new_sess[1:] = (np.diff(tus) > SESSION_GAP_US).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "session_idx": pa.array(np.cumsum(new_sess) - 1),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(label, batch_format="pyarrow")
+
+
+SQL_EVENT_SESSION_IDS = f"""
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(sum(new_sess) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) - 1 AS BIGINT) AS session_idx
+FROM o
+"""
+
+
+RESERVOIR_K = 3
+
+
+def q_reservoir_sample(sf_dir: str):
+    """Deterministic distributed reservoir sampling: exactly k events
+    per event_type, uniform over the stratum, chosen as the k smallest
+    mixer hashes of event_id (hash-order top-k == an order-free,
+    partition-free, rerun-stable reservoir). Per-batch run-length trim
+    keeps at most k rows per stratum per block out of the shuffle."""
+    from ..stages.hashing import mix_rounds
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    k = RESERVOIR_K
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy(zero_copy_only=False)
+        # keep the hash UNSIGNED end-to-end so the sort order matches
+        # the oracle's HUGEINT order (an int64 wrap would reorder)
+        h = mix_rounds(ids.astype(np.uint64))
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "event_id": b.column("event_id"),
+                "h": pa.array(h, pa.uint64()),
+            }
+        )
+        n = t.num_rows
+        if n == 0:
+            return t
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("event_type", "ascending"),
+                ("h", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        codes = (
+            t.column("event_type")
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = codes[1:] != codes[:-1]
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        pos = np.arange(n) - starts[run_id]
+        return t.filter(pa.array(pos < k))
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("h", "ascending"), ("event_id", "ascending")],
+        )
+        return group.take(idx).slice(0, k).select(
+            ["event_type", "event_id"]
+        )
+
+    return partials.groupby("event_type").map_groups(
+        pick, batch_format="pyarrow"
+    )
+
+
+def _reservoir_sample_sql() -> str:
+    m1 = _mixr_sql("CAST(event_id AS HUGEINT)")
+    return f"""
+WITH m1 AS (
+  SELECT event_id, event_type, {m1} AS v FROM events
+), m2 AS (
+  SELECT event_id, event_type, {_mixr_sql('v')} AS v FROM m1
+), r AS (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY v, event_id
+         ) AS rk
+  FROM m2
+)
+SELECT event_type, event_id FROM r WHERE rk <= {RESERVOIR_K}
+"""
+
+
+SQL_RESERVOIR_SAMPLE = _reservoir_sample_sql()
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -2892,6 +3034,8 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "stratified_sample": q_stratified_sample,
     "cluster_label_purity": q_cluster_label_purity,
+    "event_session_ids": q_event_session_ids,
+    "reservoir_sample": q_reservoir_sample,
 }
 
 ORACLE_SQL = {
@@ -2944,4 +3088,6 @@ ORACLE_SQL = {
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "cluster_label_purity": SQL_CLUSTER_LABEL_PURITY,
+    "event_session_ids": SQL_EVENT_SESSION_IDS,
+    "reservoir_sample": SQL_RESERVOIR_SAMPLE,
 }

@@ -129,3 +129,29 @@ def test_rank_select_matches_sorted_selection(ray_session, vals, data):
     )
     got = rank_select(ds, "v", [k], num_bins=8, collect_cap=16)
     assert got[0] == float(np.sort(np.asarray(vals))[k])
+
+
+@given(
+    texts=st.lists(
+        st.one_of(st.none(), st.text(max_size=120)), max_size=12
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=150, deadline=None)
+def test_word_shingle_arrays_equals_per_doc_kernel(texts, k):
+    """The batch-vectorized shingle kernel must emit byte-identical
+    per-doc arrays to the scalar kernel for arbitrary unicode text
+    (whitespace variety, empty docs, None, short-doc k fallback)."""
+    import numpy as np
+
+    from headson_ray.stages.dedup import (
+        word_shingle_array,
+        word_shingle_arrays,
+    )
+
+    batch = word_shingle_arrays(texts, k)
+    assert len(batch) == len(texts)
+    for t, got in zip(texts, batch):
+        want = word_shingle_array(t or "", k)
+        assert got.dtype == np.uint64
+        assert np.array_equal(got, want)
