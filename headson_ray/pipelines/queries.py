@@ -191,42 +191,30 @@ def q_session_events(sf_dir: str):
 
     def sessions(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(group.column("ts"))
-        tus = pc.take(pc.cast(group.column("ts"), pa.int64()), idx).to_pylist()
-        cents = pc.take(_cents(group.column("value")), idx).to_pylist()
+        tus = pc.take(
+            pc.cast(group.column("ts"), pa.int64()), idx
+        ).to_numpy(zero_copy_only=False)
+        cents = pc.take(_cents(group.column("value")), idx).to_numpy(
+            zero_copy_only=False
+        )
         uid = group.column("user_id")[0].as_py()
-        rows = {
-            "user_id": [], "session_start": [], "session_end": [],
-            "n": [], "val_cents": [],
-        }
-        start = prev = None
-        n = 0
-        vs = 0
-        for t, c in zip(tus, cents):
-            if prev is not None and t - prev > SESSION_GAP_US:
-                rows["user_id"].append(uid)
-                rows["session_start"].append(start)
-                rows["session_end"].append(prev)
-                rows["n"].append(n)
-                rows["val_cents"].append(vs)
-                start, n, vs = None, 0, 0
-            if start is None:
-                start = t
-            n += 1
-            vs += c
-            prev = t
-        if start is not None:
-            rows["user_id"].append(uid)
-            rows["session_start"].append(start)
-            rows["session_end"].append(prev)
-            rows["n"].append(n)
-            rows["val_cents"].append(vs)
+        m = len(tus)
+        # session boundaries + per-session aggregates, fully vectorized:
+        # starts mark gap > SESSION_GAP_US, reduceat folds each run
+        new_sess = np.ones(m, dtype=bool)
+        if m > 1:
+            new_sess[1:] = np.diff(tus) > SESSION_GAP_US
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], m) - 1
         return pa.table(
             {
-                "user_id": pa.array(rows["user_id"], pa.int64()),
-                "session_start": pa.array(rows["session_start"], pa.int64()),
-                "session_end": pa.array(rows["session_end"], pa.int64()),
-                "n": pa.array(rows["n"], pa.int64()),
-                "val_cents": pa.array(rows["val_cents"], pa.int64()),
+                "user_id": pa.array(np.full(len(starts), uid, np.int64)),
+                "session_start": pa.array(tus[starts], pa.int64()),
+                "session_end": pa.array(tus[ends], pa.int64()),
+                "n": pa.array(ends - starts + 1, pa.int64()),
+                "val_cents": pa.array(
+                    np.add.reduceat(cents, starts), pa.int64()
+                ),
             }
         )
 
