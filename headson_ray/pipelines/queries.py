@@ -77,13 +77,23 @@ def _num_blocks_for(path: Path, heavy: bool = False) -> int:
 
 
 def _read(
-    sf_dir: str, table: str, columns=None, heavy: bool = False
+    sf_dir: str,
+    table: str,
+    columns=None,
+    heavy: bool = False,
+    filter_expr=None,
 ) -> "ray.data.Dataset":
     p = Path(sf_dir) / f"{table}.parquet"
+    kwargs = {}
+    if filter_expr is not None:
+        # pushed into the pyarrow fragment scanner: row-group statistics
+        # prune whole groups and the scan materializes only passing rows
+        kwargs["filter"] = filter_expr
     return ray.data.read_parquet(
         str(p),
         columns=columns,
         override_num_blocks=_num_blocks_for(p, heavy),
+        **kwargs,
     )
 
 
@@ -1926,9 +1936,19 @@ SELECT count(DISTINCT k) AS n_keys FROM (
 
 
 def q_click_events_filtered(sf_dir: str):
-    """Filter + project with column pruning at the read."""
-    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
-    ds = ds.filter(expr="event_type == 'click' and value > 50.0")
+    """Filter + project with BOTH prunings at the read: column
+    projection and a predicate pushed into the parquet scanner (row
+    groups whose statistics exclude the predicate never leave
+    storage)."""
+    import pyarrow.dataset as pads
+
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "event_type", "value"],
+        filter_expr=(pads.field("event_type") == "click")
+        & (pads.field("value") > 50.0),
+    )
     return ds.map_batches(
         lambda b: pa.table(
             {"event_id": b.column("event_id"), "cents": _cents(b.column("value"))}
