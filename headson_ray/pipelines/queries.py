@@ -108,6 +108,35 @@ def _cents(col, factor: float = 100.0):
     )
 
 
+def _trim_topk_runs(t: pa.Table, key_columns, k: int) -> pa.Table:
+    """Keep the first k rows of every contiguous key run of an
+    ALREADY-SORTED table — the per-batch partial trim behind every
+    grouped top-k (at most k rows per key per block enter the shuffle).
+    Vectorized: run starts come from per-column change masks (strings
+    via dictionary codes), position-within-run via cumulative offset
+    subtraction."""
+    n = t.num_rows
+    if n == 0:
+        return t
+    new_run = np.zeros(n, dtype=bool)
+    new_run[0] = True
+    for c in key_columns:
+        col = t.column(c).combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(
+            col.type
+        ):
+            vals = col.dictionary_encode().indices.to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            vals = col.to_numpy(zero_copy_only=False)
+        new_run[1:] |= vals[1:] != vals[:-1]
+    run_id = np.cumsum(new_run) - 1
+    starts = np.flatnonzero(new_run)
+    pos = np.arange(n) - starts[run_id]
+    return t.filter(pa.array(pos < k))
+
+
 def _two_phase_sum(ds, keys, partial_fn, sum_cols):
     """Partial pyarrow group_by inside map_batches, then a small Ray
     groupby merge — the shuffle only moves pre-aggregated rows."""
@@ -1355,26 +1384,7 @@ def q_top3_orders_per_segment(sf_dir: str):
                 ("o_orderkey", "ascending"),
             ],
         )
-        t = t.take(idx)
-        # vectorized per-segment rank < 3: rows are sorted so equal
-        # segments are contiguous — run starts via dictionary codes,
-        # position-within-run via a cumulative offset subtraction
-        codes = (
-            t.column("c_mktsegment")
-            .combine_chunks()
-            .dictionary_encode()
-            .indices.to_numpy(zero_copy_only=False)
-        )
-        n = len(codes)
-        if n == 0:
-            return t
-        new_run = np.empty(n, dtype=bool)
-        new_run[0] = True
-        new_run[1:] = codes[1:] != codes[:-1]
-        run_id = np.cumsum(new_run) - 1
-        starts = np.flatnonzero(new_run)
-        pos_in_run = np.arange(n) - starts[run_id]
-        return t.filter(pa.array(pos_in_run < 3))
+        return _trim_topk_runs(t.take(idx), ["c_mktsegment"], 3)
 
     partials = joined.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
@@ -2486,21 +2496,9 @@ def q_windowed_topk_events(sf_dir: str):
                 ("event_id", "ascending"),
             ],
         )
-        t = t.take(idx)
-        codes = (
-            t.column("event_type")
-            .combine_chunks()
-            .dictionary_encode()
-            .indices.to_numpy(zero_copy_only=False)
+        return _trim_topk_runs(
+            t.take(idx), ["event_type", "window_id"], k
         )
-        wids = t.column("window_id").to_numpy(zero_copy_only=False)
-        new_run = np.empty(n, dtype=bool)
-        new_run[0] = True
-        new_run[1:] = (codes[1:] != codes[:-1]) | (wids[1:] != wids[:-1])
-        run_id = np.cumsum(new_run) - 1
-        starts = np.flatnonzero(new_run)
-        pos = np.arange(n) - starts[run_id]
-        return t.filter(pa.array(pos < k))
 
     partials = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
@@ -2700,7 +2698,6 @@ WITH e AS (
 )"""
         )
         prev = f"c{i}"
-    fin = iters + 1
     parts.append(
         f""", dfin AS (
   SELECT ed.vec_id, {prev}.cluster,
@@ -2714,7 +2711,6 @@ SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
   FROM dfin
 ) WHERE rk = 1"""
     )
-    del fin
     return "".join(parts)
 
 
@@ -2932,20 +2928,7 @@ def q_reservoir_sample(sf_dir: str):
                 ("event_id", "ascending"),
             ],
         )
-        t = t.take(idx)
-        codes = (
-            t.column("event_type")
-            .combine_chunks()
-            .dictionary_encode()
-            .indices.to_numpy(zero_copy_only=False)
-        )
-        new_run = np.empty(n, dtype=bool)
-        new_run[0] = True
-        new_run[1:] = codes[1:] != codes[:-1]
-        run_id = np.cumsum(new_run) - 1
-        starts = np.flatnonzero(new_run)
-        pos = np.arange(n) - starts[run_id]
-        return t.filter(pa.array(pos < k))
+        return _trim_topk_runs(t.take(idx), ["event_type"], k)
 
     partials = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True

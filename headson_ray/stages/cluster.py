@@ -87,8 +87,14 @@ def kmeans_assign(
     COALESCE)."""
     import ray
 
+    # init/update passes re-execute the (lazy) input per scan: prune to
+    # the two needed columns so passthrough columns are only read by the
+    # final assignment pass that emits them
+    core = (
+        ds.select_columns([id_column, vec_column]) if passthrough else ds
+    )
     C = _init_centroids(
-        ds, k=k, id_column=id_column, vec_column=vec_column
+        core, k=k, id_column=id_column, vec_column=vec_column
     )
 
     for _ in range(iters):
@@ -123,7 +129,7 @@ def kmeans_assign(
 
         tot_counts = np.zeros(k, dtype=np.int64)
         tot_sums = np.zeros_like(C)
-        for b in ds.map_batches(
+        for b in core.map_batches(
             partials, batch_format="pyarrow", zero_copy_batch=True
         ).iter_batches(batch_format="pyarrow", batch_size=4096):
             # one iter-batch stacks partials from MANY map tasks:
