@@ -134,7 +134,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "late_events", "quality_filter", "windowed_topk_events",
         "event_transitions", "user_running_value", "kmeans_clusters",
         "stratified_sample", "cluster_label_purity",
-        "event_session_ids", "reservoir_sample",
+        "event_session_ids", "reservoir_sample", "sequence_packing",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)

@@ -2969,6 +2969,97 @@ SELECT event_type, event_id FROM r WHERE rk <= {RESERVOIR_K}
 SQL_RESERVOIR_SAMPLE = _reservoir_sample_sql()
 
 
+PACK_BUDGET_TOKENS = 512
+PACK_RANGE_BUCKETS = 64
+
+
+def q_sequence_packing(sf_dir: str):
+    """Sequence packing for training: walk the corpus in global doc_id
+    order and assign each document to a fixed-token-budget pack
+    (pack_id = exclusive-prefix-token-count // budget) — i.e. a
+    distributed ORDERED PREFIX SCAN, the primitive behind contiguous
+    batch packing.
+
+    No global sort: docs are range-bucketed by doc_id; pass 1 folds
+    per-bucket token sums two-phase (only (bucket, sum) partials
+    shuffle) and the driver turns the <= R bucket sums into exclusive
+    offsets; pass 2 moves each row once (groupby bucket), cumsums
+    within the bucket and adds the broadcast offset."""
+    import ray as _ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
+    max_id = int(_read(sf_dir, "documents", ["doc_id"]).max("doc_id"))
+    # bucket count scales with the id range so one bucket always fits a
+    # worker (<= ~100k docs each); the driver still only folds R sums
+    nbuckets = max(PACK_RANGE_BUCKETS, (max_id + 1) // 100_000)
+    width = max(1, (max_id + nbuckets) // nbuckets)
+
+    def toks(b: pa.Table) -> pa.Table:
+        t = add_token_stats(b)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "tok": t.column("token_count"),
+                "bucket": pa.array(ids // width, pa.int64()),
+            }
+        )
+
+    tds = ds.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True)
+
+    def sum_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["bucket"]).aggregate([("tok", "sum")])
+        return g.rename_columns(["bucket", "s"])
+
+    sums = _two_phase_sum(tds, ["bucket"], sum_partial, ["s"])
+    bk, bs = [], []
+    for b in sums.iter_batches(batch_format="pyarrow", batch_size=8192):
+        bk.extend(b.column("bucket").to_pylist())
+        bs.extend(b.column("s").to_pylist())
+    order = np.argsort(bk)
+    bk_arr = np.asarray(bk, dtype=np.int64)[order]
+    s_arr = np.asarray(bs, dtype=np.int64)[order]
+    excl = np.concatenate(([0], np.cumsum(s_arr)[:-1]))
+    off_ref = _ray.put((bk_arr, excl))
+
+    def scan(group: pa.Table) -> pa.Table:
+        bks, offs = _ray.get(off_ref)
+        idx = pc.sort_indices(group.column("doc_id"))
+        t = group.take(idx)
+        tok = t.column("tok").to_numpy(zero_copy_only=False)
+        base = offs[np.searchsorted(bks, t.column("bucket")[0].as_py())]
+        prefix = base + np.cumsum(tok) - tok
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "pack_id": pa.array(
+                    prefix // PACK_BUDGET_TOKENS, pa.int64()
+                ),
+            }
+        )
+
+    return tds.groupby("bucket").map_groups(scan, batch_format="pyarrow")
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS tok
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         COALESCE(sum(tok) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING
+         ), 0) AS excl
+  FROM t
+)
+SELECT doc_id, CAST(excl // {PACK_BUDGET_TOKENS} AS BIGINT) AS pack_id
+FROM p
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -3027,6 +3118,7 @@ QUERIES = {
     "cluster_label_purity": q_cluster_label_purity,
     "event_session_ids": q_event_session_ids,
     "reservoir_sample": q_reservoir_sample,
+    "sequence_packing": q_sequence_packing,
 }
 
 ORACLE_SQL = {
@@ -3081,4 +3173,5 @@ ORACLE_SQL = {
     "cluster_label_purity": SQL_CLUSTER_LABEL_PURITY,
     "event_session_ids": SQL_EVENT_SESSION_IDS,
     "reservoir_sample": SQL_RESERVOIR_SAMPLE,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
 }
