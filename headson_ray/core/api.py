@@ -57,6 +57,11 @@ def register_format(
 
     Built-in formats (json/yaml/text) cannot be replaced; a duplicate
     third-party registration needs ``replace=True``.
+
+    Registration is PER-PROCESS: it mutates this module's dispatch in
+    the calling interpreter only. For the distributed path, pass the
+    same formats to ``Summarizer(formats={name: parse_one})`` so each
+    Ray worker re-registers them in its own process.
     """
     key = name.lower()
     if key in _BUILTIN_FORMATS:
@@ -86,6 +91,20 @@ def registered_formats() -> list[str]:
     return sorted(_PARSE_ONE, key=lambda k: (k not in _BUILTIN_FORMATS, k))
 
 
+def _lookup_format(table: dict, input_format: str):
+    """Dispatch lookup symmetric with register_format's key folding:
+    registered names are stored lowercased, so 'CSV' must reach a
+    format registered as 'CSV'. Built-in names stay case-sensitive
+    (reference parity: 'JSON' is an error)."""
+    try:
+        return table[input_format]
+    except KeyError:
+        key = input_format.lower()
+        if key in table and key not in _BUILTIN_FORMATS:
+            return table[key]
+        raise
+
+
 def headson(
     data: bytes | str,
     config: RenderConfig,
@@ -94,7 +113,7 @@ def headson(
     input_format: str = "json",
 ) -> str:
     """Single-document summarize (reference: src/lib.rs:41-115)."""
-    arena = _PARSE_ONE[input_format](data, priority_cfg)
+    arena = _lookup_format(_PARSE_ONE, input_format)(data, priority_cfg)
     order = build_order(arena, priority_cfg, stop_after=max(budget, 1))
     return find_largest_render_under_budget(order, config, budget)
 
@@ -107,7 +126,10 @@ def headson_many(
     input_format: str = "json",
 ) -> str:
     """Fileset summarize: one shared budget across named inputs."""
-    parser = _PARSE_MANY.get(input_format)
+    try:
+        parser = _lookup_format(_PARSE_MANY, input_format)
+    except KeyError:
+        parser = None
     if parser is None:
         raise ValueError(
             f"format {input_format!r} has no fileset parser "

@@ -286,7 +286,7 @@ class CepEngine:
         def scatter(batch: pa.Table) -> pa.Table:
             import numpy as np
 
-            from ..stages.hashing import combine_hash_pair, hash_strings
+            from ..state.store import route_partitions_batch
 
             batch = add_domain(batch)
             urls = batch.column("url").to_pylist()
@@ -295,11 +295,10 @@ class CepEngine:
                 for d in batch.column("domain").to_pylist()
             ]
             fps = text_fingerprint_column(batch.column("text")).to_numpy()
-            hd = hash_strings(doms)
-            hu = hash_strings(urls)
-            parts = (combine_hash_pair(hd, hu) % np.uint64(p)).astype(
-                np.int64
-            )
+            # MUST be the same routing as the live stream's make_router —
+            # a drift puts prior entries on the wrong actor and every
+            # page silently classifies as new
+            parts = route_partitions_batch(doms, urls, p)
             refs = []
             for i in range(p):
                 idx = np.flatnonzero(parts == i)

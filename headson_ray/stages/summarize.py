@@ -51,7 +51,21 @@ class Summarizer:
         text_column: str = "text",
         output_column: str = "preview",
         error_column: str = "summarize_error",
+        formats: dict | None = None,
     ) -> None:
+        # driver-side register_format only mutates the DRIVER process;
+        # workers import core.api fresh. Third-party formats must ride
+        # the actor constructor: {name: parse_one | (parse_one,
+        # parse_many)} is cloudpickled with the class and re-registered
+        # once per actor process here.
+        if formats:
+            from ..core.api import register_format
+
+            for name, fns in formats.items():
+                one, many = (
+                    fns if isinstance(fns, tuple) else (fns, None)
+                )
+                register_format(name, one, many, replace=True)
         sampler = {
             "balanced": SAMPLER_DEFAULT,
             "head": SAMPLER_HEAD,

@@ -278,3 +278,85 @@ def test_register_format_guards():
             headson_many([("a", "x")], cfg, prio, 100, input_format="toy2")
     finally:
         unregister_format("toy2")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_registered_format_reaches_ray_workers():
+    """register_format mutates only the driver process; the distributed
+    path must carry third-party formats through the Summarizer
+    constructor so every Ray worker re-registers them locally."""
+    import pyarrow as pa
+    import ray.data
+
+    from headson_ray.core.api import registered_formats
+    from headson_ray.stages.summarize import Summarizer
+
+    # defined INSIDE the test: cloudpickle ships closures by value —
+    # a module-level function in a pytest-imported test file pickles by
+    # reference to a module Ray workers cannot import (restart loop)
+    def _parse_shout_one(data, prio):
+        from headson_ray.core.ingest_text import parse_text_one
+
+        if isinstance(data, bytes):
+            data = data.decode("utf-8", "replace")
+        return parse_text_one(data.upper() + "!", prio)
+
+    assert "shout" not in registered_formats()  # NOT driver-registered
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(["hello world", "abc"])})
+    )
+    out = ds.map_batches(
+        Summarizer,
+        fn_constructor_kwargs=dict(
+            budget=100,
+            format="text",
+            input_format="shout",
+            formats={"shout": _parse_shout_one},
+        ),
+        concurrency=(1, 2),
+        batch_format="pyarrow",
+    ).to_pandas()
+    assert "HELLO WORLD!" in out["preview"][0]
+    # the driver's own registry stayed untouched
+    assert "shout" not in registered_formats()
+
+
+def test_register_format_case_symmetric_lookup():
+    """A format registered as 'CSV' (stored lowercased) must be
+    reachable via summarize(input_format='CSV'); at the lower-level
+    headson() API, BUILT-IN names stay case-sensitive ('JSON' is a
+    KeyError) while registered names fold case symmetrically with
+    register_format."""
+    from headson_ray import summarize
+    from headson_ray.core.api import (
+        headson,
+        register_format,
+        unregister_format,
+    )
+    from headson_ray.core.config import PriorityConfig, RenderConfig
+    from headson_ray.core.config import TEMPLATE_JSON
+    from headson_ray.core.ingest_text import parse_text_one
+
+    register_format("CSV", lambda d, p: parse_text_one(
+        (d.decode() if isinstance(d, bytes) else d).replace(",", " | "), p
+    ))
+    try:
+        out = summarize("a,b,c", input_format="CSV", format="text",
+                        character_budget=100)
+        assert "a | b | c" in out
+        out = summarize("a,b,c", input_format="csv", format="text",
+                        character_budget=100)
+        assert "a | b | c" in out
+        # the lower-level API reaches the registered name verbatim AND
+        # via register_format's lowercased key
+        cfg = RenderConfig(template=TEMPLATE_JSON, indent_unit="  ",
+                           space=" ", newline="\n",
+                           prefer_tail_arrays=False, color_enabled=False,
+                           style="default")
+        prio = PriorityConfig(max_string_graphemes=100,
+                              array_max_items=50,
+                              prefer_tail_arrays=False)
+        with pytest.raises(KeyError):
+            headson("{}", cfg, prio, 50, input_format="JSON")
+    finally:
+        unregister_format("CSV")
