@@ -426,86 +426,107 @@ def grouped_rank_select(
     labels = [lab for lab, _ in quantiles]
     g_order = {g: i for i, g in enumerate(groups)}
 
-    def run_round(entries):
-        """One distributed pass over `entries` = [(group, state)]: big
-        slots get histogrammed, small slots (cnt <= collect_cap) get
-        their in-range values collected exactly. Returns (small mask,
-        hist array, collected values per slot)."""
-        slot_groups = [g for g, _ in entries]
-        lo_arr = np.array([st[0] for _, st in entries])
-        hi_arr = np.array([st[1] for _, st in entries])
-        step_arr = (hi_arr - lo_arr) / num_bins
-        small = np.array(
-            [st[3] <= collect_cap for _, st in entries], dtype=bool
-        )
-        garr = pa.array(slot_groups)
-        refs = _ray.put((garr, lo_arr, hi_arr, step_arr, small))
+    def run_round_multi(entry_lists):
+        """ONE distributed pass over several slot blocks (one block per
+        quantile label when ranges diverge): each block is a list of
+        (group, state) entries occupying a contiguous global-slot
+        range. Big slots get histogrammed, small slots (cnt <=
+        collect_cap) get their in-range values collected exactly.
+        Returns (small mask, hist array, collected values per slot)
+        over the GLOBAL slot space — the table is scanned once no
+        matter how many labels are in flight."""
+        blocks = []
+        base = 0
+        small_parts = []
+        for entries in entry_lists:
+            lo_arr = np.array([st[0] for _, st in entries])
+            hi_arr = np.array([st[1] for _, st in entries])
+            step_arr = (hi_arr - lo_arr) / num_bins
+            small_blk = np.array(
+                [st[3] <= collect_cap for _, st in entries], dtype=bool
+            )
+            blocks.append(
+                (
+                    pa.array([g for g, _ in entries]),
+                    lo_arr,
+                    hi_arr,
+                    step_arr,
+                    small_blk,
+                    base,
+                )
+            )
+            small_parts.append(small_blk)
+            base += len(entries)
+        total_slots = base
+        small = np.concatenate(small_parts)
+        refs = _ray.put(blocks)
 
         def scan(b: pa.Table) -> pa.Table:
-            ga, lo_a, hi_a, st_a, sm = _ray.get(refs)
-            idx = pa.compute.index_in(b.column(group_col), value_set=ga)
+            blks = _ray.get(refs)
             col = pa.compute.cast(b.column(value_col), pa.float64())
-            sl = idx.to_numpy(zero_copy_only=False).astype(np.float64)
-            v = col.to_numpy(zero_copy_only=False)
-            ok = ~np.isnan(sl) & ~np.isnan(v)
-            sl_i = sl[ok].astype(np.int64)
-            vv = v[ok]
-            lo = lo_a[sl_i]
-            hi = hi_a[sl_i]
-            inr = (vv >= lo) & (vv <= hi)
-            sl_i, vv, lo = sl_i[inr], vv[inr], lo[inr]
-            step = st_a[sl_i]
-            smv = sm[sl_i]
-            # exact collection rows for small slots
-            col_sl = sl_i[smv]
-            col_v = vv[smv]
-            # histogram rows for big slots: arithmetic bin guess, then
-            # exact correction against edge(s, j) = lo + j*step so
-            # cross-round bin membership is FP-consistent
-            hb_sl = sl_i[~smv]
-            hb_v = vv[~smv]
-            hb_lo = lo[~smv]
-            hb_step = step[~smv]
-            with np.errstate(invalid="ignore", divide="ignore"):
-                j = np.floor((hb_v - hb_lo) / hb_step).astype(np.int64)
-            j = np.clip(j, 0, num_bins - 1)
-            for _ in range(2):
-                edge_j = hb_lo + j * hb_step
-                j = np.where((hb_v < edge_j) & (j > 0), j - 1, j)
-                edge_j1 = hb_lo + (j + 1) * hb_step
-                too_high = (hb_v >= edge_j1) & (j < num_bins - 1)
-                j = np.where(too_high, j + 1, j)
-            key = hb_sl * num_bins + j
-            counts = np.bincount(key)
-            nz = np.nonzero(counts)[0]
+            v_all = col.to_numpy(zero_copy_only=False)
+            kinds, keys, cs, vs = [], [], [], []
+            for ga, lo_a, hi_a, st_a, sm, blk_base in blks:
+                idx = pa.compute.index_in(
+                    b.column(group_col), value_set=ga
+                )
+                sl = idx.to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+                ok = ~np.isnan(sl) & ~np.isnan(v_all)
+                sl_i = sl[ok].astype(np.int64)
+                vv = v_all[ok]
+                lo = lo_a[sl_i]
+                hi = hi_a[sl_i]
+                inr = (vv >= lo) & (vv <= hi)
+                sl_i, vv, lo = sl_i[inr], vv[inr], lo[inr]
+                step = st_a[sl_i]
+                smv = sm[sl_i]
+                # exact collection rows for small slots
+                col_sl = sl_i[smv] + blk_base
+                col_v = vv[smv]
+                # histogram rows for big slots: arithmetic bin guess,
+                # then exact correction against edge(s, j) = lo +
+                # j*step so cross-round bin membership is
+                # FP-consistent
+                hb_sl = sl_i[~smv]
+                hb_v = vv[~smv]
+                hb_lo = lo[~smv]
+                hb_step = step[~smv]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    j = np.floor((hb_v - hb_lo) / hb_step).astype(
+                        np.int64
+                    )
+                j = np.clip(j, 0, num_bins - 1)
+                for _ in range(2):
+                    edge_j = hb_lo + j * hb_step
+                    j = np.where((hb_v < edge_j) & (j > 0), j - 1, j)
+                    edge_j1 = hb_lo + (j + 1) * hb_step
+                    too_high = (hb_v >= edge_j1) & (j < num_bins - 1)
+                    j = np.where(too_high, j + 1, j)
+                key = (hb_sl + blk_base) * num_bins + j
+                counts = np.bincount(key)
+                nz = np.nonzero(counts)[0]
+                kinds.append(np.zeros(len(nz), np.int64))
+                keys.append(nz)
+                cs.append(counts[nz])
+                vs.append(np.zeros(len(nz)))
+                kinds.append(np.ones(len(col_sl), np.int64))
+                keys.append(col_sl)
+                cs.append(np.zeros(len(col_sl), np.int64))
+                vs.append(col_v)
             return pa.table(
                 {
                     "kind": pa.array(
-                        np.concatenate(
-                            [
-                                np.zeros(len(nz), np.int64),
-                                np.ones(len(col_sl), np.int64),
-                            ]
-                        ),
-                        pa.int64(),
+                        np.concatenate(kinds), pa.int64()
                     ),
-                    "key": pa.array(
-                        np.concatenate([nz, col_sl]), pa.int64()
-                    ),
-                    "c": pa.array(
-                        np.concatenate(
-                            [counts[nz], np.zeros(len(col_sl), np.int64)]
-                        ),
-                        pa.int64(),
-                    ),
-                    "v": pa.array(
-                        np.concatenate([np.zeros(len(nz)), col_v]),
-                        pa.float64(),
-                    ),
+                    "key": pa.array(np.concatenate(keys), pa.int64()),
+                    "c": pa.array(np.concatenate(cs), pa.int64()),
+                    "v": pa.array(np.concatenate(vs), pa.float64()),
                 }
             )
 
-        hist = np.zeros(len(entries) * num_bins, dtype=np.int64)
+        hist = np.zeros(total_slots * num_bins, dtype=np.int64)
         collected: dict = {}
         for b in ds.map_batches(
             scan, batch_format="pyarrow", zero_copy_batch=True
@@ -544,6 +565,101 @@ def grouped_rank_select(
         pending[keyp] = [new_lo, new_hi, r - int(cum[b_idx]), int(seg[b_idx])]
         return (new_lo, new_hi) != (lo, hi)
 
+    STALL_DISTINCT_CAP = 4096
+
+    def _resolve_stalled_exact() -> None:
+        """Ranges stopped shrinking: that only happens when a range's
+        bin step underflows (lo + step == lo), i.e. [lo, hi] is a few
+        float ulps wide and holds only a handful of REPRESENTABLE
+        doubles — however many ROWS carry them. Resolve every stuck
+        (group, label) with one pass that counts DISTINCT in-range
+        values per slot: driver memory is O(distinct), never O(rows)
+        (the old fallback collected every raw value and could OOM on a
+        10^8-row single-value group). A cap turns an unforeseen wide
+        stall into a loud error instead of an OOM."""
+        items = sorted(
+            pending.items(),
+            key=lambda kv: (g_order[kv[0][0]], str(kv[0][1])),
+        )
+        blocks = []
+        base = 0
+        for (g, _lab), st in items:
+            blocks.append(
+                (pa.array([g]), np.array([st[0]]), np.array([st[1]]), base)
+            )
+            base += 1
+        refs = _ray.put(blocks)
+
+        def scan(b: pa.Table) -> pa.Table:
+            blks = _ray.get(refs)
+            col = pa.compute.cast(b.column(value_col), pa.float64())
+            v_all = col.to_numpy(zero_copy_only=False)
+            out_s, out_v, out_c = [], [], []
+            for ga, lo_a, hi_a, blk_base in blks:
+                m = pa.compute.equal(b.column(group_col), ga[0])
+                mm = m.to_numpy(zero_copy_only=False)
+                mm = np.asarray(mm, dtype=bool) & ~np.isnan(v_all)
+                vv = v_all[mm]
+                vv = vv[(vv >= lo_a[0]) & (vv <= hi_a[0])]
+                if vv.size:
+                    uq, cnt = np.unique(vv, return_counts=True)
+                    out_s.append(
+                        np.full(uq.size, blk_base, dtype=np.int64)
+                    )
+                    out_v.append(uq)
+                    out_c.append(cnt.astype(np.int64))
+            if not out_s:
+                return pa.table(
+                    {
+                        "s": pa.array([], pa.int64()),
+                        "v": pa.array([], pa.float64()),
+                        "c": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "s": pa.array(np.concatenate(out_s)),
+                    "v": pa.array(np.concatenate(out_v)),
+                    "c": pa.array(np.concatenate(out_c)),
+                }
+            )
+
+        per_slot: dict = {}
+        for b in ds.map_batches(
+            scan, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            for s, v, c in zip(
+                b.column("s").to_pylist(),
+                b.column("v").to_pylist(),
+                b.column("c").to_pylist(),
+            ):
+                d = per_slot.setdefault(int(s), {})
+                d[float(v)] = d.get(float(v), 0) + int(c)
+                if len(d) > STALL_DISTINCT_CAP:
+                    raise AssertionError(
+                        "grouped_rank_select: stalled range holds > "
+                        f"{STALL_DISTINCT_CAP} distinct values — "
+                        "refinement invariant violated"
+                    )
+        for si, (keyp, st) in enumerate(items):
+            d = per_slot.get(si, {})
+            r = st[2]
+            vals = sorted(d)
+            cum = 0
+            chosen = None
+            for v in vals:
+                cum += d[v]
+                if cum > r:
+                    chosen = v
+                    break
+            if chosen is None:
+                raise AssertionError(
+                    f"grouped_rank_select: rank {r} outside stalled "
+                    f"range for group {keyp[0]!r} ({cum} values)"
+                )
+            results[keyp] = float(chosen)
+            del pending[keyp]
+
     while pending:
         progressed = False
         # range signature per group: when every pending label of a group
@@ -563,7 +679,7 @@ def grouped_rank_select(
                     by_group.items(), key=lambda kv: g_order[kv[0]]
                 )
             ]
-            small, hist, collected = run_round(entries)
+            small, hist, collected = run_round_multi([entries])
             for si, (g, _) in enumerate(entries):
                 for lab, st in by_group[g]:
                     if (g, lab) in pending:
@@ -571,26 +687,37 @@ def grouped_rank_select(
                             (g, lab), st, si, small, hist, collected
                         )
         else:
+            # diverged ranges: one slot per (group, label), but still
+            # ONE scan of the table — each label is a slot block
             by_label: dict = {lab: [] for lab in labels}
             for (g, lab), st in pending.items():
                 by_label[lab].append((g, st))
+            entry_lists = []
+            routing = []  # (label, entries, base)
+            base = 0
             for lab in labels:
                 entries = by_label[lab]
                 if not entries:
                     continue
                 entries.sort(key=lambda e: g_order[e[0]])
-                small, hist, collected = run_round(entries)
-                for si, (g, st) in enumerate(entries):
+                entry_lists.append(entries)
+                routing.append((lab, entries, base))
+                base += len(entries)
+            small, hist, collected = run_round_multi(entry_lists)
+            for lab, entries, blk_base in routing:
+                for i, (g, st) in enumerate(entries):
                     if (g, lab) in pending:
                         progressed |= apply_update(
-                            (g, lab), st, si, small, hist, collected
+                            (g, lab),
+                            st,
+                            blk_base + i,
+                            small,
+                            hist,
+                            collected,
                         )
         _resolve_degenerate()
         if not progressed and pending:
-            # ranges stopped shrinking (pathological duplicates): force
-            # exact collection next round
-            for keyp in pending:
-                pending[keyp][3] = 0
+            _resolve_stalled_exact()
 
     out_g, out_q, out_v = [], [], []
     for g in groups:

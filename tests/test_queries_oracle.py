@@ -763,3 +763,35 @@ def test_kmeans_empty_cluster_carries_centroid(tmp_path):
     )
     exp = _norm(c.execute(_kmeans_sql()).df())
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_rank_select_stall_resolves_without_value_collection():
+    """A group dominated by one repeated value ulp-adjacent to another
+    forces refinement to stall (bin step underflows). The stall must
+    resolve via the bounded distinct-count pass — exact answers, driver
+    holds O(distinct) not O(rows) — instead of collecting every raw
+    value (the old fallback's OOM path)."""
+    import numpy as np
+    import ray.data
+
+    from headson_ray.stages.sketch import grouped_rank_select
+
+    base = 5.0
+    nxt = np.nextafter(base, np.inf)
+    vals = np.full(200_000, base)
+    vals[-1] = nxt  # 2 representable doubles in the final range
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * len(vals)),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = grouped_rank_select(
+        ds, "g", "v", [("p50", 0.5), ("p100", 1.0)],
+        num_bins=8, collect_cap=16,
+    ).to_pandas()
+    got = dict(zip(out["q"], out["value"]))
+    assert got["p50"] == base
+    assert got["p100"] == nxt
