@@ -2969,6 +2969,42 @@ SELECT event_type, event_id FROM r WHERE rk <= {RESERVOIR_K}
 SQL_RESERVOIR_SAMPLE = _reservoir_sample_sql()
 
 
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type, two-level: batches
+    pre-dedupe (type, user) pairs before the pair-key shuffle (the
+    stream entering the exchange is unique-pairs-per-batch, not raw
+    events), the groupby dedupes globally, and the final per-type count
+    folds pre-aggregated partials — the standard distinct-count
+    decomposition that avoids shipping the raw stream twice."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    from ray.data.aggregate import Count
+
+    pairs = (
+        ds.map_batches(
+            pair_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count())  # count unused; the groupby IS the dedup
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "n"])
+
+    return _two_phase_sum(pairs, ["event_type"], count_partial, ["n"])
+
+
+SQL_DISTINCT_USERS_PER_TYPE = """
+SELECT event_type, count(DISTINCT user_id) AS n
+FROM events GROUP BY 1
+"""
+
+
 PACK_BUDGET_TOKENS = 512
 PACK_RANGE_BUCKETS = 64
 
@@ -3119,6 +3155,7 @@ QUERIES = {
     "event_session_ids": q_event_session_ids,
     "reservoir_sample": q_reservoir_sample,
     "sequence_packing": q_sequence_packing,
+    "distinct_users_per_type": q_distinct_users_per_type,
 }
 
 ORACLE_SQL = {
@@ -3174,4 +3211,5 @@ ORACLE_SQL = {
     "event_session_ids": SQL_EVENT_SESSION_IDS,
     "reservoir_sample": SQL_RESERVOIR_SAMPLE,
     "sequence_packing": SQL_SEQUENCE_PACKING,
+    "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,
 }
