@@ -2979,10 +2979,10 @@ def q_distinct_users_per_type(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
     def pair_partial(b: pa.Table) -> pa.Table:
-        g = b.group_by(["event_type", "user_id"]).aggregate([])
-        return g
-
-    from ray.data.aggregate import Count
+        # drop null users first: SQL count(DISTINCT user_id) ignores
+        # NULLs, but a groupby would count the null group as a user
+        b = b.filter(pc.is_valid(b.column("user_id")))
+        return b.group_by(["event_type", "user_id"]).aggregate([])
 
     pairs = (
         ds.map_batches(
@@ -3006,7 +3006,7 @@ FROM events GROUP BY 1
 
 
 PACK_BUDGET_TOKENS = 512
-PACK_RANGE_BUCKETS = 64
+PACK_BUCKET_WIDTH = 4096  # docs per id-range bucket
 
 
 def q_sequence_packing(sf_dir: str):
@@ -3024,11 +3024,10 @@ def q_sequence_packing(sf_dir: str):
     import ray as _ray
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
-    max_id = int(_read(sf_dir, "documents", ["doc_id"]).max("doc_id"))
-    # bucket count scales with the id range so one bucket always fits a
-    # worker (<= ~100k docs each); the driver still only folds R sums
-    nbuckets = max(PACK_RANGE_BUCKETS, (max_id + 1) // 100_000)
-    width = max(1, (max_id + nbuckets) // nbuckets)
+    # FIXED bucket width: no extra max(doc_id) read, empty tables flow
+    # through naturally, and one bucket always fits a worker; the
+    # driver folds one sum per bucket that actually appears
+    width = PACK_BUCKET_WIDTH
 
     def toks(b: pa.Table) -> pa.Table:
         t = add_token_stats(b)
@@ -3041,7 +3040,12 @@ def q_sequence_packing(sf_dir: str):
             }
         )
 
-    tds = ds.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize the REDUCED projection (3 int64 columns): both passes
+    # below consume it, and re-tokenizing the full text column per pass
+    # costs far more than holding (and spilling) 24 bytes/doc
+    tds = ds.map_batches(
+        toks, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def sum_partial(b: pa.Table) -> pa.Table:
         g = b.group_by(["bucket"]).aggregate([("tok", "sum")])

@@ -339,6 +339,7 @@ def grouped_rank_select(
     *,
     num_bins: int = 512,
     collect_cap: int = 65_536,
+    force_stall_rounds: int = 0,
 ) -> pa.Table:
     """EXACT per-group discrete quantiles of a numeric column WITHOUT a
     sort and WITHOUT assuming a group's values fit in memory: the
@@ -441,7 +442,11 @@ def grouped_rank_select(
         for entries in entry_lists:
             lo_arr = np.array([st[0] for _, st in entries])
             hi_arr = np.array([st[1] for _, st in entries])
-            step_arr = (hi_arr - lo_arr) / num_bins
+            # hi/n - lo/n, not (hi-lo)/n: a group spanning +/-1.7e308
+            # overflows hi-lo to inf, and an inf step NaN-poisons the
+            # refined bounds (0*inf) into an infinite refinement loop.
+            # Must match apply_update's edge formula exactly.
+            step_arr = hi_arr / num_bins - lo_arr / num_bins
             small_blk = np.array(
                 [st[3] <= collect_cap for _, st in entries], dtype=bool
             )
@@ -504,11 +509,15 @@ def grouped_rank_select(
                     edge_j1 = hb_lo + (j + 1) * hb_step
                     too_high = (hb_v >= edge_j1) & (j < num_bins - 1)
                     j = np.where(too_high, j + 1, j)
-                key = (hb_sl + blk_base) * num_bins + j
+                # bincount over LOCAL slot keys (global offset added to
+                # the sparse output) — offsetting before bincount would
+                # allocate/scan every earlier block's slot space per
+                # batch per block
+                key = hb_sl * num_bins + j
                 counts = np.bincount(key)
                 nz = np.nonzero(counts)[0]
                 kinds.append(np.zeros(len(nz), np.int64))
-                keys.append(nz)
+                keys.append(nz + blk_base * num_bins)
                 cs.append(counts[nz])
                 vs.append(np.zeros(len(nz)))
                 kinds.append(np.ones(len(col_sl), np.int64))
@@ -559,9 +568,14 @@ def grouped_rank_select(
         cum = np.concatenate(([0], np.cumsum(seg)))
         b_idx = int(np.searchsorted(cum, r, side="right") - 1)
         b_idx = min(max(b_idx, 0), num_bins - 1)
-        step = (hi - lo) / num_bins
+        step = hi / num_bins - lo / num_bins  # matches run_round_multi
         new_lo = lo + b_idx * step
         new_hi = hi if b_idx == num_bins - 1 else lo + (b_idx + 1) * step
+        if not (np.isfinite(new_lo) and np.isfinite(new_hi)):
+            # belt-and-braces: never let a non-finite bound into the
+            # state (it would never match any row again); report no
+            # progress so the stall resolver takes over
+            return False
         pending[keyp] = [new_lo, new_hi, r - int(cum[b_idx]), int(seg[b_idx])]
         return (new_lo, new_hi) != (lo, hi)
 
@@ -660,7 +674,15 @@ def grouped_rank_select(
             results[keyp] = float(chosen)
             del pending[keyp]
 
+    rounds_done = 0
     while pending:
+        if force_stall_rounds and rounds_done >= force_stall_rounds:
+            # test hook: exercise the stall resolver deterministically
+            # (with overflow-safe steps a genuine stall may be
+            # unreachable — this keeps the defensive path covered)
+            _resolve_stalled_exact()
+            continue
+        rounds_done += 1
         progressed = False
         # range signature per group: when every pending label of a group
         # shares one (lo, hi) — always true in round 1 and in the

@@ -766,32 +766,57 @@ def test_kmeans_empty_cluster_carries_centroid(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_grouped_rank_select_stall_resolves_without_value_collection():
-    """A group dominated by one repeated value ulp-adjacent to another
-    forces refinement to stall (bin step underflows). The stall must
-    resolve via the bounded distinct-count pass — exact answers, driver
-    holds O(distinct) not O(rows) — instead of collecting every raw
-    value (the old fallback's OOM path)."""
+def test_grouped_rank_select_stall_resolver_is_exact_and_bounded():
+    """The defensive stall path must produce exact answers via the
+    distinct-count pass (driver holds O(distinct), never O(rows)).
+    With overflow-safe bin steps a genuine stall may be unreachable,
+    so the test drives the path deterministically via the
+    force_stall_rounds hook after one ordinary refinement round."""
     import numpy as np
     import ray.data
 
     from headson_ray.stages.sketch import grouped_rank_select
 
-    base = 5.0
-    nxt = np.nextafter(base, np.inf)
-    vals = np.full(200_000, base)
-    vals[-1] = nxt  # 2 representable doubles in the final range
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 1000, size=50_000).astype(np.float64)
     t = pa.table(
-        {
-            "g": pa.array(["a"] * len(vals)),
-            "v": pa.array(vals, pa.float64()),
-        }
+        {"g": pa.array(["a"] * len(vals)), "v": pa.array(vals)}
     )
     ds = ray.data.from_arrow(t)
     out = grouped_rank_select(
-        ds, "g", "v", [("p50", 0.5), ("p100", 1.0)],
-        num_bins=8, collect_cap=16,
+        ds, "g", "v", [("p25", 0.25), ("p90", 0.9)],
+        num_bins=4, collect_cap=16, force_stall_rounds=1,
     ).to_pandas()
     got = dict(zip(out["q"], out["value"]))
-    assert got["p50"] == base
-    assert got["p100"] == nxt
+    sv = np.sort(vals)
+    n = len(sv)
+    for lab, q in (("p25", 0.25), ("p90", 0.9)):
+        k = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+        assert got[lab] == sv[k], lab
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_rank_select_terminates_on_overflow_wide_range():
+    """A group spanning +/-1.7e308 overflows hi-lo to inf; the old
+    (hi-lo)/num_bins step NaN-poisoned the refined bounds (0*inf) and
+    refinement looped forever. The overflow-safe step must terminate
+    with exact answers."""
+    import numpy as np
+    import ray.data
+
+    from headson_ray.stages.sketch import grouped_rank_select
+
+    vals = np.concatenate(
+        [np.full(100, -1.7e308), np.full(50, 1.7e308), [3.0] * 10]
+    )
+    t = pa.table(
+        {"g": pa.array(["a"] * len(vals)), "v": pa.array(vals)}
+    )
+    ds = ray.data.from_arrow(t)
+    out = grouped_rank_select(
+        ds, "g", "v", [("p10", 0.1), ("p99", 0.99)],
+        num_bins=8, collect_cap=4,
+    ).to_pandas()
+    got = dict(zip(out["q"], out["value"]))
+    assert got["p10"] == -1.7e308
+    assert got["p99"] == 1.7e308
