@@ -3005,6 +3005,59 @@ FROM events GROUP BY 1
 """
 
 
+FRAME_EVERY_N = 30
+
+
+def q_video_frame_plans(sf_dir: str):
+    """Video frame-sampling plans through the real multimodal stage
+    (stages/multimodal.frame_sample_plan) over a deterministic
+    synthetic video table — documents' token counts stand in for frame
+    counts (no video codec in this container; the PLAN is the
+    distributed part). Oracled on the plan's scalars: every-Nth-frame
+    sampling yields ceil(n_frames / N) decode targets per row."""
+    from ..stages.multimodal import frame_sample_plan
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
+
+    def plan(b: pa.Table) -> pa.Table:
+        t = add_token_stats(b)
+        vt = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_frames": pc.cast(
+                    t.column("token_count"), pa.int64()
+                ),
+            }
+        )
+        out = frame_sample_plan(vt, every_n=FRAME_EVERY_N)
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "n_frames": out.column("n_frames"),
+                "n_sampled": pc.cast(
+                    pc.list_value_length(out.column("sample_frames")),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(plan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_VIDEO_FRAME_PLANS = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+       CAST((n_frames + {FRAME_EVERY_N - 1}) // {FRAME_EVERY_N} AS BIGINT)
+         AS n_sampled
+FROM t
+"""
+
+
 PACK_BUDGET_TOKENS = 512
 PACK_BUCKET_WIDTH = 4096  # docs per id-range bucket
 
@@ -3160,6 +3213,7 @@ QUERIES = {
     "reservoir_sample": q_reservoir_sample,
     "sequence_packing": q_sequence_packing,
     "distinct_users_per_type": q_distinct_users_per_type,
+    "video_frame_plans": q_video_frame_plans,
 }
 
 ORACLE_SQL = {
@@ -3216,4 +3270,5 @@ ORACLE_SQL = {
     "reservoir_sample": SQL_RESERVOIR_SAMPLE,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,
+    "video_frame_plans": SQL_VIDEO_FRAME_PLANS,
 }
