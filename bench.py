@@ -135,7 +135,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "event_transitions", "user_running_value", "kmeans_clusters",
         "stratified_sample", "cluster_label_purity",
         "event_session_ids", "reservoir_sample", "sequence_packing",
-        "distinct_users_per_type", "video_frame_plans",
+        "distinct_users_per_type", "video_frame_plans", "hll_user_registers",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)

@@ -3005,6 +3005,80 @@ FROM events GROUP BY 1
 """
 
 
+HLL_REGISTERS = 256  # 2^8 registers; rho over the remaining 56 bits
+
+
+def q_hll_user_registers(sf_dir: str):
+    """HyperLogLog register construction over user_id — the classic
+    mergeable distinct-count sketch, built exactly: register =
+    mix(user) % m, rho = 57 - bit_length(mix(user) >> 8). Per-batch
+    partial register maxima merge through a tiny groupby (the shuffle
+    moves <= m rows per block — the property that lets one sketch
+    summarize 10^12 rows), and the deterministic mixer makes the
+    registers themselves SQL-reproducible, so the sketch state (not
+    just an estimate) is oracle-checked bit-for-bit."""
+    from ..stages.hashing import mix_rounds
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("user_id").to_numpy(zero_copy_only=False)
+        h = mix_rounds(ids.astype(np.uint64))
+        reg = (h % np.uint64(HLL_REGISTERS)).astype(np.int64)
+        w = h >> np.uint64(8)
+        # exact vectorized bit_length (float log2 is off-by-one near
+        # powers of two for > 53-bit values)
+        bl = np.zeros(len(w), dtype=np.int64)
+        v = w.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            m = v >= (np.uint64(1) << np.uint64(shift))
+            bl[m] += shift
+            v[m] >>= np.uint64(shift)
+        bl += (v > 0).astype(np.int64)
+        rho = 57 - bl
+        t = pa.table({"register": pa.array(reg), "rho": pa.array(rho)})
+        g = t.group_by(["register"]).aggregate([("rho", "max")])
+        return g.rename_columns(["register", "rho"])
+
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("register")
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+
+def _hll_sql() -> str:
+    m1 = _mixr_sql("CAST(user_id AS HUGEINT)")
+    return f"""
+WITH m1 AS (
+  SELECT {m1} AS v FROM events
+), m2 AS (
+  SELECT {_mixr_sql('v')} AS v FROM m1
+), pw AS (
+  SELECT i, CAST(2 AS HUGEINT) ** i AS p FROM range(57) t(i)
+), r AS (
+  SELECT CAST(v % {HLL_REGISTERS} AS BIGINT) AS register,
+         v // 256 AS w
+  FROM m2
+), bl AS (
+  SELECT register,
+         COALESCE(
+           (SELECT max(pw.i) + 1 FROM pw WHERE pw.p <= r.w), 0
+         ) AS bitlen
+  FROM r
+)
+SELECT register, CAST(max(57 - bitlen) AS BIGINT) AS rho
+FROM bl GROUP BY 1
+"""
+
+
+SQL_HLL_USER_REGISTERS = _hll_sql()
+
+
 FRAME_EVERY_N = 30
 
 
@@ -3214,6 +3288,7 @@ QUERIES = {
     "sequence_packing": q_sequence_packing,
     "distinct_users_per_type": q_distinct_users_per_type,
     "video_frame_plans": q_video_frame_plans,
+    "hll_user_registers": q_hll_user_registers,
 }
 
 ORACLE_SQL = {
@@ -3271,4 +3346,5 @@ ORACLE_SQL = {
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,
     "video_frame_plans": SQL_VIDEO_FRAME_PLANS,
+    "hll_user_registers": SQL_HLL_USER_REGISTERS,
 }

@@ -155,3 +155,30 @@ def test_word_shingle_arrays_equals_per_doc_kernel(texts, k):
         want = word_shingle_array(t or "", k)
         assert got.dtype == np.uint64
         assert np.array_equal(got, want)
+
+
+@given(
+    keys=st.lists(st.sampled_from(["a", "b", "c"]), max_size=40),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=120, deadline=None)
+def test_trim_topk_runs_equals_per_key_head(keys, k):
+    """_trim_topk_runs on a sorted table == take the first k rows of
+    each key group (the partial-trim contract every grouped top-k
+    relies on)."""
+    import pyarrow as pa
+
+    from headson_ray.pipelines.queries import _trim_topk_runs
+
+    keys = sorted(keys)
+    vals = list(range(len(keys)))
+    t = pa.table({"key": pa.array(keys), "v": pa.array(vals)})
+    got = _trim_topk_runs(t, ["key"], k)
+    expected = []
+    seen: dict = {}
+    for key, v in zip(keys, vals):
+        seen[key] = seen.get(key, 0) + 1
+        if seen[key] <= k:
+            expected.append((key, v))
+    assert list(zip(got.column("key").to_pylist(),
+                    got.column("v").to_pylist())) == expected

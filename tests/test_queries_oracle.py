@@ -820,3 +820,28 @@ def test_grouped_rank_select_terminates_on_overflow_wide_range():
     got = dict(zip(out["q"], out["value"]))
     assert got["p10"] == -1.7e308
     assert got["p99"] == 1.7e308
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_registers_estimate_close_to_exact_distinct(con):
+    """The sketch must actually work as an HLL: the harmonic-mean
+    estimate from the oracled registers lands within the standard
+    ~1.04/sqrt(m) error band of the exact distinct-user count."""
+    import numpy as np
+
+    from headson_ray.pipelines.queries import (
+        HLL_REGISTERS,
+        QUERIES,
+    )
+
+    t = _to_frame(QUERIES["hll_user_registers"](SF_DIR))
+    m = HLL_REGISTERS
+    regs = np.zeros(m)
+    regs[t["register"].to_numpy()] = t["rho"].to_numpy()
+    raw = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(2.0 ** -regs)
+    zeros = int(np.sum(regs == 0))
+    est = m * np.log(m / zeros) if (raw < 2.5 * m and zeros) else raw
+    exact = con.execute(
+        "SELECT count(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.2, (est, exact)
