@@ -74,14 +74,22 @@ def frame_sample_plan(
     """Video frame-sampling plan: which frame indices to decode per row.
 
     Decoding is stubbed; the plan (the distributed part) is real and
-    vectorized."""
-    plans = []
-    for n in batch.column(duration_column).to_pylist():
-        n = int(n or 0)
-        plans.append(list(range(0, n, every_n)))
-    return batch.append_column(
-        "sample_frames", pa.array(plans, pa.list_(pa.int32()))
+    fully vectorized — per-row counts via ceil division, one flat
+    arange, and a ListArray built from offsets (no per-row python)."""
+    import numpy as np
+
+    n = batch.column(duration_column).to_numpy(zero_copy_only=False)
+    n = np.where(np.isnan(n.astype(np.float64)), 0, n).astype(np.int64)
+    k = np.maximum((n + every_n - 1) // every_n, 0)
+    offsets = np.concatenate(([0], np.cumsum(k))).astype(np.int32)
+    total = int(offsets[-1])
+    row_id = np.repeat(np.arange(len(k)), k)
+    within = np.arange(total) - offsets[row_id]
+    flat = (within * every_n).astype(np.int32)
+    arr = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
     )
+    return batch.append_column("sample_frames", arr)
 
 
 AUDIO_META_SCHEMA = pa.struct(
