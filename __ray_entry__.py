@@ -73,11 +73,64 @@ def _q_cep_stream(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_cep_lineage(sf_dir: str):
+    """Per-partition lineage audit (the north-rule checkpoint log as a
+    queryable surface): run the deterministic CEP stream and explode the
+    manifest's commit records to one row per (batch, state partition) —
+    rows routed to each actor, late drops, the watermark, and windows
+    finalized per flow at each commit. This is exactly the record the
+    exactly-once resume path replays."""
+    import json as _json
+
+    import pyarrow as _pa
+
+    from headson_ray.pipelines.cep import CepEngine
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 5000)
+    paths = materialize_pages(rows, tag=f"qlin-{rows}")
+    work = tempfile.mkdtemp(prefix="headson-cep-lin-")
+    try:
+        eng = CepEngine(
+            out_dir=f"{work}/out",
+            checkpoint_dir=f"{work}/ckpt",
+            num_state_actors=4,
+            window_size_s=600,
+            allowed_lateness_s=60,
+        )
+        groups = [paths[i : i + 4] for i in range(0, len(paths), 4)]
+        eng.run(groups)
+        cols = {
+            "batch": [], "partition": [], "rows_seen": [], "n_late": [],
+            "watermark": [], "windows_finalized": [],
+        }
+        with open(eng.sink.manifest_path) as fh:
+            for line in fh:
+                rec = _json.loads(line)
+                if rec.get("kind") != "commit":
+                    continue
+                for part, rs in enumerate(rec.get("actor_rows", [])):
+                    cols["batch"].append(int(rec["batch"]))
+                    cols["partition"].append(part)
+                    cols["rows_seen"].append(int(rs))
+                    cols["n_late"].append(int(rec.get("n_late", 0)))
+                    cols["watermark"].append(int(rec.get("watermark", 0)))
+                    cols["windows_finalized"].append(
+                        int(rec.get("windows_finalized", 0))
+                    )
+        return _pa.table(
+            {k: _pa.array(v, _pa.int64()) for k, v in cols.items()}
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = dict(QUERIES)
     q["summarize_pages"] = _q_summarize_pages
     q["sniff_pages"] = _q_sniff_pages
     q["cep_stream_windows"] = _q_cep_stream
+    q["cep_partition_lineage"] = _q_cep_lineage
     return q
 
 

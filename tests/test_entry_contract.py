@@ -43,6 +43,10 @@ def test_oracle_keys_subset_of_queries():
         "minhash_near_dups", "summarize_documents",
         "image_features", "ivf_topk", "embedding_near_dups_lsh",
         "summarize_pages", "domain_fileset_previews",
+        # lineage audit: output is the engine's own checkpoint log (no
+        # SQL-visible input); exactly-once semantics are pinned by the
+        # SIGKILL-resume byte-equality tests instead
+        "cep_partition_lineage",
     }
 
 
