@@ -2737,7 +2737,10 @@ def q_stratified_sample(sf_dir: str):
         rate = np.full(len(ids), STRATUM_DEFAULT_RATE, dtype=np.uint64)
         et = b.column("event_type")
         for t, r in STRATUM_RATES.items():
-            rate[pc.equal(et, t).to_numpy(zero_copy_only=False)] = r
+            # fill_null(False): a null event_type must route to the
+            # default rate, not poison the mask into an object array
+            m = pc.fill_null(pc.equal(et, t), False)
+            rate[m.to_numpy(zero_copy_only=False)] = r
         return b.filter(pa.array(h < rate))
 
     return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
@@ -3022,6 +3025,10 @@ def q_hll_user_registers(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id"])
 
     def partial(b: pa.Table) -> pa.Table:
+        # NULL user_ids contribute no register (SQL mixer emits NULL);
+        # unfiltered they'd turn to_numpy into float64 NaN whose uint64
+        # cast is undefined — same rule as q_distinct_users_per_type
+        b = b.filter(pc.is_valid(b.column("user_id")))
         ids = b.column("user_id").to_numpy(zero_copy_only=False)
         h = mix_rounds(ids.astype(np.uint64))
         reg = (h % np.uint64(HLL_REGISTERS)).astype(np.int64)

@@ -81,13 +81,15 @@ def frame_sample_plan(
     n = batch.column(duration_column).to_numpy(zero_copy_only=False)
     n = np.where(np.isnan(n.astype(np.float64)), 0, n).astype(np.int64)
     k = np.maximum((n + every_n - 1) // every_n, 0)
-    offsets = np.concatenate(([0], np.cumsum(k))).astype(np.int32)
+    # int64 offsets + large_list: a batch whose cumulative sampled-frame
+    # count exceeds 2^31 must not wrap into a corrupt plan
+    offsets = np.concatenate(([0], np.cumsum(k))).astype(np.int64)
     total = int(offsets[-1])
     row_id = np.repeat(np.arange(len(k)), k)
     within = np.arange(total) - offsets[row_id]
-    flat = (within * every_n).astype(np.int32)
-    arr = pa.ListArray.from_arrays(
-        pa.array(offsets, pa.int32()), pa.array(flat, pa.int32())
+    flat = (within * every_n).astype(np.int64)
+    arr = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), pa.array(flat, pa.int64())
     )
     return batch.append_column("sample_frames", arr)
 

@@ -340,6 +340,7 @@ def grouped_rank_select(
     num_bins: int = 512,
     collect_cap: int = 65_536,
     force_stall_rounds: int = 0,
+    stall_distinct_cap: int = 4096,
 ) -> pa.Table:
     """EXACT per-group discrete quantiles of a numeric column WITHOUT a
     sort and WITHOUT assuming a group's values fit in memory: the
@@ -579,100 +580,128 @@ def grouped_rank_select(
         pending[keyp] = [new_lo, new_hi, r - int(cum[b_idx]), int(seg[b_idx])]
         return (new_lo, new_hi) != (lo, hi)
 
-    STALL_DISTINCT_CAP = 4096
-
     def _resolve_stalled_exact() -> None:
         """Ranges stopped shrinking: that only happens when a range's
         bin step underflows (lo + step == lo), i.e. [lo, hi] is a few
         float ulps wide and holds only a handful of REPRESENTABLE
         doubles — however many ROWS carry them. Resolve every stuck
-        (group, label) with one pass that counts DISTINCT in-range
-        values per slot: driver memory is O(distinct), never O(rows)
-        (the old fallback collected every raw value and could OOM on a
-        10^8-row single-value group). A cap turns an unforeseen wide
-        stall into a loud error instead of an OOM."""
-        items = sorted(
-            pending.items(),
-            key=lambda kv: (g_order[kv[0][0]], str(kv[0][1])),
-        )
-        blocks = []
-        base = 0
-        for (g, _lab), st in items:
-            blocks.append(
-                (pa.array([g]), np.array([st[0]]), np.array([st[1]]), base)
+        (group, label) by counting DISTINCT in-range values per slot:
+        driver memory is O(stall_distinct_cap), never O(rows) and never
+        O(distinct) either — if a slot exceeds the cap mid-pass its
+        largest keys are evicted (counts below the smallest-ever-evicted
+        key stay exact because only the largest keys are dropped), the
+        exact prefix is consumed from the rank, and the slot rescans the
+        remaining [floor, hi] range. Bounded chunks instead of the old
+        hard AssertionError: a cap-violating stall degrades to more
+        passes, not a failure."""
+        todo = {
+            keyp: [st[0], st[1], st[2]] for keyp, st in pending.items()
+        }
+        cap = max(int(stall_distinct_cap), 2)
+        while todo:
+            items = sorted(
+                todo.items(),
+                key=lambda kv: (g_order[kv[0][0]], str(kv[0][1])),
             )
-            base += 1
-        refs = _ray.put(blocks)
-
-        def scan(b: pa.Table) -> pa.Table:
-            blks = _ray.get(refs)
-            col = pa.compute.cast(b.column(value_col), pa.float64())
-            v_all = col.to_numpy(zero_copy_only=False)
-            out_s, out_v, out_c = [], [], []
-            for ga, lo_a, hi_a, blk_base in blks:
-                m = pa.compute.equal(b.column(group_col), ga[0])
-                mm = m.to_numpy(zero_copy_only=False)
-                mm = np.asarray(mm, dtype=bool) & ~np.isnan(v_all)
-                vv = v_all[mm]
-                vv = vv[(vv >= lo_a[0]) & (vv <= hi_a[0])]
-                if vv.size:
-                    uq, cnt = np.unique(vv, return_counts=True)
-                    out_s.append(
-                        np.full(uq.size, blk_base, dtype=np.int64)
+            blocks = []
+            base = 0
+            for (g, _lab), st in items:
+                blocks.append(
+                    (
+                        pa.array([g]),
+                        np.array([st[0]]),
+                        np.array([st[1]]),
+                        base,
                     )
-                    out_v.append(uq)
-                    out_c.append(cnt.astype(np.int64))
-            if not out_s:
+                )
+                base += 1
+            refs = _ray.put(blocks)
+
+            def scan(b: pa.Table) -> pa.Table:
+                blks = _ray.get(refs)
+                col = pa.compute.cast(b.column(value_col), pa.float64())
+                v_all = col.to_numpy(zero_copy_only=False)
+                out_s, out_v, out_c = [], [], []
+                for ga, lo_a, hi_a, blk_base in blks:
+                    m = pa.compute.equal(b.column(group_col), ga[0])
+                    mm = m.to_numpy(zero_copy_only=False)
+                    mm = np.asarray(mm, dtype=bool) & ~np.isnan(v_all)
+                    vv = v_all[mm]
+                    vv = vv[(vv >= lo_a[0]) & (vv <= hi_a[0])]
+                    if vv.size:
+                        uq, cnt = np.unique(vv, return_counts=True)
+                        out_s.append(
+                            np.full(uq.size, blk_base, dtype=np.int64)
+                        )
+                        out_v.append(uq)
+                        out_c.append(cnt.astype(np.int64))
+                if not out_s:
+                    return pa.table(
+                        {
+                            "s": pa.array([], pa.int64()),
+                            "v": pa.array([], pa.float64()),
+                            "c": pa.array([], pa.int64()),
+                        }
+                    )
                 return pa.table(
                     {
-                        "s": pa.array([], pa.int64()),
-                        "v": pa.array([], pa.float64()),
-                        "c": pa.array([], pa.int64()),
+                        "s": pa.array(np.concatenate(out_s)),
+                        "v": pa.array(np.concatenate(out_v)),
+                        "c": pa.array(np.concatenate(out_c)),
                     }
                 )
-            return pa.table(
-                {
-                    "s": pa.array(np.concatenate(out_s)),
-                    "v": pa.array(np.concatenate(out_v)),
-                    "c": pa.array(np.concatenate(out_c)),
-                }
-            )
 
-        per_slot: dict = {}
-        for b in ds.map_batches(
-            scan, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-            for s, v, c in zip(
-                b.column("s").to_pylist(),
-                b.column("v").to_pylist(),
-                b.column("c").to_pylist(),
-            ):
-                d = per_slot.setdefault(int(s), {})
-                d[float(v)] = d.get(float(v), 0) + int(c)
-                if len(d) > STALL_DISTINCT_CAP:
-                    raise AssertionError(
-                        "grouped_rank_select: stalled range holds > "
-                        f"{STALL_DISTINCT_CAP} distinct values — "
-                        "refinement invariant violated"
-                    )
-        for si, (keyp, st) in enumerate(items):
-            d = per_slot.get(si, {})
-            r = st[2]
-            vals = sorted(d)
-            cum = 0
-            chosen = None
-            for v in vals:
-                cum += d[v]
-                if cum > r:
-                    chosen = v
-                    break
-            if chosen is None:
-                raise AssertionError(
-                    f"grouped_rank_select: rank {r} outside stalled "
-                    f"range for group {keyp[0]!r} ({cum} values)"
+            per_slot: dict = {}
+            floors: dict = {}  # slot -> smallest evicted key (exclusive)
+            for b in ds.map_batches(
+                scan, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+                for s, v, c in zip(
+                    b.column("s").to_pylist(),
+                    b.column("v").to_pylist(),
+                    b.column("c").to_pylist(),
+                ):
+                    si, vf = int(s), float(v)
+                    if si in floors and vf >= floors[si]:
+                        continue  # beyond the eviction floor: next chunk
+                    d = per_slot.setdefault(si, {})
+                    d[vf] = d.get(vf, 0) + int(c)
+                    if len(d) > cap:
+                        # evict the largest half; keys below the new
+                        # floor keep exact counts (only the top is cut)
+                        keys = sorted(d)
+                        flo = keys[cap // 2]
+                        floors[si] = min(floors.get(si, flo), flo)
+                        per_slot[si] = {
+                            k: n for k, n in d.items() if k < floors[si]
+                        }
+            for si, (keyp, st) in enumerate(items):
+                d = per_slot.get(si, {})
+                flo = floors.get(si)
+                r = st[2]
+                vals = sorted(
+                    k for k in d if flo is None or k < flo
                 )
-            results[keyp] = float(chosen)
-            del pending[keyp]
+                cum = 0
+                chosen = None
+                for v in vals:
+                    cum += d[v]
+                    if cum > r:
+                        chosen = v
+                        break
+                if chosen is not None:
+                    results[keyp] = float(chosen)
+                    del pending[keyp]
+                    del todo[keyp]
+                elif flo is None:
+                    raise AssertionError(
+                        f"grouped_rank_select: rank {r} outside stalled "
+                        f"range for group {keyp[0]!r} ({cum} values)"
+                    )
+                else:
+                    # rank lives above the floor: consume the exact
+                    # prefix and rescan the rest of the range
+                    todo[keyp] = [flo, st[1], r - cum]
 
     rounds_done = 0
     while pending:

@@ -796,6 +796,90 @@ def test_grouped_rank_select_stall_resolver_is_exact_and_bounded():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_grouped_rank_select_stall_chunks_past_distinct_cap():
+    """A stalled range holding MORE distinct values than
+    stall_distinct_cap must resolve exactly via bounded chunked
+    collection (evict-largest + rescan), not raise: the driver dict
+    stays O(cap) while correctness is preserved."""
+    import numpy as np
+    import ray.data
+
+    from headson_ray.stages.sketch import grouped_rank_select
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 5000, size=30_000).astype(np.float64)
+    t = pa.table({"g": pa.array(["a"] * len(vals)), "v": pa.array(vals)})
+    ds = ray.data.from_arrow(t)
+    out = grouped_rank_select(
+        ds, "g", "v", [("p50", 0.5), ("p99", 0.99)],
+        num_bins=4, collect_cap=16, force_stall_rounds=1,
+        stall_distinct_cap=64,  # << ~5000 distinct: forces eviction chunks
+    ).to_pandas()
+    got = dict(zip(out["q"], out["value"]))
+    sv = np.sort(vals)
+    n = len(sv)
+    for lab, q in (("p50", 0.5), ("p99", 0.99)):
+        k = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+        assert got[lab] == sv[k], lab
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_null_event_type_uses_default_rate(tmp_path):
+    """Null event_type rows must route to the default stratum rate, not
+    crash numpy fancy indexing with an object-dtype mask."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from headson_ray.pipelines.queries import (
+        STRATUM_DEFAULT_RATE,
+        q_stratified_sample,
+    )
+    from headson_ray.stages.hashing import mix_rounds
+
+    n = 2000
+    et = ["click" if i % 3 == 0 else None for i in range(n)]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = q_stratified_sample(str(tmp_path)).to_pandas()
+    null_kept = got[got["event_type"].isna()]["event_id"].to_numpy()
+    h = mix_rounds(
+        np.arange(n, dtype=np.uint64)
+    ) % np.uint64(100)
+    exp_null = [
+        i for i in range(n)
+        if et[i] is None and h[i] < STRATUM_DEFAULT_RATE
+    ]
+    assert sorted(null_kept.tolist()) == exp_null
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_registers_ignore_null_user_ids(tmp_path):
+    """Null user_ids contribute no register (the SQL mixer emits NULL);
+    the registers must equal those of the null-free projection."""
+    import pyarrow.parquet as pq
+
+    from headson_ray.pipelines.queries import q_hll_user_registers
+
+    ids = [i * 37 for i in range(500)] + [None] * 100
+    t = pa.table({"user_id": pa.array(ids, pa.int64())})
+    pq.write_table(t, tmp_path / "events.parquet")
+    sub = tmp_path / "clean"
+    sub.mkdir()
+    pq.write_table(
+        t.filter(pa.compute.is_valid(t.column("user_id"))),
+        sub / "events.parquet",
+    )
+    got = _norm(_to_frame(q_hll_user_registers(str(tmp_path))))
+    exp = _norm(_to_frame(q_hll_user_registers(str(sub))))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_grouped_rank_select_terminates_on_overflow_wide_range():
     """A group spanning +/-1.7e308 overflows hi-lo to inf; the old
     (hi-lo)/num_bins step NaN-poisoned the refined bounds (0*inf) and

@@ -138,3 +138,58 @@ def test_late_events_waterline_edge(ray_session, tmp_path):
     assert (g["event_id"].to_numpy() == e["event_id"].to_numpy()).all()
     assert (g["batch_id"].to_numpy() == e["batch_id"].to_numpy()).all()
     assert LATE_ALLOWED_US > 0
+
+
+def test_late_events_exact_boundary_row(ray_session, tmp_path):
+    """Hand-built rows AT the watermark-lateness boundary: an event whose
+    event time equals pmax - LATE_ALLOWED_US is NOT late (strict <); one
+    microsecond below IS late. (The randomized test above never
+    constructs the exact-equality row.)"""
+    import pyarrow.parquet as pq
+
+    from headson_ray.pipelines.queries import (
+        LATE_ALLOWED_US,
+        LATE_JITTER_US,
+        q_late_events,
+    )
+    from headson_ray.stages.hashing import mix_rounds
+
+    W, LA = LATE_JITTER_US, LATE_ALLOWED_US
+
+    def jit(eid: int) -> int:
+        return int(mix_rounds(np.array([eid], dtype=np.uint64))[0] % W)
+
+    # e0 anchors the watermark from arrival batch 99; X and Y arrive in
+    # batch 100 (their jitter pushes them over the bucket boundary) with
+    # event times exactly at / one microsecond below pmax - lateness
+    id0 = next(i for i in range(10_000) if jit(i) < 1_000_000)
+    j0 = jit(id0)
+    ts0 = 100 * W - 1 - j0  # arrival 100W-1 -> batch 99; global max ts
+    tsX = ts0 - LA  # boundary: NOT late
+    tsY = ts0 - LA - 1  # one microsecond below: late
+    idX = next(
+        i for i in range(id0 + 1, 20_000) if jit(i) >= 100 * W - tsX
+    )
+    idY = next(
+        i for i in range(20_000, 40_000) if jit(i) >= 100 * W - tsY
+    )
+    assert (ts0 + j0) // W == 99
+    assert (tsX + jit(idX)) // W == 100
+    assert (tsY + jit(idY)) // W == 100
+    t = pa.table(
+        {
+            "event_id": pa.array([id0, idX, idY], pa.int64()),
+            "ts": pa.array([ts0, tsX, tsY], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([0, 0, 0], pa.int64()),
+            "event_type": pa.array(["click"] * 3, pa.string()),
+            "value": pa.array([0.0] * 3),
+            "props": pa.array(["{}"] * 3, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = set(q_late_events(str(tmp_path)).to_pandas()["event_id"])
+    assert idY in got  # strictly below the line: late
+    assert idX not in got  # exactly at the line: NOT late
+    assert id0 not in got
