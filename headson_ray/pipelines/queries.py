@@ -2025,26 +2025,57 @@ FROM b2 LEFT JOIN m USING (doc_id)
 """
 
 
-def _shingle_df_partial(b: pa.Table) -> pa.Table:
-    """Per-batch partial document-frequency of word-3-gram shingles:
-    per-doc shingle sets are unique (word_shingle_array), so concatenating
-    them and counting key multiplicity = docs-per-shingle within the
-    batch. Only (sh, c) partials enter the shuffle."""
+NUM_SHINGLE_BUCKETS = 256
+
+
+def _dup_shingle_explode(b: pa.Table) -> pa.Table:
+    """Explode a batch of docs into distinct (doc_id, shingle, bucket)
+    rows. Per-doc shingle sets are already unique (word_shingle_arrays),
+    and bucket = hash % NUM_SHINGLE_BUCKETS co-locates every occurrence
+    of a shingle, so the bucketed pass can finish df counting locally."""
     from ..stages.dedup import word_shingle_arrays
 
     arrs = word_shingle_arrays(b.column("text").to_pylist())
-    if not arrs:
-        return pa.table(
-            {"sh": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
-        )
-    keys = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.uint64)
-    ks, cnts = np.unique(keys, return_counts=True)
+    ids_all = b.column("doc_id").to_numpy(zero_copy_only=False)
+    lens = np.fromiter(
+        (a.size for a in arrs), dtype=np.int64, count=len(arrs)
+    )
+    keep = lens > 0
+    n = lens[keep]
+    if n.size:
+        flat = np.concatenate([a for a in arrs if a.size])
+        doc = np.repeat(ids_all[keep].astype(np.int64), n)
+    else:
+        flat = np.empty(0, dtype=np.uint64)
+        doc = np.empty(0, dtype=np.int64)
+    bucket = (flat % np.uint64(NUM_SHINGLE_BUCKETS)).astype(np.int64)
     return pa.table(
         {
-            "sh": pa.array(ks.view(np.int64)),
-            "c": pa.array(cnts.astype(np.int64)),
+            "doc_id": pa.array(doc, pa.int64()),
+            "sh": pa.array(flat.view(np.int64)),
+            "bucket": pa.array(bucket, pa.int64()),
         }
     )
+
+
+def _dup_shingle_bucket_partial(g: pa.Table) -> pa.Table:
+    """One shingle-hash bucket: df(sh) completes locally (all rows of a
+    shingle land in its bucket), rows with df >= 2 are hits, and only
+    per-(doc, bucket) partial sums leave — at most one row per doc per
+    bucket enters the second (tiny) shuffle."""
+    sh = g.column("sh").to_numpy(zero_copy_only=False).view(np.uint64)
+    doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+    _, inv, cnt = np.unique(sh, return_inverse=True, return_counts=True)
+    hit = (cnt >= 2)[inv].astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(doc, pa.int64()),
+            "h": pa.array(hit),
+            "one": pa.array(np.ones(doc.size, dtype=np.int64)),
+        }
+    )
+    agg = t.group_by(["doc_id"]).aggregate([("h", "sum"), ("one", "sum")])
+    return agg.rename_columns(["doc_id", "dup_part", "n_part"])
 
 
 def q_dup_shingle_stats(sf_dir: str):
@@ -2052,69 +2083,42 @@ def q_dup_shingle_stats(sf_dir: str):
     boilerplate signal): fraction (ppm) of a doc's distinct word-3-gram
     shingles that appear in >= 2 documents.
 
-    Two passes over the (column-pruned) documents table, ONE shuffle of
-    pre-aggregated (shingle, count) partials, and a broadcast of the
-    duplicated-shingle set (sorted uint64 -> np.searchsorted membership;
-    at corpus scale this side becomes a bloom filter / semi-join like the
-    near-dup verification path — never a per-row dict). Docs with zero
-    tokens emit no row (they have no shingles), matching the oracle."""
-    import ray as _ray
-
-    from ..stages.dedup import word_shingle_arrays
-
+    Partitioned semi-join, NO driver-side dup-set: one shuffle of the
+    exploded (doc_id, shingle) pairs by shingle-hash bucket computes the
+    document frequency inside each bucket (every occurrence of a shingle
+    co-locates), marks hits, and pre-aggregates (doc, n, dup) partials;
+    a second shuffle of at most one row per (doc, bucket) folds the
+    per-doc totals. The driver never collects or broadcasts shingles —
+    memory is O(1) regardless of corpus dup-set size (the round-3 weak
+    point). Docs with zero tokens emit no row (they have no shingles),
+    matching the oracle."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
-    df = ds.map_batches(
-        _shingle_df_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("sh").aggregate(Sum("c", alias_name="c"))
-
-    parts = []
-    for b in df.iter_batches(batch_format="pyarrow", batch_size=65536):
-        m = pc.greater_equal(b.column("c"), 2)
-        parts.append(
-            b.column("sh").filter(m).to_numpy(zero_copy_only=False)
-        )
-    dup_sorted = np.sort(
-        np.concatenate(parts).view(np.uint64)
-        if parts
-        else np.empty(0, dtype=np.uint64)
+    pairs = ds.map_batches(
+        _dup_shingle_explode, batch_format="pyarrow", zero_copy_batch=True
     )
-    dup_ref = _ray.put(dup_sorted)
+    partials = pairs.groupby("bucket").map_groups(
+        _dup_shingle_bucket_partial, batch_format="pyarrow"
+    )
+    agg = partials.groupby("doc_id").aggregate(
+        Sum("n_part", alias_name="n_shingles"),
+        Sum("dup_part", alias_name="dup_shingles"),
+    )
 
-    def mark(b: pa.Table) -> pa.Table:
-        dup = _ray.get(dup_ref)
-        arrs = word_shingle_arrays(b.column("text").to_pylist())
-        ids_all = b.column("doc_id").to_numpy(zero_copy_only=False)
-        lens = np.fromiter(
-            (a.size for a in arrs), dtype=np.int64, count=len(arrs)
-        )
-        keep = lens > 0
-        n = lens[keep]
-        doc_ids = ids_all[keep]
-        if n.size:
-            flat = np.concatenate([a for a in arrs if a.size])
-            if dup.size:
-                pos = np.searchsorted(dup, flat)
-                hit = (pos < dup.size) & (
-                    dup[np.minimum(pos, dup.size - 1)] == flat
-                )
-            else:
-                hit = np.zeros(flat.size, dtype=bool)
-            starts = np.concatenate(([0], np.cumsum(n)[:-1]))
-            d = np.add.reduceat(hit.astype(np.int64), starts)
-            ppm = d * 1_000_000 // n
-        else:
-            d = np.empty(0, dtype=np.int64)
-            ppm = np.empty(0, dtype=np.int64)
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n_shingles"), pa.int64())
+        d = pc.cast(b.column("dup_shingles"), pa.int64())
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "n_shingles": pa.array(n),
-                "dup_shingles": pa.array(d),
-                "dup_ppm": pa.array(ppm),
+                "doc_id": b.column("doc_id"),
+                "n_shingles": n,
+                "dup_shingles": d,
+                "dup_ppm": pc.divide(pc.multiply(d, 1_000_000), n),
             }
         )
 
-    return ds.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
+    return agg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 SQL_DUP_SHINGLE_STATS = r"""

@@ -176,6 +176,31 @@ def test_near_dup_verification_memory_is_o_candidates():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_dup_shingle_stats_no_driver_broadcast(monkeypatch):
+    """The dup-shingle membership test is a partitioned semi-join: the
+    driver must never collect and ray.put the corpus dup-shingle set
+    (round-3 weak point — that set is O(corpus) at scale). Spy on
+    ray.put for the whole plan+consume lifecycle: no numpy array may
+    pass through it."""
+    import numpy as np
+    import ray
+
+    from headson_ray.pipelines.queries import QUERIES
+
+    put_types = []
+    orig_put = ray.put
+
+    def spy(value, *a, **kw):
+        put_types.append(type(value))
+        return orig_put(value, *a, **kw)
+
+    monkeypatch.setattr(ray, "put", spy)
+    got = _to_frame(QUERIES["dup_shingle_stats"](SF_DIR))
+    assert len(got) > 0 and got["dup_shingles"].sum() > 0
+    assert not any(t is np.ndarray for t in put_types), put_types
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ngram_jaccard_finds_large_boilerplate_cluster():
     """A cluster of identical boilerplate docs larger than any posting-run
     cap must be found IN FULL (the old bucket_cap=64 silently dropped
