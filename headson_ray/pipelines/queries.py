@@ -20,8 +20,10 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..stages.dedup import (
+    MinHasher,
     exact_dedup,
     minhash_near_dups,
+    minhash_signatures,
     near_dup_canonical,
     ngram_jaccard_pairs,
     simhash_near_dups,
@@ -574,6 +576,130 @@ def q_minhash_near_dups(sf_dir: str):
     """MinHash+LSH near-dup pairs (rows-only: custom signatures)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
     return minhash_near_dups(ds, threshold=0.5)
+
+
+MINHASH_NUM_PERM = 64
+
+
+def q_minhash_signatures(sf_dir: str):
+    """Per-document MinHash signatures, exploded to (doc_id, perm, sig)
+    rows so the DuckDB oracle can reproduce every one of the 64
+    permutation minima bit-for-bit (shingle Horner hash + splitmix-style
+    per-permutation mix, all mod-2**64 HUGEINT arithmetic in SQL).
+
+    This oracles the signature stage that feeds minhash_near_dups — the
+    LSH banding/verify downstream stays approx-by-design, but the sketch
+    state itself is now hash-checked like simhash/HLL."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
+    hasher = MinHasher(MINHASH_NUM_PERM)
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = minhash_signatures(b, hasher=hasher)
+        sig = t.column("sig")
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        n = len(t)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.repeat(ids, MINHASH_NUM_PERM), pa.int64()
+                ),
+                "perm": pa.array(
+                    np.tile(
+                        np.arange(MINHASH_NUM_PERM, dtype=np.int64), n
+                    ),
+                    pa.int64(),
+                ),
+                "sig": sig.flatten(),
+            }
+        )
+
+    return ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _mulmod64_sql(x: str, c: int) -> str:
+    """(x * c) mod 2**64 in HUGEINT without overflowing the signed
+    128-bit range: split c into 32-bit halves (x < 2**64, lo < 2**32 so
+    x*lo < 2**96; the hi half only survives mod 2**32 before the <<32)."""
+    hi, lo = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"((({x}) * {lo}::HUGEINT) % {_M64} + "
+        f"(((({x}) % 4294967296::HUGEINT) * {hi}::HUGEINT)"
+        f" % 4294967296::HUGEINT) * 4294967296::HUGEINT) % {_M64}"
+    )
+
+
+def _minhash_sig_sql() -> str:
+    """SQL counterpart of MinHasher.signature over word-3-shingles:
+    token Horner hashes (same staged mix CTEs as the simhash oracle),
+    per-window shingle Horner + mix (hash_u64_rows), then for each of
+    the 64 embedded permutation constants a_j the splitmix-style
+    (s ^ a_j)*C1, xor-shift 27, *C2, xor-shift 31 pipeline, min per
+    (doc, perm); shingle-less docs get the 2**61-1 sentinel."""
+    mixr = _mixr_sql
+    a = MinHasher(MINHASH_NUM_PERM).a
+    perm_rows = ", ".join(
+        f"({j}, {int(a[j])}::HUGEINT)" for j in range(MINHASH_NUM_PERM)
+    )
+    sentinel = (1 << 61) - 1
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+), posr AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM d
+), h0 AS (
+  SELECT doc_id, pos, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      [CAST(ord(ch) AS HUGEINT) for ch in string_split(toks[pos], '')]),
+      (a, x) -> (a * 1000003 + x) % {_M64}) AS v
+  FROM posr
+), tm1 AS (SELECT doc_id, pos, {mixr('v')} AS v FROM h0),
+tm2 AS (SELECT doc_id, pos, {mixr('v')} AS v FROM tm1),
+thl AS (SELECT doc_id, list(v ORDER BY pos) AS th FROM tm2 GROUP BY doc_id),
+sh0 AS (
+  SELECT d.doc_id,
+    CASE WHEN th IS NULL OR len(th) = 0 THEN []
+         WHEN len(th) < 3 THEN
+           [list_reduce(list_prepend(CAST(0 AS HUGEINT), th),
+                        (a, x) -> (a * 1000003 + x) % {_M64})]
+         ELSE [list_reduce(list_prepend(CAST(0 AS HUGEINT), th[i:i+2]),
+                           (a, x) -> (a * 1000003 + x) % {_M64})
+               for i in range(1, len(th) - 1)]
+    END AS sh
+  FROM d LEFT JOIN thl ON d.doc_id = thl.doc_id
+), shr AS (SELECT doc_id, unnest(sh) AS v FROM sh0),
+sm1 AS (SELECT doc_id, {mixr('v')} AS v FROM shr),
+sm2 AS (SELECT doc_id, {mixr('v')} AS s FROM sm1),
+px AS (
+  SELECT doc_id, p.j, xor(s, p.aj) AS x0
+  FROM sm2, (VALUES {perm_rows}) AS p(j, aj)
+), p1 AS (SELECT doc_id, j, {_mulmod64_sql('x0', 0xBF58476D1CE4E5B9)} AS x1
+          FROM px),
+p2 AS (SELECT doc_id, j, xor(x1, x1 // 134217728::HUGEINT) AS x2 FROM p1),
+p3 AS (SELECT doc_id, j, {_mulmod64_sql('x2', 0x94D049BB133111EB)} AS x3
+       FROM p2),
+p4 AS (SELECT doc_id, j, xor(x3, x3 // 2147483648::HUGEINT) AS x4 FROM p3),
+minsig AS (SELECT doc_id, j, min(x4) AS sig_u FROM p4 GROUP BY doc_id, j),
+allp AS (
+  SELECT doc_id, p.j AS perm
+  FROM documents, (VALUES {perm_rows}) AS p(j, aj)
+)
+SELECT allp.doc_id, allp.perm,
+  CAST(CASE WHEN COALESCE(m.sig_u, {sentinel}::HUGEINT)
+                 >= 9223372036854775808::HUGEINT
+            THEN COALESCE(m.sig_u, {sentinel}::HUGEINT) - {_M64}
+            ELSE COALESCE(m.sig_u, {sentinel}::HUGEINT) END AS BIGINT)
+    AS sig
+FROM allp LEFT JOIN minsig m
+  ON allp.doc_id = m.doc_id AND allp.perm = m.j
+"""
+
+
+SQL_MINHASH_SIGNATURES = _minhash_sig_sql()
 
 
 def q_ngram_jaccard(sf_dir: str):
@@ -3250,6 +3376,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "minhash_near_dups": q_minhash_near_dups,
+    "minhash_signatures": q_minhash_signatures,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "simhash": q_simhash,
     "simhash_near_dups": q_simhash_near_dups,
@@ -3334,6 +3461,7 @@ ORACLE_SQL = {
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
     "simhash": SQL_SIMHASH,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "near_dup_canonical": SQL_NEAR_DUP_CANONICAL,
     "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
