@@ -1,9 +1,11 @@
 """Similarity search over embedding columns.
 
 - brute_force_topk: exact cosine top-k. The (small) query matrix is
-  broadcast once via ray.put; every batch does one numpy matmul — the
-  scale path is data-parallel over the corpus with a final k-way merge of
-  per-block top-k (here: driver-side heap merge of tiny partials).
+  broadcast once via ray.put; every batch does one numpy matmul and emits
+  its top-(k+1) per query; a groupby(query) map_groups does the k-way
+  merge DISTRIBUTED, so the driver receives only the final nq*k rows
+  (per-block partials scale with corpus block count and never land on
+  the driver).
 - lsh_topk: random-hyperplane LSH bucketing as the approximate scale
   variant (probes only matching buckets).
 - embedding near-dup: pairs with cosine >= threshold via label-blocked
@@ -11,8 +13,6 @@
 """
 
 from __future__ import annotations
-
-import heapq
 
 import numpy as np
 import pyarrow as pa
@@ -62,51 +62,85 @@ def brute_force_topk(
     nq = qn.shape[0]
     if query_ids is None:
         query_ids = list(range(nq))
+    qids_ref = ray.put(np.asarray(query_ids, dtype=np.int64))
+    empty = pa.table(
+        {
+            "qi": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
 
     def score_block(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        ids = np.array(batch.column(id_column).to_pylist(), dtype=np.int64)
         m = _normalize(_matrix(batch, vec_column))
+        if m.shape[0] == 0:
+            return empty
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        ids = np.ascontiguousarray(ids, dtype=np.int64)
         sims = q @ m.T  # (nq, block)
-        rows_q, rows_id, rows_sim = [], [], []
+        # per-block top-(k+1) per query, fully vectorized (the +1 leaves
+        # room to drop the self-match at merge time)
         top = min(k + 1, sims.shape[1])
-        for qi in range(sims.shape[0]):
-            idx = np.argpartition(-sims[qi], top - 1)[:top]
-            for j in idx:
-                rows_q.append(qi)
-                rows_id.append(int(ids[j]))
-                rows_sim.append(float(sims[qi, j]))
+        idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
         return pa.table(
             {
-                "qi": pa.array(rows_q, pa.int64()),
-                "neighbor_id": pa.array(rows_id, pa.int64()),
-                "sim": pa.array(rows_sim, pa.float64()),
+                "qi": pa.array(
+                    np.repeat(np.arange(nq, dtype=np.int64), top),
+                    pa.int64(),
+                ),
+                "neighbor_id": pa.array(ids[idx].ravel(), pa.int64()),
+                "sim": pa.array(
+                    np.take_along_axis(sims, idx, axis=1).ravel(),
+                    pa.float64(),
+                ),
             }
         )
 
     partials = ds.map_batches(
         score_block, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    per_q: list[list] = [[] for _ in range(nq)]
-    for r in partials:
-        per_q[r["qi"]].append((-r["sim"], r["neighbor_id"]))
-    out_q, out_n, out_rank = [], [], []
-    for qi in range(nq):
-        cand = per_q[qi]
-        if exclude_self:
-            cand = [c for c in cand if c[1] != query_ids[qi]]
-        best = heapq.nsmallest(k, cand)
-        for rank, (_negsim, nid) in enumerate(best, start=1):
-            out_q.append(query_ids[qi])
-            out_n.append(nid)
-            out_rank.append(rank)
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "rank": pa.array(out_rank, pa.int64()),
-        }
     )
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        # distributed k-way merge: one group per query id, so the driver
+        # only ever receives the final nq*k rows, not the per-block
+        # partials (which grow with the corpus block count)
+        qids = ray.get(qids_ref)
+        qi = group.column("qi")[0].as_py()
+        nid = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        sim = group.column("sim").to_numpy(zero_copy_only=False)
+        if exclude_self:
+            keep = nid != qids[qi]
+            nid, sim = nid[keep], sim[keep]
+        # rank by descending sim, ties by ascending neighbor id
+        order = np.lexsort((nid, -sim))[:k]
+        n = order.shape[0]
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.full(n, qids[qi], dtype=np.int64), pa.int64()
+                ),
+                "neighbor_id": pa.array(nid[order], pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, n + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    merged = partials.groupby("qi").map_groups(
+        merge_group, batch_format="pyarrow"
+    )
+    tbls = list(merged.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tbls:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    out = pa.concat_tables(tbls)
+    return out.sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
 def lsh_topk(

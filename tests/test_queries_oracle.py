@@ -88,6 +88,54 @@ def test_ivf_topk_recall_vs_brute_force():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_brute_force_topk_merge_is_distributed(monkeypatch):
+    """The top-k merge must happen in the groupby(query) stage, not on
+    the driver: per-block partials (nq*(k+1)*n_blocks rows) never
+    materialize driver-side — only the final <= nq*k merged rows do.
+    Spy: forbid Dataset.take_all for the whole call, and check the
+    result against a local numpy brute force."""
+    import numpy as np
+    import ray.data
+
+    from headson_ray.stages.similarity import brute_force_topk
+
+    rng = np.random.RandomState(7)
+    n, dim, nq, k = 512, 16, 3, 5
+    vecs = rng.standard_normal((n, dim))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    vecs.tolist(), pa.list_(pa.float64())
+                ),
+            }
+        )
+    ).repartition(16)
+    queries = vecs[:nq]
+
+    def _forbidden(self, *a, **kw):
+        raise AssertionError(
+            "take_all on the driver during brute_force_topk"
+        )
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", _forbidden)
+    got = brute_force_topk(ds, queries, k=k, exclude_self=True)
+    assert got.num_rows <= nq * k
+
+    qn = vecs[:nq] / np.linalg.norm(vecs[:nq], axis=1, keepdims=True)
+    mn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = qn @ mn.T
+    gdf = got.to_pandas()
+    for qi in range(nq):
+        cand = [(-sims[qi, j], j) for j in range(n) if j != qi]
+        cand.sort()
+        exp = [j for _s, j in cand[:k]]
+        gq = gdf[gdf.query_id == qi].sort_values("rank")
+        assert gq.neighbor_id.tolist() == exp
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ngram_jaccard_pairs_exact_vs_brute_force():
     """The inverted-index pipeline must find exactly the brute-force
     above-threshold pairs (shingle sets here are small, so every pair
