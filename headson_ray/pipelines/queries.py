@@ -3273,25 +3273,53 @@ PACK_BUDGET_TOKENS = 512
 PACK_BUCKET_WIDTH = 4096  # docs per id-range bucket
 
 
-def q_sequence_packing(sf_dir: str):
-    """Sequence packing for training: walk the corpus in global doc_id
-    order and assign each document to a fixed-token-budget pack
-    (pack_id = exclusive-prefix-token-count // budget) — i.e. a
-    distributed ORDERED PREFIX SCAN, the primitive behind contiguous
-    batch packing.
+PACK_SUPER_WIDTH = 4096  # buckets per superbucket (driver folds O(sqrt n))
 
-    No global sort: docs are range-bucketed by doc_id; pass 1 folds
-    per-bucket token sums two-phase (only (bucket, sum) partials
-    shuffle) and the driver turns the <= R bucket sums into exclusive
-    offsets; pass 2 moves each row once (groupby bucket), cumsums
-    within the bucket and adds the broadcast offset."""
+
+def _fold_super_offsets(super_sums) -> "tuple[np.ndarray, np.ndarray]":
+    """Driver fold of (superbucket, sum) rows into sorted ids +
+    exclusive offsets. This is the ONLY corpus-size-dependent driver
+    state in the packing pipeline: O(n / (PACK_BUCKET_WIDTH *
+    PACK_SUPER_WIDTH)) rows (~60k at 10^12 docs), vs the round-3 form
+    that folded one row per bucket (~2.4e8 at that scale)."""
+    sk, ss = [], []
+    for b in super_sums.iter_batches(
+        batch_format="pyarrow", batch_size=8192
+    ):
+        sk.extend(b.column("sb").to_pylist())
+        ss.extend(b.column("s").to_pylist())
+    if not sk:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.argsort(sk)
+    sk_arr = np.asarray(sk, dtype=np.int64)[order]
+    s_arr = np.asarray(ss, dtype=np.int64)[order]
+    excl = np.concatenate(([0], np.cumsum(s_arr)[:-1]))
+    return sk_arr, excl
+
+
+def sequence_packing(
+    ds: "ray.data.Dataset",
+    *,
+    budget: int = PACK_BUDGET_TOKENS,
+    bucket_width: int = PACK_BUCKET_WIDTH,
+    super_width: int = PACK_SUPER_WIDTH,
+) -> "ray.data.Dataset":
+    """Distributed ORDERED PREFIX SCAN over doc_id order (the primitive
+    behind contiguous batch packing): pack_id =
+    exclusive-prefix-token-count // budget.
+
+    No global sort, TWO-LEVEL fold so the driver holds O(sqrt n):
+    - docs are range-bucketed by doc_id (fixed width: no max() read);
+    - pass 1 folds per-bucket token sums two-phase (only (bucket, sum)
+      partials shuffle), then per-SUPERbucket sums the same way; the
+      driver folds only the superbucket rows into exclusive offsets;
+    - the per-bucket exclusive offsets are computed DISTRIBUTED (one
+      map_groups per superbucket: within-super cumsum + broadcast super
+      base) and delivered to pass 2 as marker rows co-partitioned with
+      the data (union -> groupby bucket), never through the driver;
+    - pass 2 moves each row once (groupby bucket), cumsums within the
+      bucket and adds its marker's base offset."""
     import ray as _ray
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
-    # FIXED bucket width: no extra max(doc_id) read, empty tables flow
-    # through naturally, and one bucket always fits a worker; the
-    # driver folds one sum per bucket that actually appears
-    width = PACK_BUCKET_WIDTH
 
     def toks(b: pa.Table) -> pa.Table:
         t = add_token_stats(b)
@@ -3299,14 +3327,18 @@ def q_sequence_packing(sf_dir: str):
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "tok": t.column("token_count"),
-                "bucket": pa.array(ids // width, pa.int64()),
+                "tok": pc.cast(t.column("token_count"), pa.int64()),
+                "bucket": pa.array(ids // bucket_width, pa.int64()),
+                "m": pa.array(
+                    np.zeros(len(t), dtype=np.int8), pa.int8()
+                ),
             }
         )
 
-    # materialize the REDUCED projection (3 int64 columns): both passes
-    # below consume it, and re-tokenizing the full text column per pass
-    # costs far more than holding (and spilling) 24 bytes/doc
+    # materialize the REDUCED projection (3 int64 cols + marker byte):
+    # both passes below consume it, and re-tokenizing the full text
+    # column per pass costs far more than holding (and spilling)
+    # 25 bytes/doc
     tds = ds.map_batches(
         toks, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
@@ -3316,33 +3348,89 @@ def q_sequence_packing(sf_dir: str):
         return g.rename_columns(["bucket", "s"])
 
     sums = _two_phase_sum(tds, ["bucket"], sum_partial, ["s"])
-    bk, bs = [], []
-    for b in sums.iter_batches(batch_format="pyarrow", batch_size=8192):
-        bk.extend(b.column("bucket").to_pylist())
-        bs.extend(b.column("s").to_pylist())
-    order = np.argsort(bk)
-    bk_arr = np.asarray(bk, dtype=np.int64)[order]
-    s_arr = np.asarray(bs, dtype=np.int64)[order]
-    excl = np.concatenate(([0], np.cumsum(s_arr)[:-1]))
-    off_ref = _ray.put((bk_arr, excl))
+
+    def super_partial(b: pa.Table) -> pa.Table:
+        t = b.append_column(
+            "sb",
+            pc.cast(
+                pc.divide(b.column("bucket"), super_width), pa.int64()
+            ),
+        )
+        g = t.group_by(["sb"]).aggregate([("s", "sum")])
+        return g.rename_columns(["sb", "s"])
+
+    super_sums = _two_phase_sum(sums, ["sb"], super_partial, ["s"])
+    sk_arr, super_excl = _fold_super_offsets(super_sums)
+    super_ref = _ray.put((sk_arr, super_excl))
+
+    def offsets_group(group: pa.Table) -> pa.Table:
+        # per-bucket exclusive offsets for ONE superbucket: broadcast
+        # super base + within-super exclusive cumsum, emitted as marker
+        # rows (m=1, tok=base) that co-partition with the data rows
+        sks, sexcl = _ray.get(super_ref)
+        idx = pc.sort_indices(group.column("bucket"))
+        t = group.take(idx)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        sb = int(t.column("bucket")[0].as_py()) // super_width
+        base = sexcl[np.searchsorted(sks, sb)]
+        off = base + np.cumsum(s) - s
+        n = len(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.zeros(n, dtype=np.int64), pa.int64()
+                ),
+                "tok": pa.array(off, pa.int64()),
+                "bucket": t.column("bucket"),
+                "m": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    offsets_ds = (
+        sums.map_batches(
+            lambda b: b.append_column(
+                "sb",
+                pc.cast(
+                    pc.divide(b.column("bucket"), super_width),
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("sb")
+        .map_groups(offsets_group, batch_format="pyarrow")
+    )
 
     def scan(group: pa.Table) -> pa.Table:
-        bks, offs = _ray.get(off_ref)
-        idx = pc.sort_indices(group.column("doc_id"))
-        t = group.take(idx)
+        m = group.column("m").to_numpy(zero_copy_only=False)
+        mark = m == 1
+        base = int(
+            group.column("tok").to_numpy(zero_copy_only=False)[mark][0]
+        )
+        data = group.filter(pa.array(~mark))
+        idx = pc.sort_indices(data.column("doc_id"))
+        t = data.take(idx)
         tok = t.column("tok").to_numpy(zero_copy_only=False)
-        base = offs[np.searchsorted(bks, t.column("bucket")[0].as_py())]
         prefix = base + np.cumsum(tok) - tok
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "pack_id": pa.array(
-                    prefix // PACK_BUDGET_TOKENS, pa.int64()
-                ),
+                "pack_id": pa.array(prefix // budget, pa.int64()),
             }
         )
 
-    return tds.groupby("bucket").map_groups(scan, batch_format="pyarrow")
+    return (
+        tds.union(offsets_ds)
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pyarrow")
+    )
+
+
+def q_sequence_packing(sf_dir: str):
+    """Sequence packing over `documents` (see sequence_packing)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
+    return sequence_packing(ds)
 
 
 SQL_SEQUENCE_PACKING = f"""

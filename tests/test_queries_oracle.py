@@ -136,6 +136,55 @@ def test_brute_force_topk_merge_is_distributed(monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sequence_packing_driver_fold_is_superbucket_bound(monkeypatch):
+    """The packing prefix scan's driver state must be the SUPERbucket
+    offsets (O(sqrt n)), never the per-bucket sums: with 2000 docs,
+    bucket_width=8 and super_width=8 there are 250 buckets but only 32
+    superbuckets — the fold must see exactly those 32 rows. Result is
+    checked against a local ordered prefix scan."""
+    import numpy as np
+    import ray.data
+
+    import headson_ray.pipelines.queries as Q
+
+    n, bw, sw, budget = 2000, 8, 8, 50
+    rng = np.random.RandomState(3)
+    counts = rng.randint(0, 12, size=n)
+    texts = ["w " * int(c) for c in counts]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(16)
+
+    seen = {}
+    orig = Q._fold_super_offsets
+
+    def spy(super_sums):
+        sk, excl = orig(super_sums)
+        seen["rows"] = int(sk.size)
+        return sk, excl
+
+    monkeypatch.setattr(Q, "_fold_super_offsets", spy)
+    got = (
+        Q.sequence_packing(
+            ds, budget=budget, bucket_width=bw, super_width=sw
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert seen["rows"] == 32  # superbuckets, not the 250 buckets
+
+    excl = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    assert got.doc_id.tolist() == list(range(n))
+    assert got.pack_id.tolist() == (excl // budget).tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ngram_jaccard_pairs_exact_vs_brute_force():
     """The inverted-index pipeline must find exactly the brute-force
     above-threshold pairs (shingle sets here are small, so every pair
