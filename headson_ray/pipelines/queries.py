@@ -33,7 +33,6 @@ from ..stages.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
-    ivf_topk,
 )
 from ..stages.summarize import Summarizer
 from ..stages.textstats import (
@@ -1048,14 +1047,24 @@ NEAR_DUP_TAU = 0.4
 
 
 def q_ivf_topk(sf_dir: str):
-    """IVF-bucketed approximate top-k (rows-only; recall vs brute force is
-    asserted in tests)."""
+    """IVF approximate top-k over the PARTITIONED layout (rows-only;
+    recall vs brute force is asserted in tests): one pass writes the
+    corpus bucketed by nearest centroid under /tmp, then the query reads
+    ONLY the probed hive partitions."""
+    import tempfile
+
+    from ..stages.similarity import build_ivf_index, ivf_topk_indexed
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qrows = ds.filter(expr=f"vec_id < {N_QUERIES}").take_all()
     qrows.sort(key=lambda r: r["vec_id"])
     queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qids = [r["vec_id"] for r in qrows]
-    return ivf_topk(ds, queries, k=TOPK, query_ids=qids)
+    idx_dir = tempfile.mkdtemp(prefix="headson-ivf-")
+    build_ivf_index(ds, idx_dir)
+    return ivf_topk_indexed(
+        idx_dir, queries, k=TOPK, query_ids=qids
+    )
 
 
 def q_embedding_near_dups_lsh(sf_dir: str):

@@ -190,30 +190,16 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
+def train_centroids(
     ds: "ray.data.Dataset",
-    queries: np.ndarray,
     *,
-    k: int = 10,
     num_centroids: int = 16,
-    nprobe: int = 4,
     train_sample: int = 2048,
-    id_column: str = "vec_id",
     vec_column: str = "embedding",
     seed: int = 42,
-    query_ids: list[int] | None = None,
-) -> pa.Table:
-    """IVF (inverted-file) approximate top-k — the scale path for ANN:
-
-    1. train `num_centroids` centroids with a few k-means iterations over a
-       bounded sample (driver-side numpy, deterministic seed);
-    2. broadcast centroids; each batch keeps only vectors whose nearest
-       centroid is among the union of every query's `nprobe` closest
-       centroids (at scale: partition the corpus by centroid id once and
-       read only the probed partitions);
-    3. exact cosine top-k over the surviving ~nprobe/num_centroids of the
-       corpus.
-    """
+) -> np.ndarray:
+    """Deterministic spherical k-means over a bounded sample (driver-side
+    numpy: the sample is `train_sample` rows regardless of corpus size)."""
     sample = ds.limit(train_sample)
     train = _normalize(
         np.concatenate(
@@ -236,10 +222,150 @@ def ivf_topk(
                 n = np.linalg.norm(v)
                 if n > 0:
                     cents[c] = v / n
+    return cents
+
+
+def _probe_cells(
+    cents: np.ndarray, queries: np.ndarray, nprobe: int
+) -> list[int]:
+    """Union of every query's `nprobe` nearest centroid ids (sorted)."""
     qn = _normalize(np.asarray(queries, dtype=np.float64))
-    probe = set()
+    probe: set[int] = set()
     for row in qn @ cents.T:
         probe.update(np.argsort(-row)[:nprobe].tolist())
+    return sorted(probe)
+
+
+def build_ivf_index(
+    ds: "ray.data.Dataset",
+    path: str,
+    *,
+    num_centroids: int = 16,
+    train_sample: int = 2048,
+    vec_column: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """ONE pass over the corpus writes the IVF partitioned layout: each
+    row lands in `path`/cells/ivf_cell=<nearest centroid>/ (hive
+    partitioning via write_parquet partition_cols), centroids saved
+    alongside. Queries then read ONLY the probed partitions
+    (ivf_topk_indexed) instead of filter-scanning the whole corpus —
+    the read cost drops to ~nprobe/num_centroids of the data, and the
+    layout is reusable across query batches (build once, probe many)."""
+    import os
+
+    cents = train_centroids(
+        ds,
+        num_centroids=num_centroids,
+        train_sample=train_sample,
+        vec_column=vec_column,
+        seed=seed,
+    )
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "centroids.npy"), cents)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cents_ref)
+        m = _normalize(_matrix(batch, vec_column))
+        cell = (
+            np.argmax(m @ cs.T, axis=1).astype(np.int64)
+            if m.shape[0]
+            else np.empty(0, dtype=np.int64)
+        )
+        return batch.append_column("ivf_cell", pa.array(cell, pa.int64()))
+
+    ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(
+        os.path.join(path, "cells"), partition_cols=["ivf_cell"]
+    )
+    return cents
+
+
+def ivf_topk_indexed(
+    index_path: str,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    query_ids: list[int] | None = None,
+) -> pa.Table:
+    """IVF ANN over a build_ivf_index layout: compute the probe-cell
+    union, read ONLY those hive partitions, exact top-k over them. The
+    unprobed partitions never leave storage (I/O pruning is asserted in
+    tests via the read_parquet path list)."""
+    import os
+
+    cents = np.load(os.path.join(index_path, "centroids.npy"))
+    probe = _probe_cells(cents, queries, nprobe)
+    # expand probed partitions to their files (a multi-path read_parquet
+    # list is taken literally, not dir-expanded)
+    files = [
+        os.path.join(d, f)
+        for c in probe
+        if os.path.isdir(
+            d := os.path.join(index_path, "cells", f"ivf_cell={c}")
+        )
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    ds = ray.data.read_parquet(files, columns=[id_column, vec_column])
+    return brute_force_topk(
+        ds,
+        queries,
+        k=k,
+        id_column=id_column,
+        vec_column=vec_column,
+        query_ids=query_ids,
+    )
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 2048,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    seed: int = 42,
+    query_ids: list[int] | None = None,
+) -> pa.Table:
+    """Single-pass in-stream IVF approximate top-k (no prebuilt layout):
+
+    1. train centroids over a bounded sample (train_centroids);
+    2. broadcast centroids; each batch keeps only vectors whose nearest
+       centroid is among the union of every query's `nprobe` closest
+       centroids;
+    3. exact cosine top-k over the surviving ~nprobe/num_centroids of the
+       corpus.
+
+    For repeated query batches over a stable corpus, build_ivf_index +
+    ivf_topk_indexed is the scale path: it pays the assignment pass once
+    and then reads only the probed partitions per query batch, instead
+    of re-scanning (and re-assigning) the full corpus every time.
+    """
+    cents = train_centroids(
+        ds,
+        num_centroids=num_centroids,
+        train_sample=train_sample,
+        vec_column=vec_column,
+        seed=seed,
+    )
+    probe = _probe_cells(cents, queries, nprobe)
     cents_ref = ray.put(cents)
     probe_ref = ray.put(np.array(sorted(probe), dtype=np.int64))
 

@@ -88,6 +88,73 @@ def test_ivf_topk_recall_vs_brute_force():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ivf_index_reads_only_probed_partitions(tmp_path, monkeypatch):
+    """The IVF partitioned layout must prune I/O: ivf_topk_indexed may
+    read_parquet ONLY the probed ivf_cell=<c> hive partitions — a strict
+    subset of the cells on disk — and its results must still recall >=
+    0.8 of the exact top-k."""
+    import os
+
+    import numpy as np
+    import ray.data
+
+    from headson_ray.stages.similarity import (
+        _probe_cells,
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    rng = np.random.RandomState(11)
+    # 8 well-separated clusters so cells are meaningful
+    centers = rng.standard_normal((8, 12)) * 4
+    vecs = np.concatenate(
+        [c + 0.05 * rng.standard_normal((64, 12)) for c in centers]
+    )
+    n = vecs.shape[0]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    idx = str(tmp_path / "ivf")
+    cents = build_ivf_index(ds, idx, num_centroids=8, train_sample=512)
+    cell_dirs = sorted(os.listdir(os.path.join(idx, "cells")))
+    assert len(cell_dirs) >= 4  # clusters spread over several cells
+
+    queries = vecs[:3]
+    expected_dirs = {
+        os.path.join(idx, "cells", f"ivf_cell={c}")
+        for c in _probe_cells(cents, queries, 2)
+        if os.path.isdir(os.path.join(idx, "cells", f"ivf_cell={c}"))
+    }
+    assert len(expected_dirs) < len(cell_dirs)  # strict pruning
+
+    captured = {}
+    orig = ray.data.read_parquet
+
+    def spy(paths, **kw):
+        captured["paths"] = list(paths)
+        return orig(paths, **kw)
+
+    monkeypatch.setattr(ray.data, "read_parquet", spy)
+    got = ivf_topk_indexed(idx, queries, k=5, nprobe=2)
+    assert {os.path.dirname(p) for p in captured["paths"]} == expected_dirs
+
+    monkeypatch.undo()
+    exact = brute_force_topk(ds, queries, k=5)
+    gdf, edf = got.to_pandas(), exact.to_pandas()
+    recalls = []
+    for qi in range(3):
+        e = set(edf[edf.query_id == qi].neighbor_id)
+        g = set(gdf[gdf.query_id == qi].neighbor_id)
+        recalls.append(len(e & g) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_brute_force_topk_merge_is_distributed(monkeypatch):
     """The top-k merge must happen in the groupby(query) stage, not on
     the driver: per-block partials (nq*(k+1)*n_blocks rows) never
