@@ -24,30 +24,76 @@ IMAGE_META_SCHEMA = pa.struct(
 )
 
 
-def _decode_image_real(data: bytes):  # pragma: no cover
-    """Real decode path — requires an image library not in this container."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; not available in this environment"
-    )
+def _image_decoder():
+    """Soft-dependency image decode: returns a bytes -> grayscale float
+    ndarray callable when PIL is importable, else None. Resolved ONCE
+    per actor (in ImageFeatureExtractor.__init__), never per batch."""
+    try:  # pragma: no cover — PIL is absent in the build sandbox
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def decode(data: bytes) -> np.ndarray:  # pragma: no cover
+        with Image.open(io.BytesIO(data)) as img:
+            return np.asarray(img.convert("L"), dtype=np.float64)
+
+    return decode
+
+
+def _decode_image_real(data: bytes):
+    """Real decode path: PIL when installed, loud NotImplementedError
+    otherwise (this container ships no codecs — the plumbing around it
+    is real and tested; see ImageFeatureExtractor)."""
+    dec = _image_decoder()
+    if dec is None:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv; not available in this "
+            "environment"
+        )
+    return dec(data)  # pragma: no cover
 
 
 class ImageFeatureExtractor:
     """Actor-pool stage: binary image column -> fixed-size feature vector.
 
     In production __init__ would load a vision model once per actor; here
-    it seeds the deterministic fake featurizer. Use small batch_size —
-    payload bytes x batch_size x concurrency must fit the worker heap.
+    it resolves the decoder once per actor: use_real_decoder=False (the
+    default — deterministic fake, stable across environments) / True
+    (require PIL, fail loudly at actor init if absent) / "auto" (real
+    when PIL imports, fake otherwise). Use small batch_size — payload
+    bytes x batch_size x concurrency must fit the worker heap.
     """
 
-    def __init__(self, *, dim: int = 16, use_real_decoder: bool = False):
+    def __init__(self, *, dim: int = 16, use_real_decoder=False):
         self.dim = dim
-        self.use_real_decoder = use_real_decoder
+        self._decode = None
+        if use_real_decoder in (True, "auto"):
+            self._decode = _image_decoder()
+            if self._decode is None and use_real_decoder is True:
+                raise NotImplementedError(
+                    "use_real_decoder=True but PIL is not importable"
+                )
 
     def _features(self, data: bytes | None) -> list[float]:
         if data is None:
             return [0.0] * self.dim
-        if self.use_real_decoder:
-            _decode_image_real(data)  # NotImplementedError by design
+        if self._decode is not None:  # pragma: no cover — needs PIL
+            try:
+                arr = self._decode(data)
+            except Exception:
+                # non-image payload (or truncated file): fall through to
+                # the deterministic fake rather than poisoning the batch
+                arr = None
+            if arr is not None and arr.size:
+                # real features: per-horizontal-strip mean intensity,
+                # scaled to [0, 1)
+                strips = np.array_split(arr, self.dim, axis=0)
+                return [
+                    float(min(s.mean() / 255.0, 0.999999)) if s.size else 0.0
+                    for s in strips
+                ]
         # Deterministic fake: per-chunk crc32-derived floats in [0,1)
         out = []
         step = max(1, len(data) // self.dim)
@@ -103,11 +149,33 @@ AUDIO_META_SCHEMA = pa.struct(
 )
 
 
-def _decode_audio_real(data: bytes):  # pragma: no cover
-    """Real decode path — requires an audio library not in this container."""
-    raise NotImplementedError(
-        "audio decode requires soundfile/librosa; not available here"
-    )
+def _audio_decoder():
+    """Soft-dependency audio decode: returns a bytes ->
+    (samples ndarray, sample_rate) callable when soundfile is
+    importable, else None."""
+    try:  # pragma: no cover — soundfile is absent in the build sandbox
+        import io
+
+        import soundfile as sf
+    except ImportError:
+        return None
+
+    def decode(data: bytes):  # pragma: no cover
+        samples, rate = sf.read(io.BytesIO(data), dtype="float64")
+        return samples, int(rate)
+
+    return decode
+
+
+def _decode_audio_real(data: bytes):
+    """Real decode path: soundfile when installed, loud
+    NotImplementedError otherwise (no codecs in this container)."""
+    dec = _audio_decoder()
+    if dec is None:
+        raise NotImplementedError(
+            "audio decode requires soundfile/librosa; not available here"
+        )
+    return dec(data)  # pragma: no cover
 
 
 def audio_chunk_plan(
@@ -142,22 +210,41 @@ class AudioFeatureExtractor:
     """Actor-pool stage: binary audio payload -> fixed-size embedding.
 
     In production __init__ loads the audio frontend once per actor; here
-    the decode is a deterministic fake (crc32 over byte chunks, matching
-    ImageFeatureExtractor's pattern) so the Ray plumbing — small batch
-    sizes for big payloads, typed metadata, per-actor init — is real and
-    testable. Set use_real_decoder=True for the (stubbed) real path."""
+    the decoder resolves once per actor like ImageFeatureExtractor:
+    False (default — deterministic crc32 fake, stable everywhere) /
+    True (require soundfile, fail loudly at init) / "auto" (real when
+    soundfile imports, fake otherwise). Real features: per-strip RMS
+    of the decoded waveform."""
 
-    def __init__(self, *, dim: int = 32, use_real_decoder: bool = False,
+    def __init__(self, *, dim: int = 32, use_real_decoder=False,
                  payload_column: str = "payload"):
         self.dim = dim
-        self.use_real_decoder = use_real_decoder
         self.payload_column = payload_column
+        self._decode = None
+        if use_real_decoder in (True, "auto"):
+            self._decode = _audio_decoder()
+            if self._decode is None and use_real_decoder is True:
+                raise NotImplementedError(
+                    "use_real_decoder=True but soundfile is not importable"
+                )
 
     def _features(self, data: bytes | None) -> list[float]:
         if data is None:
             return [0.0] * self.dim
-        if self.use_real_decoder:
-            _decode_audio_real(data)  # NotImplementedError by design
+        if self._decode is not None:  # pragma: no cover — needs soundfile
+            try:
+                samples, _rate = self._decode(data)
+            except Exception:
+                samples = None  # non-audio payload: deterministic fake
+            if samples is not None and np.asarray(samples).size:
+                arr = np.asarray(samples, dtype=np.float64)
+                if arr.ndim > 1:
+                    arr = arr.mean(axis=1)
+                strips = np.array_split(arr, self.dim)
+                return [
+                    float(np.sqrt((s**2).mean())) if s.size else 0.0
+                    for s in strips
+                ]
         out = []
         step = max(1, len(data) // self.dim)
         for i in range(self.dim):

@@ -159,10 +159,52 @@ def test_image_feature_actor_stage():
     )
 
 
-def test_real_decoder_is_clearly_stubbed():
-    ex = ImageFeatureExtractor(dim=4, use_real_decoder=True)
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="PIL installed: real path on")
+def test_real_decoder_requires_pil_loudly():
+    """Without PIL, demanding the real decoder fails at ACTOR INIT (not
+    silently per batch)."""
     with pytest.raises(NotImplementedError):
-        ex._features(b"payload")
+        ImageFeatureExtractor(dim=4, use_real_decoder=True)
+
+
+def test_auto_decoder_falls_back_to_fake_without_pil():
+    """auto mode: identical output to the deterministic fake when no
+    image library is importable (which is the case in this sandbox);
+    with PIL installed it must still return dim floats in [0, 1)."""
+    auto = ImageFeatureExtractor(dim=4, use_real_decoder="auto")
+    fake = ImageFeatureExtractor(dim=4)
+    payload = b"not-an-image-payload" * 3
+    got = auto._features(payload)
+    assert got == fake._features(payload)  # invalid image -> fake either way
+    assert len(got) == 4 and all(0 <= v < 1 for v in got)
+
+
+@pytest.mark.skipif(not _pil_available(), reason="needs PIL")
+def test_real_decoder_feature_parity_with_pil():  # pragma: no cover
+    """With PIL installed: real features are the per-strip mean
+    intensities of the decoded grayscale image."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    arr = np.zeros((8, 4), dtype=np.uint8)
+    arr[4:] = 255  # bottom half white
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    ex = ImageFeatureExtractor(dim=2, use_real_decoder=True)
+    feats = ex._features(buf.getvalue())
+    assert feats[0] == 0.0
+    assert abs(feats[1] - 0.999999) < 1e-6
 
 
 def test_frame_sample_plan():
@@ -281,9 +323,18 @@ def test_audio_chunk_plan_and_features():
 def test_audio_real_decoder_is_honest_stub():
     from headson_ray.stages.multimodal import AudioFeatureExtractor
 
-    ex = AudioFeatureExtractor(dim=8, use_real_decoder=True)
+    try:
+        import soundfile  # noqa: F401
+
+        pytest.skip("soundfile installed: real path on")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
-        ex._features(b"abc")
+        AudioFeatureExtractor(dim=8, use_real_decoder=True)
+    # auto mode degrades to the deterministic fake
+    auto = AudioFeatureExtractor(dim=8, use_real_decoder="auto")
+    fake = AudioFeatureExtractor(dim=8)
+    assert auto._features(b"abc" * 50) == fake._features(b"abc" * 50)
 
 
 @pytest.mark.usefixtures("ray_session")
