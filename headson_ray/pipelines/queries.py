@@ -3278,6 +3278,77 @@ FROM t
 """
 
 
+AUDIO_SR = 16_000
+AUDIO_CHUNK_S = 30.0
+AUDIO_OVERLAP_S = 1.0
+
+
+def q_audio_chunk_plans(sf_dir: str):
+    """Audio chunking plans through the real multimodal stage
+    (stages/multimodal.audio_chunk_plan) over deterministic synthetic
+    typed metadata — n_samples derived from doc_id (no audio codec in
+    this container; the PLAN is the distributed part). Exploded to one
+    row per chunk so DuckDB reproduces every (start_sample, end_sample)
+    window bit-for-bit."""
+    from ..stages.multimodal import AUDIO_META_SCHEMA, audio_chunk_plan
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        m = len(ids)
+        n = ((ids % 120) + 1) * AUDIO_SR
+        meta = pa.StructArray.from_arrays(
+            [
+                pa.array(np.full(m, AUDIO_SR, dtype=np.int32), pa.int32()),
+                pa.array(n, pa.int64()),
+                pa.array(["synthetic"] * m, pa.string()),
+            ],
+            fields=list(AUDIO_META_SCHEMA),
+        )
+        t = pa.table({"doc_id": b.column("doc_id"), "meta": meta})
+        planned = audio_chunk_plan(
+            t, chunk_s=AUDIO_CHUNK_S, overlap_s=AUDIO_OVERLAP_S
+        )
+        chunks = planned.column("chunks")
+        if isinstance(chunks, pa.ChunkedArray):
+            chunks = chunks.combine_chunks()
+        offs = chunks.offsets.to_numpy(zero_copy_only=False)
+        k = np.diff(offs)
+        row_id = np.repeat(np.arange(m), k)
+        se = chunks.flatten().flatten().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[row_id], pa.int64()),
+                "chunk_id": pa.array(
+                    np.arange(int(offs[-1])) - offs[row_id], pa.int64()
+                ),
+                "start_sample": pa.array(se[0::2], pa.int64()),
+                "end_sample": pa.array(se[1::2], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_AUDIO_STEP = int((AUDIO_CHUNK_S - AUDIO_OVERLAP_S) * AUDIO_SR)
+_AUDIO_SIZE = int(AUDIO_CHUNK_S * AUDIO_SR)
+
+SQL_AUDIO_CHUNK_PLANS = f"""
+WITH m AS (
+  SELECT doc_id, ((doc_id % 120) + 1) * {AUDIO_SR} AS n FROM documents
+), c AS (
+  SELECT doc_id, n,
+         unnest(range(0, (n + {_AUDIO_STEP - 1}) // {_AUDIO_STEP})) AS i
+  FROM m
+)
+SELECT doc_id, i AS chunk_id,
+       i * {_AUDIO_STEP} AS start_sample,
+       least(n, i * {_AUDIO_STEP} + {_AUDIO_SIZE}) AS end_sample
+FROM c
+"""
+
+
 PACK_BUDGET_TOKENS = 512
 PACK_BUCKET_WIDTH = 4096  # docs per id-range bucket
 
@@ -3523,6 +3594,7 @@ QUERIES = {
     "sequence_packing": q_sequence_packing,
     "distinct_users_per_type": q_distinct_users_per_type,
     "video_frame_plans": q_video_frame_plans,
+    "audio_chunk_plans": q_audio_chunk_plans,
     "hll_user_registers": q_hll_user_registers,
 }
 
@@ -3582,5 +3654,6 @@ ORACLE_SQL = {
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,
     "video_frame_plans": SQL_VIDEO_FRAME_PLANS,
+    "audio_chunk_plans": SQL_AUDIO_CHUNK_PLANS,
     "hll_user_registers": SQL_HLL_USER_REGISTERS,
 }

@@ -187,23 +187,42 @@ def audio_chunk_plan(
 ) -> pa.Table:
     """Chunking plan for long audio: (start_sample, end_sample) windows of
     chunk_s seconds with overlap_s overlap — the distributed part
-    (vectorized over the typed metadata); decoding is stubbed."""
-    metas = batch.column(meta_column).to_pylist()
-    plans = []
-    for m in metas:
-        sr = int((m or {}).get("sample_rate") or 0)
-        n = int((m or {}).get("n_samples") or 0)
-        step = max(1, int((chunk_s - overlap_s) * sr))
-        size = max(1, int(chunk_s * sr))
-        chunks = []
-        start = 0
-        while start < n:
-            chunks.append([start, min(n, start + size)])
-            start += step
-        plans.append(chunks)
-    return batch.append_column(
-        "chunks", pa.array(plans, pa.list_(pa.list_(pa.int64(), 2)))
+    (decoding is stubbed). Fully vectorized like frame_sample_plan:
+    per-row chunk counts, one flat arange, a large_list built from int64
+    offsets (no per-row python loop, no int32 wrap)."""
+    metas = batch.column(meta_column)
+    if isinstance(metas, pa.ChunkedArray):
+        metas = metas.combine_chunks()
+    sr = np.nan_to_num(
+        metas.field("sample_rate")
+        .cast(pa.float64())
+        .to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    n = np.nan_to_num(
+        metas.field("n_samples")
+        .cast(pa.float64())
+        .to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    step = np.maximum(((chunk_s - overlap_s) * sr).astype(np.int64), 1)
+    size = np.maximum((chunk_s * sr).astype(np.int64), 1)
+    # python loop semantics: start = 0, step, 2*step, ... while start < n
+    k = np.where(n > 0, (n + step - 1) // step, 0)
+    offsets = np.concatenate(([0], np.cumsum(k))).astype(np.int64)
+    total = int(offsets[-1])
+    row_id = np.repeat(np.arange(len(k)), k)
+    within = np.arange(total) - offsets[row_id]
+    starts = within * step[row_id]
+    ends = np.minimum(n[row_id], starts + size[row_id])
+    pairs = pa.FixedSizeListArray.from_arrays(
+        pa.array(
+            np.column_stack([starts, ends]).ravel(), pa.int64()
+        ),
+        2,
     )
+    arr = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), pairs
+    )
+    return batch.append_column("chunks", arr)
 
 
 class AudioFeatureExtractor:
