@@ -194,6 +194,9 @@ def main() -> None:
         cep_low = out[lows]["extras"]["cep_rows_per_sec"]
         cep_high = out[highs]["extras"]["cep_rows_per_sec"]
         cep_eff = (cep_high / cep_low) / (highs / lows)
+        win_low = out[lows]["extras"]["windows_finalized_per_sec"]
+        win_high = out[highs]["extras"]["windows_finalized_per_sec"]
+        win_eff = (win_high / win_low) / (highs / lows)
         hw_eff = _hardware_scaling_baseline(lows, highs)
         print(
             json.dumps(
@@ -208,15 +211,13 @@ def main() -> None:
                     "cep_rows_per_sec_low": cep_low,
                     "cep_rows_per_sec_high": cep_high,
                     "cep_scaling_efficiency": cep_eff,
-                    "windows_per_sec_low": out[lows]["extras"][
-                        "windows_finalized_per_sec"
-                    ],
-                    "windows_per_sec_high": out[highs]["extras"][
-                        "windows_finalized_per_sec"
-                    ],
+                    "windows_per_sec_low": win_low,
+                    "windows_per_sec_high": win_high,
+                    "windows_scaling_efficiency": win_eff,
                     "hardware_scaling_efficiency": hw_eff,
                     "normalized_efficiency": eff / hw_eff,
                     "cep_normalized_efficiency": cep_eff / hw_eff,
+                    "windows_normalized_efficiency": win_eff / hw_eff,
                     "sf": _sf(),
                 }
             )

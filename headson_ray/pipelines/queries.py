@@ -1067,6 +1067,21 @@ def q_ivf_topk(sf_dir: str):
     )
 
 
+def q_lsh_topk(sf_dir: str):
+    """Random-hyperplane LSH approximate top-k (rows-only; recall vs the
+    exact knn_topk asserted in tests). Only vectors whose bucket code
+    matches a query bucket are scored — the in-stream ANN variant that
+    needs no prebuilt layout."""
+    from ..stages.similarity import lsh_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = ds.filter(expr=f"vec_id < {N_QUERIES}").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [r["vec_id"] for r in qrows]
+    return lsh_topk(ds, queries, k=TOPK, query_ids=qids)
+
+
 def q_embedding_near_dups_lsh(sf_dir: str):
     """LSH-blocked near-dup pairs — the scale path (rows-only; recall vs
     the exact variant asserted in tests)."""
@@ -3560,6 +3575,7 @@ QUERIES = {
     "image_features": q_image_features,
     "knn_topk": q_knn_topk,
     "ivf_topk": q_ivf_topk,
+    "lsh_topk": q_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "lineitem_agg": q_lineitem_agg,

@@ -148,33 +148,43 @@ def lsh_topk(
     queries: np.ndarray,
     *,
     k: int = 10,
-    num_planes: int = 12,
+    num_planes: int = 3,
+    num_tables: int = 10,
     id_column: str = "vec_id",
     vec_column: str = "embedding",
     seed: int = 42,
     query_ids: list[int] | None = None,
 ) -> pa.Table:
-    """Approximate top-k: random-hyperplane buckets; only vectors whose
-    bucket matches a query bucket are scored. Returns the same schema as
-    brute_force_topk (quality measured against it in tests)."""
+    """Approximate top-k: MULTI-TABLE random-hyperplane buckets — a
+    vector is scored if its bucket code matches a query's code in ANY of
+    the `num_tables` independent tables (recall ~= 1-(1-p^P)^L with
+    p = 1 - theta/pi), the same OR-of-tables scheme as
+    embedding_near_dup_pairs_lsh. Returns the brute_force_topk schema;
+    recall vs exact is asserted in tests. Scale note: P grows ~log(n)
+    to keep per-table buckets selective; the defaults suit the sf-scale
+    test corpora."""
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     dim = qn.shape[1]
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((num_planes, dim))
-    q_buckets = (qn @ planes.T > 0).astype(np.uint32)
-    q_codes = {
-        int((row * (1 << np.arange(num_planes))).sum()) for row in q_buckets
-    }
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+    pw = 1 << np.arange(num_planes)
+    q_codes = [
+        np.unique(((qn @ planes[t].T > 0) * pw).sum(axis=1))
+        for t in range(num_tables)
+    ]
     planes_ref = ray.put(planes)
-    codes_ref = ray.put(np.array(sorted(q_codes), dtype=np.int64))
+    codes_ref = ray.put(q_codes)
 
     def bucket_filter(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         codes = ray.get(codes_ref)
         m = _normalize(_matrix(batch, vec_column))
-        bits = (m @ pl.T > 0).astype(np.uint32)
-        code = (bits * (1 << np.arange(pl.shape[0]))).sum(axis=1)
-        mask = np.isin(code, codes)
+        if m.shape[0] == 0:
+            return batch
+        mask = np.zeros(m.shape[0], dtype=bool)
+        for t in range(pl.shape[0]):
+            code = ((m @ pl[t].T > 0) * pw).sum(axis=1)
+            mask |= np.isin(code, codes[t])
         return batch.filter(pa.array(mask))
 
     filtered = ds.map_batches(

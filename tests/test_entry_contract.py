@@ -30,7 +30,7 @@ def test_oracle_keys_subset_of_queries():
     q = e.queries()
     o = e.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 67
+    assert len(q) >= 68
     assert len(o) >= 59
     missing_oracle = set(q) - set(o)
     # every non-oracled entry is a genuinely non-SQL-expressible op:
@@ -41,7 +41,8 @@ def test_oracle_keys_subset_of_queries():
     # algorithm's oracle is the byte-exact reference snapshot corpus).
     assert missing_oracle <= {
         "minhash_near_dups", "summarize_documents",
-        "image_features", "ivf_topk", "embedding_near_dups_lsh",
+        "image_features", "ivf_topk", "lsh_topk",
+        "embedding_near_dups_lsh",
         "summarize_pages", "domain_fileset_previews",
         # lineage audit: output is the engine's own checkpoint log (no
         # SQL-visible input); exactly-once semantics are pinned by the

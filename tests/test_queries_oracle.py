@@ -88,6 +88,20 @@ def test_ivf_topk_recall_vs_brute_force():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_lsh_topk_recall_vs_brute_force():
+    """LSH ANN must reach high recall against the exact top-k."""
+    exact = _to_frame(QUERIES["knn_topk"](SF_DIR))
+    approx = _to_frame(QUERIES["lsh_topk"](SF_DIR))
+    exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ivf_index_reads_only_probed_partitions(tmp_path, monkeypatch):
     """The IVF partitioned layout must prune I/O: ivf_topk_indexed may
     read_parquet ONLY the probed ivf_cell=<c> hive partitions — a strict
