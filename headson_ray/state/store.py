@@ -775,6 +775,19 @@ class StateStoreActor:
                 protocol=pickle.HIGHEST_PROTOCOL,
             )
         os.replace(tmp, path)
+        # retention: resume only ever restores max(committed batches),
+        # and commit(batch_idx) may still fail after this snapshot — so
+        # keep this snapshot and the previous one, prune everything
+        # older. A long stream's checkpoint dir stays O(num_actors),
+        # not O(num_batches).
+        for f in os.listdir(d):
+            if f.startswith("batch-") and f.endswith(".pkl"):
+                try:
+                    bi = int(f[len("batch-"):-len(".pkl")])
+                except ValueError:
+                    continue
+                if bi <= batch_idx - 2:
+                    os.remove(os.path.join(d, f))
         return path
 
     def restore(self, batch_idx: int) -> bool:
