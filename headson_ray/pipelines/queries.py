@@ -3547,6 +3547,204 @@ FROM p
 """
 
 
+# --- text scrub (PII redaction machinery) ---------------------------------
+
+# The catalog run adds a corpus-hitting term pattern on top of the real
+# PII patterns (the synthetic corpus contains no emails/phones/IPs, so
+# the PII patterns exercise the zero-hit path and the term pattern the
+# hit path). Replacement machinery is identical either way: sequential
+# RE2 global replace, each pattern over the previous pattern's output.
+def _scrub_query_patterns() -> tuple:
+    from ..stages.textstats import PII_PATTERNS
+
+    return PII_PATTERNS + (("term", r"\b(key|hash|join)\b", "<TERM>"),)
+
+
+def q_text_scrub(sf_dir: str):
+    """Regex scrub / PII redaction over documents.text: emails, phones,
+    IPv4s (plus a corpus-hitting term pattern) → redacted clean_text,
+    n_redactions, clean_len. One map_batches, zero shuffle; both sides
+    (pyarrow.compute and DuckDB) run the SAME RE2 patterns, so the
+    oracle checks the redacted text bit-for-bit."""
+    from ..stages.textstats import scrub_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pats = _scrub_query_patterns()
+    return ds.map_batches(
+        lambda b: scrub_text(b, patterns=pats).select(
+            ["doc_id", "clean_text", "n_redactions", "clean_len"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _sql_text_scrub() -> str:
+    pats = _scrub_query_patterns()
+    prev = "documents"
+    src = "text"
+    ctes = []
+    for i, (_name, pat, rep) in enumerate(pats):
+        acc = "0" if i == 0 else "c"
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, "
+            f"regexp_replace({src}, '{pat}', '{rep}', 'g') AS t, "
+            f"{acc} + COALESCE(len(regexp_extract_all({src}, '{pat}')), 0)"
+            f" AS c FROM {prev})"
+        )
+        prev, src = f"s{i}", "t"
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT doc_id, t AS clean_text, "
+        "CAST(c AS BIGINT) AS n_redactions, "
+        f"CAST(COALESCE(len(t), 0) AS BIGINT) AS clean_len FROM {prev}"
+    )
+
+
+SQL_TEXT_SCRUB = _sql_text_scrub()
+
+
+# --- benchmark decontamination ---------------------------------------------
+
+DECONTAM_BENCH_MOD = 31  # docs with doc_id % 31 == 0 form the benchmark set
+
+
+def _bench_shingle_partial(b: pa.Table) -> pa.Table:
+    """Distinct shingle hashes of this batch's benchmark-set docs."""
+    from ..stages.dedup import word_shingle_arrays
+
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+    keep = (ids % DECONTAM_BENCH_MOD) == 0
+    texts = [
+        t for t, k in zip(b.column("text").to_pylist(), keep) if k
+    ]
+    arrs = [a for a in word_shingle_arrays(texts) if a.size]
+    flat = (
+        np.unique(np.concatenate(arrs))
+        if arrs
+        else np.empty(0, dtype=np.uint64)
+    )
+    return pa.table({"sh": pa.array(flat.view(np.int64))})
+
+
+def decontam_flags(ds: "ray.data.Dataset"):
+    """Benchmark decontamination: flag corpus docs that share any
+    word-3-gram shingle with a held-out benchmark set (docs with
+    doc_id % DECONTAM_BENCH_MOD == 0) — the GPT-3-style n-gram overlap
+    check every training-data pipeline runs before release.
+
+    Scale posture: the benchmark side is SMALL BY NATURE (eval sets are
+    MBs against a 100 TB corpus), so broadcast is the right join
+    strategy — a distributed pass extracts per-block distinct benchmark
+    shingle hashes (at most the benchmark's shingle count ever reaches
+    the driver), `ray.put` ships the sorted array to the object store
+    once, and every probe task does a vectorized np.searchsorted per
+    batch. Corpus documents never shuffle and never materialize."""
+    import ray as _ray
+
+    from ..stages.dedup import word_shingle_arrays
+
+    parts = [
+        b.column("sh").to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(
+            _bench_shingle_partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+    ]
+    # view BEFORE unique: the sort must happen in uint64 order (hashes
+    # >= 2^63 are negative as int64 and would break searchsorted)
+    bench = (
+        np.unique(np.concatenate(parts).view(np.uint64))
+        if parts
+        else np.empty(0, dtype=np.uint64)
+    )
+    bench_ref = _ray.put(bench)
+
+    def probe(b: pa.Table) -> pa.Table:
+        bs = _ray.get(bench_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (ids % DECONTAM_BENCH_MOD) != 0
+        ids = ids[keep].astype(np.int64)
+        texts = [
+            t for t, k in zip(b.column("text").to_pylist(), keep) if k
+        ]
+        arrs = word_shingle_arrays(texts)
+        n = np.fromiter(
+            (a.size for a in arrs), dtype=np.int64, count=len(arrs)
+        )
+        if int(n.sum()):
+            flat = np.concatenate([a for a in arrs if a.size])
+            idx = np.searchsorted(bs, flat)
+            idx[idx >= bs.size] = 0
+            hit = (
+                (bs[idx] == flat).astype(np.int64)
+                if bs.size
+                else np.zeros(flat.size, dtype=np.int64)
+            )
+            bounds = np.zeros(len(arrs) + 1, dtype=np.int64)
+            np.cumsum(n, out=bounds[1:])
+            csum = np.zeros(flat.size + 1, dtype=np.int64)
+            np.cumsum(hit, out=csum[1:])
+            cont = csum[bounds[1:]] - csum[bounds[:-1]]
+        else:
+            cont = np.zeros(len(arrs), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_shingles": pa.array(n),
+                "contaminated_shingles": pa.array(cont),
+                "is_contaminated": pa.array(
+                    (cont > 0).astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_decontam_flags(sf_dir: str):
+    """Benchmark decontamination over `documents` (see decontam_flags)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
+    return decontam_flags(ds)
+
+
+SQL_DECONTAM_FLAGS = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN []
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)])
+         END AS sh
+  FROM d
+), bset AS (
+  SELECT DISTINCT unnest(sh) AS g FROM s
+  WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+), u AS (
+  SELECT doc_id, unnest(sh) AS g FROM s
+  WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0
+), hits AS (
+  SELECT u.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS contaminated
+  FROM u LEFT JOIN bset b USING (g) GROUP BY u.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.contaminated, 0) AS BIGINT)
+         AS contaminated_shingles,
+       CAST(CASE WHEN COALESCE(h.contaminated, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_contaminated
+FROM d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {DECONTAM_BENCH_MOD} <> 0
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -3612,6 +3810,8 @@ QUERIES = {
     "video_frame_plans": q_video_frame_plans,
     "audio_chunk_plans": q_audio_chunk_plans,
     "hll_user_registers": q_hll_user_registers,
+    "text_scrub": q_text_scrub,
+    "decontam_flags": q_decontam_flags,
 }
 
 ORACLE_SQL = {
@@ -3672,4 +3872,6 @@ ORACLE_SQL = {
     "video_frame_plans": SQL_VIDEO_FRAME_PLANS,
     "audio_chunk_plans": SQL_AUDIO_CHUNK_PLANS,
     "hll_user_registers": SQL_HLL_USER_REGISTERS,
+    "text_scrub": SQL_TEXT_SCRUB,
+    "decontam_flags": SQL_DECONTAM_FLAGS,
 }

@@ -205,3 +205,47 @@ def add_repetition_stats(batch: pa.Table, text_column: str = "text") -> pa.Table
     nz = nbig > 0
     ppm[nz] = mx[nz] * 1_000_000 // nbig[nz]
     return batch.append_column("top_bigram_ppm", pa.array(ppm))
+
+
+# Default redaction patterns: RE2 syntax, valid verbatim in both
+# pyarrow.compute (replace_substring_regex / count_substring_regex) and
+# DuckDB's regexp_* functions, so the oracle can nest the exact same
+# patterns. Order matters: patterns are applied sequentially and each
+# one sees the previous one's replacements (SQL nests in the same order).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_text(
+    batch: pa.Table,
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+    text_column: str = "text",
+) -> pa.Table:
+    """Append clean_text / n_redactions / clean_len: sequential regex
+    redaction (PII scrub at real scale — emails, phones, IPs) over a
+    whole Arrow batch.
+
+    Fully vectorized: one count_substring_regex + one
+    replace_substring_regex kernel call per pattern over the entire
+    column (RE2, compiled once per call inside Arrow) — no per-row
+    python. Null text stays null with n_redactions 0, matching the
+    COALESCE in the SQL oracle.
+    """
+    txt = batch.column(text_column)
+    total = pa.array([0] * len(batch), pa.int64())
+    for _name, pat, rep in patterns:
+        cnt = pc.fill_null(
+            pc.cast(pc.count_substring_regex(txt, pattern=pat), pa.int64()),
+            0,
+        )
+        total = pc.add(total, cnt)
+        txt = pc.replace_substring_regex(txt, pattern=pat, replacement=rep)
+    batch = batch.append_column("clean_text", txt)
+    batch = batch.append_column("n_redactions", total)
+    return batch.append_column(
+        "clean_len",
+        pc.fill_null(pc.cast(pc.utf8_length(txt), pa.int64()), 0),
+    )
