@@ -125,12 +125,49 @@ def _q_cep_lineage(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_url_host_stats(sf_dir: str):
+    """Per-host crawl table (C4/CCNet domain stats) over the synthetic
+    page stream — see pipelines/webtext.py:url_host_stats."""
+    from headson_ray.pipelines.webtext import url_host_stats
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return url_host_stats(paths)
+
+
+def _q_url_canonical_dedup(sf_dir: str):
+    """Tracking-param URL canonicalization + first-fetch dedup over a
+    deterministic messy-variant stream — webtext.py:url_canonical_dedup."""
+    from headson_ray.pipelines.webtext import url_canonical_dedup
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return url_canonical_dedup(paths)
+
+
+def _q_host_crawl_overlap(sf_dir: str):
+    """Inter-crawl URL overlap per host (current vs prior crawl,
+    partitioned hash semi-join) — webtext.py:host_crawl_overlap."""
+    from headson_ray.pipelines.webtext import host_crawl_overlap
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    prior = materialize_pages(rows // 2, tag=f"q-{rows}")
+    return host_crawl_overlap(paths, prior)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = dict(QUERIES)
     q["summarize_pages"] = _q_summarize_pages
     q["sniff_pages"] = _q_sniff_pages
     q["cep_stream_windows"] = _q_cep_stream
     q["cep_partition_lineage"] = _q_cep_lineage
+    q["url_host_stats"] = _q_url_host_stats
+    q["url_canonical_dedup"] = _q_url_canonical_dedup
+    q["host_crawl_overlap"] = _q_host_crawl_overlap
     return q
 
 
@@ -208,8 +245,92 @@ GROUP BY domain, window_id
 """
 
 
+# Per-host crawl aggregates. length(text) == utf8 codepoints on both
+# sides (page text is generated ASCII-safe either way).
+SQL_URL_HOST_STATS = rf"""
+WITH p AS (
+  SELECT regexp_extract(url, {_DOMAIN_RE}, 1) AS host,
+         epoch_us(warc_ts) AS ts, length(text) AS n_chars
+  FROM read_parquet('{_PAGES_GLOB}')
+)
+SELECT host,
+       regexp_extract(host, '\.([^.]+)$', 1) AS tld,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(ts) AS BIGINT) AS first_ts,
+       CAST(max(ts) AS BIGINT) AS last_ts
+FROM p GROUP BY host
+"""
+
+# Messy-variant derivation + canonicalization, same spec as
+# webtext.derive_url_variants / canonicalize_urls: the SAME RE2 patterns
+# run on both sides, so canonical_url is compared byte-for-byte.
+_URL_HEAD_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(.*)$"
+SQL_URL_CANONICAL_DEDUP = rf"""
+WITH src AS (
+  SELECT url, epoch_us(warc_ts) AS ts,
+         CAST(regexp_extract(url, '/page/([0-9]+)$', 1) AS BIGINT) AS i,
+         regexp_extract(url, '{_URL_HEAD_RE}', 1) AS head,
+         regexp_extract(url, '{_URL_HEAD_RE}', 2) AS rest
+  FROM read_parquet('{_PAGES_GLOB}')
+), obs AS (
+  SELECT url AS raw_url, ts FROM src
+  UNION ALL
+  SELECT url || '?ref=r' || (i % 5) ||
+         '&utm_source=feed&utm_campaign=c' || (i % 7), ts + 1
+  FROM src WHERE i % 3 >= 1
+  UNION ALL
+  SELECT upper(head) || rest || '#s' || (i % 4), ts + 2
+  FROM src WHERE i % 3 = 2
+), canon AS (
+  SELECT raw_url, ts,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(raw_url, '#.*$', '', 'g'),
+        'utm_[^&#]*&?', '', 'g'),
+      '[?&]+$', '', 'g') AS s3
+  FROM obs
+), canon2 AS (
+  SELECT raw_url, ts, regexp_replace(s3, '\?&', '?', 'g') AS s4
+  FROM canon
+), final AS (
+  SELECT raw_url, ts,
+         lower(regexp_extract(s4, '{_URL_HEAD_RE}', 1)) ||
+           regexp_extract(s4, '{_URL_HEAD_RE}', 2) AS canonical_url
+  FROM canon2
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_seen,
+       CAST(sum(CASE WHEN raw_url <> canonical_url THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_modified,
+       CAST(min(ts) AS BIGINT) AS first_ts
+FROM final GROUP BY canonical_url
+"""
+
+SQL_HOST_CRAWL_OVERLAP = rf"""
+WITH cur AS (
+  SELECT DISTINCT url FROM read_parquet('{_PAGES_GLOB}')
+), pr AS (
+  SELECT DISTINCT url FROM read_parquet('{_PRIOR_GLOB}')
+), j AS (
+  SELECT regexp_extract(cur.url, {_DOMAIN_RE}, 1) AS host,
+         CASE WHEN pr.url IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM cur LEFT JOIN pr USING (url)
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(hit) AS BIGINT) AS n_overlap,
+       CAST(CAST(sum(hit) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+         AS overlap_ppm
+FROM j GROUP BY host
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o = dict(ORACLE_SQL)
     o["sniff_pages"] = SQL_SNIFF_PAGES
     o["cep_stream_windows"] = SQL_CEP_STREAM_WINDOWS
+    o["url_host_stats"] = SQL_URL_HOST_STATS
+    o["url_canonical_dedup"] = SQL_URL_CANONICAL_DEDUP
+    o["host_crawl_overlap"] = SQL_HOST_CRAWL_OVERLAP
     return o

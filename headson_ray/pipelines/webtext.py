@@ -1,0 +1,341 @@
+"""Webtext crawl operators over the Common-Crawl-style pages table
+(schema per BASELINE.json:input_hint — url, warc_ts, html, text, lang).
+
+Three pipelines a real crawl-curation stack runs before training-data
+selection, each Ray-Data-first and DuckDB-oracled:
+
+- ``url_host_stats``: per-host crawl aggregates (page count, extracted
+  chars, first/last fetch time) — the C4/CCNet "domain table". Two-phase
+  sum: per-batch pyarrow group_by partials, then one tiny groupby merge;
+  only pre-aggregated host rows ever shuffle.
+- ``url_canonical_dedup``: tracking-parameter URL canonicalization
+  (strip fragments, drop ``utm_*`` params, lowercase scheme+host) over a
+  deterministically derived messy-variant stream, then first-fetch
+  dedup per canonical URL. All string work is RE2 kernels
+  (``pc.replace_substring_regex``) so the oracle runs the SAME regexes.
+- ``host_crawl_overlap``: inter-crawl URL overlap per host (current vs
+  prior crawl) via a partitioned hash semi-join — the freshness /
+  revisit-rate table. Neither crawl is collected or broadcast: urls
+  hash to 64-bit (stages/hashing.py), co-locate by hash bucket, and
+  only per-(host, bucket) partial counts enter the second shuffle
+  (same posture as q_dup_shingle_stats after the round-3 verdict).
+
+The reference has no crawl-level operators (it is a per-document
+summarizer, /root/reference/src/main.rs); these extend the engine along
+the training-data axis the way decontam_flags / text_scrub do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+from ..stages.hashing import hash_strings
+
+_HOST_PATTERN = r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?(?P<host>[^/:?#]+)"
+_TLD_PATTERN = r"\.(?P<tld>[^.]+)$"
+
+NUM_URL_BUCKETS = 256
+
+
+def _extract_host(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    if len(urls) == 0:
+        return pa.array([], pa.string())
+    ex = pc.extract_regex(urls, pattern=_HOST_PATTERN)
+    return pc.struct_field(ex, "host")
+
+
+# ---------------------------------------------------------------------------
+# 1. per-host crawl stats
+# ---------------------------------------------------------------------------
+def _host_stats_partial(b: pa.Table) -> pa.Table:
+    host = _extract_host(b.column("url"))
+    tld = pc.struct_field(
+        pc.extract_regex(host, pattern=_TLD_PATTERN), "tld"
+    )
+    n_chars = pc.cast(pc.utf8_length(b.column("text")), pa.int64())
+    ts = pc.cast(b.column("warc_ts"), pa.int64())
+    t = pa.table(
+        {
+            "host": host,
+            "tld": tld,
+            "n_pages": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "total_chars": n_chars,
+            "first_ts": ts,
+            "last_ts": ts,
+        }
+    )
+    agg = t.group_by(["host", "tld"]).aggregate(
+        [
+            ("n_pages", "sum"),
+            ("total_chars", "sum"),
+            ("first_ts", "min"),
+            ("last_ts", "max"),
+        ]
+    )
+    return agg.rename_columns(
+        ["host", "tld", "n_pages", "total_chars", "first_ts", "last_ts"]
+    )
+
+
+def url_host_stats(paths: list[str]) -> "ray.data.Dataset":
+    """Per-host crawl table: n_pages, total extracted chars, first/last
+    fetch epoch-us. Shuffle moves only per-(host, block) partial rows
+    (~#hosts x #blocks), never pages."""
+    ds = ray.data.read_parquet(paths, columns=["url", "warc_ts", "text"])
+    partials = ds.map_batches(
+        _host_stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby(["host", "tld"]).aggregate(
+        Sum("n_pages", alias_name="n_pages"),
+        Sum("total_chars", alias_name="total_chars"),
+        Min("first_ts", alias_name="first_ts"),
+        Max("last_ts", alias_name="last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. canonical-URL dedup over a deterministic messy-variant stream
+# ---------------------------------------------------------------------------
+# Variant derivation (pure function of the page index i, mirrored in the
+# oracle SQL): every page emits its clean url; pages with i%3>=1 add a
+# tracking-tagged variant that keeps one legit param (?ref=...) among
+# utm_* noise; pages with i%3==2 add an UPPER-cased-host variant with a
+# fragment. Canonicalization must strip exactly the noise: fragments,
+# utm_* params (legit params survive), host/scheme case.
+_IDX_PATTERN = r"/page/(?P<i>[0-9]+)$"
+_SPLIT_PATTERN = (
+    r"^(?P<head>[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(?P<rest>.*)$"
+)
+
+
+def derive_url_variants(b: pa.Table) -> pa.Table:
+    """Explode pages into (raw_url, ts) observation rows — fully
+    vectorized (Arrow string-build kernels + boolean-mask filters,
+    no per-row loop)."""
+    url = b.column("url").combine_chunks() if b.num_rows else pa.array(
+        [], pa.string()
+    )
+    if len(url) == 0:
+        return pa.table(
+            {
+                "raw_url": pa.array([], pa.string()),
+                "ts": pa.array([], pa.int64()),
+            }
+        )
+    ts = pc.cast(b.column("warc_ts"), pa.int64())
+    i = pc.cast(
+        pc.struct_field(pc.extract_regex(url, pattern=_IDX_PATTERN), "i"),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    mod3 = i % 3
+    m1 = pa.array(mod3 >= 1)
+    m2 = pa.array(mod3 == 2)
+
+    def _s(mod: int) -> pa.Array:
+        return pa.array((i % mod).astype("U1"))
+
+    v1 = pc.binary_join_element_wise(
+        url,
+        "?ref=r",
+        _s(5),
+        "&utm_source=feed&utm_campaign=c",
+        _s(7),
+        "",
+    )
+    ex = pc.extract_regex(url, pattern=_SPLIT_PATTERN)
+    v2 = pc.binary_join_element_wise(
+        pc.utf8_upper(pc.struct_field(ex, "head")),
+        pc.struct_field(ex, "rest"),
+        "#s",
+        _s(4),
+        "",
+    )
+    raw = pa.concat_arrays(
+        [url, v1.filter(m1), v2.filter(m2)]
+    )
+    out_ts = pa.concat_arrays(
+        [
+            ts.combine_chunks(),
+            pc.add(ts.filter(m1), 1).combine_chunks(),
+            pc.add(ts.filter(m2), 2).combine_chunks(),
+        ]
+    )
+    return pa.table({"raw_url": raw, "ts": out_ts})
+
+
+def canonicalize_urls(raw: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized canonicalization: strip #fragment, drop utm_* params,
+    tidy separators, lowercase scheme://host. RE2 kernels only."""
+    if len(raw) == 0:
+        return pa.array([], pa.string())
+    s = pc.replace_substring_regex(raw, pattern=r"#.*$", replacement="")
+    s = pc.replace_substring_regex(
+        s, pattern=r"utm_[^&#]*&?", replacement=""
+    )
+    s = pc.replace_substring_regex(
+        s, pattern=r"[?&]+$", replacement=""
+    )
+    s = pc.replace_substring_regex(
+        s, pattern=r"\?&", replacement="?"
+    )
+    ex = pc.extract_regex(s, pattern=_SPLIT_PATTERN)
+    head = pc.utf8_lower(pc.struct_field(ex, "head"))
+    rest = pc.struct_field(ex, "rest")
+    return pc.binary_join_element_wise(head, rest, "")
+
+
+def _canon_partial(b: pa.Table) -> pa.Table:
+    canon = canonicalize_urls(b.column("raw_url"))
+    modified = pc.cast(
+        pc.not_equal(canon, b.column("raw_url")), pa.int64()
+    )
+    t = pa.table(
+        {
+            "canonical_url": canon,
+            "n_seen": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "n_modified": modified,
+            "first_ts": b.column("ts"),
+        }
+    )
+    agg = t.group_by(["canonical_url"]).aggregate(
+        [("n_seen", "sum"), ("n_modified", "sum"), ("first_ts", "min")]
+    )
+    return agg.rename_columns(
+        ["canonical_url", "n_seen", "n_modified", "first_ts"]
+    )
+
+
+def url_canonical_dedup(paths: list[str]) -> "ray.data.Dataset":
+    """First-fetch dedup per canonical URL over the messy-variant
+    stream: n_seen observations, n_modified (raw != canonical), first
+    fetch ts. Pre-aggregated per batch; the groupby shuffles at most
+    one row per (canonical_url, block)."""
+    ds = ray.data.read_parquet(paths, columns=["url", "warc_ts"])
+    obs = ds.map_batches(
+        derive_url_variants, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = obs.map_batches(
+        _canon_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("canonical_url").aggregate(
+        Sum("n_seen", alias_name="n_seen"),
+        Sum("n_modified", alias_name="n_modified"),
+        Min("first_ts", alias_name="first_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. inter-crawl URL overlap per host (partitioned hash semi-join)
+# ---------------------------------------------------------------------------
+def _overlap_explode(side: int):
+    def fn(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        h = hash_strings(urls)
+        bucket = (h % np.uint64(NUM_URL_BUCKETS)).astype(np.int64)
+        host = (
+            _extract_host(b.column("url"))
+            if side == 0
+            else pa.array([""] * len(urls), pa.string())
+        )
+        return pa.table(
+            {
+                "uh": pa.array(h.view(np.int64)),
+                "bucket": pa.array(bucket),
+                "side": pa.array(
+                    np.full(len(urls), side, dtype=np.int64)
+                ),
+                "host": host,
+            }
+        )
+
+    return fn
+
+
+def _overlap_bucket_partial(g: pa.Table) -> pa.Table:
+    """One url-hash bucket: every occurrence of a url (either crawl)
+    lands here, so prior-membership resolves locally. Emits per-host
+    partial counts over DISTINCT current urls — at most one row per
+    (host, bucket) enters the final groupby."""
+    uh = g.column("uh").to_numpy(zero_copy_only=False).view(np.uint64)
+    side = g.column("side").to_numpy(zero_copy_only=False)
+    host = g.column("host").to_pylist()
+    prior = np.unique(uh[side == 1])
+    cur_mask = side == 0
+    cur_h = uh[cur_mask]
+    cur_hosts = np.array(
+        [h for h, m in zip(host, cur_mask) if m], dtype=object
+    )
+    if cur_h.size == 0:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "n_urls": pa.array([], pa.int64()),
+                "n_overlap": pa.array([], pa.int64()),
+            }
+        )
+    # distinct current urls (crawl streams can carry refetches)
+    _, first_idx = np.unique(cur_h, return_index=True)
+    cur_h = cur_h[first_idx]
+    cur_hosts = cur_hosts[first_idx]
+    idx = np.searchsorted(prior, cur_h)
+    idx[idx >= prior.size] = 0
+    hit = (
+        (prior[idx] == cur_h).astype(np.int64)
+        if prior.size
+        else np.zeros(cur_h.size, dtype=np.int64)
+    )
+    t = pa.table(
+        {
+            "host": pa.array(list(cur_hosts), pa.string()),
+            "one": pa.array(np.ones(cur_h.size, dtype=np.int64)),
+            "hit": pa.array(hit),
+        }
+    )
+    agg = t.group_by(["host"]).aggregate(
+        [("one", "sum"), ("hit", "sum")]
+    )
+    return agg.rename_columns(["host", "n_urls", "n_overlap"])
+
+
+def host_crawl_overlap(
+    cur_paths: list[str], prior_paths: list[str]
+) -> "ray.data.Dataset":
+    """Per-host revisit table: distinct current urls, how many also
+    appear in the prior crawl, overlap rate in ppm. One url-hash-bucket
+    shuffle of (hash, side, host) rows; the driver never sees a url."""
+    cur = ray.data.read_parquet(cur_paths, columns=["url"]).map_batches(
+        _overlap_explode(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    prior = ray.data.read_parquet(
+        prior_paths, columns=["url"]
+    ).map_batches(
+        _overlap_explode(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = cur.union(prior).groupby("bucket").map_groups(
+        _overlap_bucket_partial, batch_format="pyarrow"
+    )
+    agg = partials.groupby("host").aggregate(
+        Sum("n_urls", alias_name="n_urls"),
+        Sum("n_overlap", alias_name="n_overlap"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n_urls"), pa.int64())
+        o = pc.cast(b.column("n_overlap"), pa.int64())
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "n_urls": n,
+                "n_overlap": o,
+                "overlap_ppm": pc.divide(pc.multiply(o, 1_000_000), n),
+            }
+        )
+
+    return agg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
