@@ -159,6 +159,39 @@ def _q_host_crawl_overlap(sf_dir: str):
     return host_crawl_overlap(paths, prior)
 
 
+def _q_host_lang_profile(sf_dir: str):
+    """Per-host majority-language routing table —
+    webtext.py:host_lang_profile."""
+    from headson_ray.pipelines.webtext import host_lang_profile
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return host_lang_profile(paths)
+
+
+def _q_extraction_ratios(sf_dir: str):
+    """Per-page extracted-text-to-html ratio (boilerplate / soft-404
+    signal) — webtext.py:extraction_ratios."""
+    from headson_ray.pipelines.webtext import extraction_ratios
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return extraction_ratios(paths)
+
+
+def _q_mirror_hosts(sf_dir: str):
+    """Mirror / CDN-alias host pairs via a content-fingerprint inverted
+    index — webtext.py:mirror_host_detection."""
+    from headson_ray.pipelines.webtext import mirror_host_detection
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return mirror_host_detection(paths)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = dict(QUERIES)
     q["summarize_pages"] = _q_summarize_pages
@@ -168,6 +201,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["url_host_stats"] = _q_url_host_stats
     q["url_canonical_dedup"] = _q_url_canonical_dedup
     q["host_crawl_overlap"] = _q_host_crawl_overlap
+    q["host_lang_profile"] = _q_host_lang_profile
+    q["extraction_ratios"] = _q_extraction_ratios
+    q["mirror_hosts"] = _q_mirror_hosts
     return q
 
 
@@ -326,6 +362,76 @@ FROM j GROUP BY host
 """
 
 
+# Majority language per host: counts per (host, lang), majority picked
+# with ties broken by lexicographically smallest lang — exactly
+# webtext._lang_majority's lexsort((lang, -cnt)) order.
+SQL_HOST_LANG_PROFILE = f"""
+WITH c AS (
+  SELECT regexp_extract(url, {_DOMAIN_RE}, 1) AS host, lang,
+         count(*) AS cnt
+  FROM read_parquet('{_PAGES_GLOB}')
+  GROUP BY host, lang
+), t AS (
+  SELECT host, sum(cnt) AS n_pages, count(*) AS n_langs FROM c GROUP BY host
+), r AS (
+  SELECT host, lang, cnt,
+         row_number() OVER (
+           PARTITION BY host ORDER BY cnt DESC, lang ASC
+         ) AS rn
+  FROM c
+)
+SELECT r.host,
+       CAST(t.n_pages AS BIGINT) AS n_pages,
+       CAST(t.n_langs AS BIGINT) AS n_langs,
+       r.lang AS top_lang,
+       CAST(r.cnt * 1000000 // t.n_pages AS BIGINT) AS top_lang_ppm
+FROM r JOIN t USING (host) WHERE r.rn = 1
+"""
+
+# Per-page extraction ratio: utf8 chars of text (generated ASCII-safe,
+# so length() == codepoints on both sides) vs raw html BYTES.
+SQL_EXTRACTION_RATIOS = f"""
+SELECT url,
+       CAST(length(text) AS BIGINT) AS text_chars,
+       CAST(octet_length(html) AS BIGINT) AS html_bytes,
+       CAST(length(text) * 1000000 // octet_length(html) AS BIGINT)
+         AS extract_ppm,
+       length(text) * 1000000 // octet_length(html) < 100000 AS is_thin
+FROM read_parquet('{_PAGES_GLOB}')
+"""
+
+# Mirror derivation (i % 4 == 0 pages also served by m.<host>) + host
+# pairs sharing content. SQL joins on the text itself where the Ray
+# side joins on its 64-bit fingerprint — identical output absent hash
+# collisions (same contract as host_crawl_overlap's url-hash join).
+SQL_MIRROR_HOSTS = f"""
+WITH src AS (
+  SELECT regexp_extract(url, {_DOMAIN_RE}, 1) AS host, text,
+         CAST(regexp_extract(url, '/page/([0-9]+)$', 1) AS BIGINT) AS i
+  FROM read_parquet('{_PAGES_GLOB}')
+), obs AS (
+  SELECT DISTINCT host, text FROM src
+  UNION
+  SELECT DISTINCT 'm.' || host, text FROM src WHERE i % 4 = 0
+), tot AS (
+  SELECT host, count(*) AS n FROM obs GROUP BY host
+), pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared_fps
+  FROM obs a JOIN obs b ON a.text = b.text AND a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT host_a, host_b,
+       CAST(shared_fps AS BIGINT) AS shared_fps,
+       CAST(ta.n AS BIGINT) AS n_a,
+       CAST(tb.n AS BIGINT) AS n_b,
+       CAST(shared_fps * 1000000 // (ta.n + tb.n - shared_fps) AS BIGINT)
+         AS jaccard_ppm
+FROM pairs
+JOIN tot ta ON ta.host = pairs.host_a
+JOIN tot tb ON tb.host = pairs.host_b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o = dict(ORACLE_SQL)
     o["sniff_pages"] = SQL_SNIFF_PAGES
@@ -333,4 +439,7 @@ def oracle_sql() -> dict[str, str]:
     o["url_host_stats"] = SQL_URL_HOST_STATS
     o["url_canonical_dedup"] = SQL_URL_CANONICAL_DEDUP
     o["host_crawl_overlap"] = SQL_HOST_CRAWL_OVERLAP
+    o["host_lang_profile"] = SQL_HOST_LANG_PROFILE
+    o["extraction_ratios"] = SQL_EXTRACTION_RATIOS
+    o["mirror_hosts"] = SQL_MIRROR_HOSTS
     return o

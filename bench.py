@@ -145,6 +145,24 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
                 pass
         results[name] = time.time() - t0
 
+    # --- webtext crawl suite (pages-stream queries in __ray_entry__) -----
+    if not headline_only:
+        import __ray_entry__ as _entry
+
+        eq = _entry.queries()
+        for name in [
+            "url_host_stats", "url_canonical_dedup", "host_crawl_overlap",
+            "host_lang_profile", "extraction_ratios", "mirror_hosts",
+        ]:
+            t0 = time.time()
+            res = eq[name](SF_DIR)
+            if hasattr(res, "iter_batches"):
+                for _ in res.iter_batches(
+                    batch_format="pyarrow", batch_size=8192
+                ):
+                    pass
+            results[name] = time.time() - t0
+
     ray.shutdown()
     return {"queries": results, "extras": extras}
 

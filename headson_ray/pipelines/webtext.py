@@ -19,6 +19,20 @@ selection, each Ray-Data-first and DuckDB-oracled:
   hash to 64-bit (stages/hashing.py), co-locate by hash bucket, and
   only per-(host, bucket) partial counts enter the second shuffle
   (same posture as q_dup_shingle_stats after the round-3 verdict).
+- ``host_lang_profile``: per-host language mix + majority language —
+  the CCNet per-domain language routing table. Two-phase (host, lang)
+  counts; the majority pick runs in a per-host map_groups whose group
+  is at most #languages rows.
+- ``extraction_ratios``: per-page extracted-text-to-raw-html ratio
+  (boilerplate / soft-404 signal). Embarrassingly parallel, zero
+  shuffle, Arrow kernels only.
+- ``mirror_host_detection``: host pairs serving the same content
+  (mirror / CDN-alias detection) via a content-fingerprint inverted
+  index: distinct (host, fp) observations co-locate by fp-hash bucket,
+  pairs materialize inside the bucket, and only per-(pair, bucket) and
+  per-(host, bucket) partial counts enter the second shuffle. The
+  final fold is host-level (O(#hosts + #pairs) rows — independent of
+  corpus size), never page-level.
 
 The reference has no crawl-level operators (it is a per-document
 summarizer, /root/reference/src/main.rs); these extend the engine along
@@ -338,4 +352,255 @@ def host_crawl_overlap(
 
     return agg.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. per-host language profile (majority language routing table)
+# ---------------------------------------------------------------------------
+def _lang_partial(b: pa.Table) -> pa.Table:
+    host = _extract_host(b.column("url"))
+    t = pa.table(
+        {
+            "host": host,
+            "lang": b.column("lang"),
+            "cnt": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }
+    )
+    agg = t.group_by(["host", "lang"]).aggregate([("cnt", "sum")])
+    return agg.rename_columns(["host", "lang", "cnt"])
+
+
+def _lang_majority(g: pa.Table) -> pa.Table:
+    """One host's language rows (at most #languages of them): pick the
+    majority language, ties broken by lexicographically smallest lang."""
+    cnt = g.column("cnt").to_numpy(zero_copy_only=False)
+    langs = np.asarray(g.column("lang").to_pylist(), dtype=object)
+    order = np.lexsort((langs, -cnt))
+    top = order[0]
+    n_pages = int(cnt.sum())
+    return pa.table(
+        {
+            "host": pa.array([g.column("host")[0].as_py()], pa.string()),
+            "n_pages": pa.array([n_pages], pa.int64()),
+            "n_langs": pa.array([len(cnt)], pa.int64()),
+            "top_lang": pa.array([str(langs[top])], pa.string()),
+            "top_lang_ppm": pa.array(
+                [int(cnt[top]) * 1_000_000 // n_pages], pa.int64()
+            ),
+        }
+    )
+
+
+def host_lang_profile(paths: list[str]) -> "ray.data.Dataset":
+    """Per-host majority-language table (CCNet routes documents to
+    per-language pipelines by exactly this table). Shuffle carries only
+    pre-aggregated (host, lang) partials; the majority pick is a
+    per-host map_groups over <= #languages rows."""
+    ds = ray.data.read_parquet(paths, columns=["url", "lang"])
+    partials = ds.map_batches(
+        _lang_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = partials.groupby(["host", "lang"]).aggregate(
+        Sum("cnt", alias_name="cnt")
+    )
+    return counts.groupby("host").map_groups(
+        _lang_majority, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. per-page extraction ratio (text vs raw html bytes)
+# ---------------------------------------------------------------------------
+def extraction_ratio_batch(b: pa.Table) -> pa.Table:
+    """Extracted-chars to raw-html-bytes ratio in ppm per page — the
+    standard boilerplate / soft-404 / link-farm signal. Pure Arrow
+    kernels; no shuffle anywhere."""
+    text_chars = pc.cast(pc.utf8_length(b.column("text")), pa.int64())
+    html_bytes = pc.cast(pc.binary_length(b.column("html")), pa.int64())
+    ratio = pc.divide(pc.multiply(text_chars, 1_000_000), html_bytes)
+    return pa.table(
+        {
+            "url": b.column("url"),
+            "text_chars": text_chars,
+            "html_bytes": html_bytes,
+            "extract_ppm": ratio,
+            "is_thin": pc.less(ratio, 100_000),
+        }
+    )
+
+
+def extraction_ratios(paths: list[str]) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(paths, columns=["url", "html", "text"])
+    return ds.map_batches(
+        extraction_ratio_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. mirror-host detection (content-fingerprint inverted index)
+# ---------------------------------------------------------------------------
+# Deterministic mirror derivation (mirrored in the oracle SQL): pages
+# with i % 4 == 0 are also served by a mirror CDN alias "m.<host>" with
+# byte-identical content. Detection must recover exactly those aliases
+# from content fingerprints alone.
+_MIRROR_MOD = 4
+
+
+def derive_mirror_observations(b: pa.Table) -> pa.Table:
+    """Explode pages into distinct (host, fp, bucket) content
+    observations; fp = 64-bit text hash (stages/hashing.py). Pages with
+    i % _MIRROR_MOD == 0 also emit the observation under the m.<host>
+    alias."""
+    url = b.column("url")
+    if b.num_rows == 0:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "fp": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+            }
+        )
+    host = _extract_host(url)
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+    i = pc.cast(
+        pc.struct_field(pc.extract_regex(url, pattern=_IDX_PATTERN), "i"),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    fp = hash_strings(b.column("text").to_pylist())
+    mirror_np = i % _MIRROR_MOD == 0
+    m_host = pc.binary_join_element_wise(
+        "m.", host.filter(pa.array(mirror_np)), ""
+    )
+    if isinstance(m_host, pa.ChunkedArray):
+        m_host = m_host.combine_chunks()
+    all_host = pa.concat_arrays([host, m_host])
+    all_fp = np.concatenate([fp, fp[mirror_np]])
+    bucket = (all_fp % np.uint64(NUM_URL_BUCKETS)).astype(np.int64)
+    return pa.table(
+        {
+            "host": all_host,
+            "fp": pa.array(all_fp.view(np.int64)),
+            "bucket": pa.array(bucket),
+        }
+    )
+
+
+def _mirror_bucket_partial(g: pa.Table) -> pa.Table:
+    """One fp-hash bucket: every observation of a fingerprint co-locates
+    here, so host pairs sharing each fp materialize locally. Emits
+    union-typed partial rows — kind=0: per-host distinct-fp count,
+    kind=1: per-(host_a, host_b) shared-fp count — so ONE second-phase
+    groupby folds both tables. At most one row per host and per pair
+    leaves each bucket."""
+    fp = g.column("fp").to_numpy(zero_copy_only=False)
+    hosts = np.asarray(g.column("host").to_pylist(), dtype=object)
+    # distinct (host, fp) within the bucket (refetches collapse)
+    order = np.lexsort((hosts, fp))
+    fp_s, host_s = fp[order], hosts[order]
+    keep = np.empty(fp_s.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = (fp_s[1:] != fp_s[:-1]) | (host_s[1:] != host_s[:-1])
+    fp_s, host_s = fp_s[keep], host_s[keep]
+
+    out_kind: list[int] = []
+    out_a: list[str] = []
+    out_b: list[str] = []
+    out_n: list[int] = []
+
+    # kind=0 per-host partials: each distinct (host, fp) lives in exactly
+    # one bucket, so summing these across buckets is the exact global
+    # distinct-fp count per host.
+    uh, hcnt = np.unique(host_s, return_counts=True)
+    out_kind.extend([0] * uh.size)
+    out_a.extend(uh.tolist())
+    out_b.extend([""] * uh.size)
+    out_n.extend(hcnt.tolist())
+
+    # kind=1 pair partials: runs of equal fp. The 2-host case (the
+    # overwhelming majority) is vectorized; longer runs loop only over
+    # those rare fps.
+    starts = np.flatnonzero(
+        np.concatenate(([True], fp_s[1:] != fp_s[:-1]))
+    )
+    runlen = np.diff(np.append(starts, fp_s.size))
+    pair_counts: dict[tuple[str, str], int] = {}
+    two = starts[runlen == 2]
+    for s in two:
+        a, bb = host_s[s], host_s[s + 1]
+        key = (a, bb) if a < bb else (bb, a)
+        pair_counts[key] = pair_counts.get(key, 0) + 1
+    for s, ln in zip(starts[runlen > 2], runlen[runlen > 2]):
+        hs = sorted(host_s[s : s + ln])
+        for x in range(len(hs)):
+            for y in range(x + 1, len(hs)):
+                key = (hs[x], hs[y])
+                pair_counts[key] = pair_counts.get(key, 0) + 1
+    for (a, bb), n in pair_counts.items():
+        out_kind.append(1)
+        out_a.append(a)
+        out_b.append(bb)
+        out_n.append(n)
+
+    return pa.table(
+        {
+            "kind": pa.array(out_kind, pa.int64()),
+            "a": pa.array(out_a, pa.string()),
+            "b": pa.array(out_b, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def mirror_host_detection(paths: list[str]) -> pa.Table:
+    """Host pairs serving identical content (mirror / CDN-alias
+    detection): for every pair of hosts sharing >= 1 content
+    fingerprint, the shared count, each side's distinct-fp count, and
+    the Jaccard overlap in ppm.
+
+    Scale posture: pages never pairwise-compare — distinct (host, fp)
+    observations shuffle ONCE by fp bucket, pairs materialize inside
+    their bucket, and the second shuffle carries at most one row per
+    (host|pair, bucket). The returned table is host-level
+    (O(#hosts + #pairs) rows regardless of page count), which is why
+    the final Jaccard join safely folds on the driver."""
+    ds = ray.data.read_parquet(paths, columns=["url", "text"])
+    obs = ds.map_batches(
+        derive_mirror_observations,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    partials = obs.groupby("bucket").map_groups(
+        _mirror_bucket_partial, batch_format="pyarrow"
+    )
+    folded = (
+        partials.groupby(["kind", "a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    totals: dict[str, int] = {}
+    pairs: list[tuple[str, str, int]] = []
+    for r in folded:
+        if r["kind"] == 0:
+            totals[r["a"]] = int(r["n"])
+        else:
+            pairs.append((r["a"], r["b"], int(r["n"])))
+    pairs.sort()
+    host_a = [p[0] for p in pairs]
+    host_b = [p[1] for p in pairs]
+    shared = np.array([p[2] for p in pairs], dtype=np.int64)
+    n_a = np.array([totals[h] for h in host_a], dtype=np.int64)
+    n_b = np.array([totals[h] for h in host_b], dtype=np.int64)
+    union = n_a + n_b - shared
+    jacc = shared * 1_000_000 // union
+    return pa.table(
+        {
+            "host_a": pa.array(host_a, pa.string()),
+            "host_b": pa.array(host_b, pa.string()),
+            "shared_fps": pa.array(shared),
+            "n_a": pa.array(n_a),
+            "n_b": pa.array(n_b),
+            "jaccard_ppm": pa.array(jacc),
+        }
     )

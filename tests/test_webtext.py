@@ -12,8 +12,13 @@ import pytest
 import __ray_entry__ as entry
 from headson_ray.pipelines.webtext import (
     canonicalize_urls,
+    derive_mirror_observations,
     derive_url_variants,
+    extraction_ratio_batch,
+    extraction_ratios,
     host_crawl_overlap,
+    host_lang_profile,
+    mirror_host_detection,
     url_canonical_dedup,
     url_host_stats,
 )
@@ -89,6 +94,86 @@ def test_host_crawl_overlap_counts_refetches_once(pages):
     o = _norm(once)
     t = _norm(twice)
     pd.testing.assert_frame_equal(o, t, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_lang_profile_matches_duckdb(pages):
+    cur, _ = pages
+    sql = entry.SQL_HOST_LANG_PROFILE.replace(entry._PAGES_GLOB, _glob(cur))
+    _compare(host_lang_profile(cur), sql)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_extraction_ratios_matches_duckdb(pages):
+    cur, _ = pages
+    sql = entry.SQL_EXTRACTION_RATIOS.replace(entry._PAGES_GLOB, _glob(cur))
+    _compare(extraction_ratios(cur), sql)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mirror_hosts_matches_duckdb(pages):
+    cur, _ = pages
+    sql = entry.SQL_MIRROR_HOSTS.replace(entry._PAGES_GLOB, _glob(cur))
+    got = _norm(mirror_host_detection(cur).to_pandas())
+    exp = _norm(duckdb.connect().execute(sql).df())
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mirror_hosts_finds_only_aliases(pages):
+    """Every detected pair is (host, m.host) with jaccard reflecting the
+    1-in-4 mirror rate; no false cross-host pairs exist (all page texts
+    are unique by construction)."""
+    cur, _ = pages
+    t = mirror_host_detection(cur)
+    a = t.column("host_a").to_pylist()
+    b = t.column("host_b").to_pylist()
+    assert len(a) > 0
+    for x, y in zip(a, b):
+        assert y == "m." + x or x == "m." + y, (x, y)
+    # mirror carries exactly the shared fps: n_b == shared for the alias
+    sh = t.column("shared_fps").to_pylist()
+    na = t.column("n_a").to_pylist()
+    nb = t.column("n_b").to_pylist()
+    for s, x, y in zip(sh, na, nb):
+        assert min(x, y) == s  # alias side holds only mirrored pages
+
+
+def test_extraction_ratio_kernel_edges():
+    b = pa.table(
+        {
+            "url": pa.array(["u1", "u2"]),
+            "html": pa.array([b"<html>" + b"x" * 94, b"<p>hi</p>"]),
+            "text": pa.array(["y" * 5, "hi"]),
+        }
+    )
+    out = extraction_ratio_batch(b)
+    assert out.column("text_chars").to_pylist() == [5, 2]
+    assert out.column("html_bytes").to_pylist() == [100, 9]
+    assert out.column("extract_ppm").to_pylist() == [50_000, 222_222]
+    assert out.column("is_thin").to_pylist() == [True, False]
+
+
+def test_mirror_observation_derivation():
+    t = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://h0.com/page/4",   # 4%4==0 -> mirrored
+                    "https://h1.com/page/5",   # not mirrored
+                    "https://h2.com/page/8",   # mirrored
+                ]
+            ),
+            "text": pa.array(["ta", "tb", "tc"]),
+        }
+    )
+    out = derive_mirror_observations(t)
+    hosts = out.column("host").to_pylist()
+    assert hosts == ["h0.com", "h1.com", "h2.com", "m.h0.com", "m.h2.com"]
+    fps = out.column("fp").to_pylist()
+    assert fps[3] == fps[0] and fps[4] == fps[2]  # mirror shares the fp
+    assert fps[1] not in (fps[0], fps[2])
 
 
 def test_canonicalize_urls_edge_cases():
