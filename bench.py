@@ -136,7 +136,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "stratified_sample", "cluster_label_purity",
         "event_session_ids", "reservoir_sample", "sequence_packing",
         "distinct_users_per_type", "video_frame_plans", "hll_user_registers",
-        "text_scrub", "decontam_flags",
+        "text_scrub", "decontam_flags", "curation_pipeline",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)

@@ -3745,6 +3745,199 @@ WHERE d.doc_id % {DECONTAM_BENCH_MOD} <> 0
 """
 
 
+# --- composed corpus-curation pipeline --------------------------------------
+
+CURATION_LEDE_TOKENS = 5  # syndication-dedup key: first 5 tokens
+
+
+def q_curation_pipeline(sf_dir: str):
+    """C4-style end-to-end corpus curation in ONE streaming pipeline:
+    quality filter (q_quality_filter's gates) -> benchmark
+    decontamination (decontam_flags' broadcast probe) -> syndication
+    dedup (first-doc-wins on the 5-token lede fingerprint — the same
+    article syndicated across sites shares its lede). Emits one row per
+    non-benchmark doc: kept, and the drop reason in fixed priority
+    quality > contaminated > duplicate.
+
+    Scale posture: signals + contamination probe are embarrassingly
+    parallel (benchmark shingle set built distributed, ray.put once);
+    the only shuffle carries one tiny (doc_id, lede-hash, 2 flags) row
+    per doc to co-locate lede groups — the same inherent exchange as
+    exact dedup. No driver-side corpus state."""
+    import ray as _ray
+
+    from ..stages.dedup import word_shingle_arrays
+    from ..stages.hashing import hash_strings
+    from ..stages.textstats import add_repetition_stats, add_token_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
+
+    parts = [
+        b.column("sh").to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(
+            _bench_shingle_partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+    ]
+    bench = (
+        np.unique(np.concatenate(parts).view(np.uint64))
+        if parts
+        else np.empty(0, dtype=np.uint64)
+    )
+    bench_ref = _ray.put(bench)
+
+    def signals(b: pa.Table) -> pa.Table:
+        bs = _ray.get(bench_ref)
+        b2 = add_repetition_stats(add_token_stats(b))
+        qual = pc.and_(
+            pc.and_(
+                pc.greater_equal(b2.column("token_count"), QF_MIN_TOKENS),
+                pc.greater_equal(
+                    pc.multiply(b2.column("stopword_count"), 100),
+                    pc.multiply(
+                        b2.column("token_count"), QF_MIN_STOPWORD_PCT
+                    ),
+                ),
+            ),
+            pc.less_equal(
+                b2.column("top_bigram_ppm"), QF_MAX_TOP_BIGRAM_PPM
+            ),
+        ).to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (ids % DECONTAM_BENCH_MOD) != 0
+        ids_k = ids[keep].astype(np.int64)
+        qual_k = qual[keep].astype(np.int64)
+        texts = [
+            t for t, k in zip(b.column("text").to_pylist(), keep) if k
+        ]
+        # contamination probe (vectorized searchsorted, decontam_flags)
+        arrs = word_shingle_arrays(texts)
+        n = np.fromiter(
+            (a.size for a in arrs), dtype=np.int64, count=len(arrs)
+        )
+        if int(n.sum()) and bs.size:
+            flat = np.concatenate([a for a in arrs if a.size])
+            idx = np.searchsorted(bs, flat)
+            idx[idx >= bs.size] = 0
+            hit = (bs[idx] == flat).astype(np.int64)
+            bounds = np.zeros(len(arrs) + 1, dtype=np.int64)
+            np.cumsum(n, out=bounds[1:])
+            csum = np.zeros(flat.size + 1, dtype=np.int64)
+            np.cumsum(hit, out=csum[1:])
+            contam = (
+                (csum[bounds[1:]] - csum[bounds[:-1]]) > 0
+            ).astype(np.int64)
+        else:
+            contam = np.zeros(len(arrs), dtype=np.int64)
+        ledes = [
+            " ".join((t or "").split()[:CURATION_LEDE_TOKENS])
+            for t in texts
+        ]
+        lh = hash_strings(ledes)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_k),
+                "lede": pa.array(lh.view(np.int64)),
+                "qual": pa.array(qual_k),
+                "contam": pa.array(contam),
+            }
+        )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        qual = g.column("qual").to_numpy(zero_copy_only=False)
+        contam = g.column("contam").to_numpy(zero_copy_only=False)
+        elig = (qual == 1) & (contam == 0)
+        keeper = ids[elig].min() if elig.any() else -1
+        kept = (elig & (ids == keeper)).astype(np.int64)
+        reason = np.where(
+            qual == 0,
+            "quality",
+            np.where(
+                contam == 1,
+                "contaminated",
+                np.where(kept == 1, "", "duplicate"),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "kept": pa.array(kept),
+                "drop_reason": pa.array(reason.tolist(), pa.string()),
+            }
+        )
+
+    sig = ds.map_batches(
+        signals, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return sig.groupby("lede").map_groups(resolve, batch_format="pyarrow")
+
+
+SQL_CURATION_PIPELINE = rf"""
+WITH d AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), q AS (
+  SELECT doc_id, len(toks) AS token_count,
+         len(list_filter(toks, x -> x IN ({_SW}))) AS sw,
+         CASE WHEN len(toks) < 2 THEN []
+              ELSE [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+         END AS bgs,
+         array_to_string(toks[1:{CURATION_LEDE_TOKENS}], ' ') AS lede
+  FROM d
+), c AS (
+  SELECT doc_id, bg, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(bgs) AS bg FROM q) GROUP BY 1, 2
+), m AS (
+  SELECT doc_id, max(cnt) AS mx, sum(cnt) AS nb FROM c GROUP BY 1
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN []
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)])
+         END AS sh
+  FROM d
+), bset AS (
+  SELECT DISTINCT unnest(sh) AS g FROM s
+  WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+), u AS (
+  SELECT doc_id, unnest(sh) AS g FROM s
+  WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0
+), hits AS (
+  SELECT u.doc_id,
+         sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS contaminated
+  FROM u LEFT JOIN bset b USING (g) GROUP BY u.doc_id
+), sig AS (
+  SELECT q.doc_id, q.lede,
+         CASE WHEN q.token_count >= {QF_MIN_TOKENS}
+               AND q.sw * 100 >= q.token_count * {QF_MIN_STOPWORD_PCT}
+               AND COALESCE(m.mx * 1000000 // m.nb, 0)
+                     <= {QF_MAX_TOP_BIGRAM_PPM}
+              THEN 1 ELSE 0 END AS qual,
+         CASE WHEN COALESCE(h.contaminated, 0) > 0 THEN 1 ELSE 0 END
+           AS contam
+  FROM q
+  LEFT JOIN m USING (doc_id)
+  LEFT JOIN hits h USING (doc_id)
+  WHERE q.doc_id % {DECONTAM_BENCH_MOD} <> 0
+), win AS (
+  SELECT lede, min(doc_id) AS keeper FROM sig
+  WHERE qual = 1 AND contam = 0 GROUP BY lede
+)
+SELECT sig.doc_id,
+       CAST(CASE WHEN qual = 1 AND contam = 0 AND sig.doc_id = w.keeper
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       CASE WHEN qual = 0 THEN 'quality'
+            WHEN contam = 1 THEN 'contaminated'
+            WHEN sig.doc_id <> w.keeper THEN 'duplicate'
+            ELSE '' END AS drop_reason
+FROM sig LEFT JOIN win w USING (lede)
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -3812,6 +4005,7 @@ QUERIES = {
     "hll_user_registers": q_hll_user_registers,
     "text_scrub": q_text_scrub,
     "decontam_flags": q_decontam_flags,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLE_SQL = {
@@ -3874,4 +4068,5 @@ ORACLE_SQL = {
     "hll_user_registers": SQL_HLL_USER_REGISTERS,
     "text_scrub": SQL_TEXT_SCRUB,
     "decontam_flags": SQL_DECONTAM_FLAGS,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
 }
