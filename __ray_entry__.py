@@ -192,6 +192,18 @@ def _q_mirror_hosts(sf_dir: str):
     return mirror_host_detection(paths)
 
 
+def _q_host_boilerplate_lines(sf_dir: str):
+    """CCNet-style per-host boilerplate line detection over a
+    deterministic boilerplate-injected stream —
+    webtext.py:host_boilerplate_lines."""
+    from headson_ray.pipelines.webtext import host_boilerplate_lines
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return host_boilerplate_lines(paths)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = dict(QUERIES)
     q["summarize_pages"] = _q_summarize_pages
@@ -204,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["host_lang_profile"] = _q_host_lang_profile
     q["extraction_ratios"] = _q_extraction_ratios
     q["mirror_hosts"] = _q_mirror_hosts
+    q["host_boilerplate_lines"] = _q_host_boilerplate_lines
     return q
 
 
@@ -432,6 +445,50 @@ JOIN tot tb ON tb.host = pairs.host_b
 """
 
 
+# Boilerplate injection (cookie banner on every page; nav+footer on
+# i % 2 == 0 pages) + per-(host, line) support counting, mirroring
+# webtext.derive_boilerplate_pages / host_boilerplate_lines. A line is
+# boilerplate when support >= 2 and support >= 40% of the host's pages.
+SQL_HOST_BOILERPLATE_LINES = f"""
+WITH src AS (
+  SELECT regexp_extract(url, {_DOMAIN_RE}, 1) AS host,
+         CAST(regexp_extract(url, '/page/([0-9]+)$', 1) AS BIGINT) AS i,
+         text
+  FROM read_parquet('{_PAGES_GLOB}')
+), pages AS (
+  SELECT host,
+         'cookie notice: ' || host || chr(10) ||
+         CASE WHEN i % 2 = 0
+              THEN 'nav | ' || host || ' | home' || chr(10) || text ||
+                   chr(10) || '(c) ' || host || ' footer'
+              ELSE text END AS full_text
+  FROM src
+), pl AS (
+  SELECT host, unnest(list_distinct(string_split(full_text, chr(10))))
+           AS line
+  FROM pages
+), sup AS (
+  SELECT host, line, count(*) AS support FROM pl GROUP BY host, line
+), hp AS (
+  SELECT host, count(*) AS n_pages FROM src GROUP BY host
+), per AS (
+  SELECT s.host,
+         count(*) AS n_distinct_lines,
+         sum(CASE WHEN s.support >= 2
+                   AND s.support * 1000000 >= 400000 * h.n_pages
+                  THEN 1 ELSE 0 END) AS n_boiler_lines
+  FROM sup s JOIN hp h USING (host) GROUP BY s.host
+)
+SELECT h.host,
+       CAST(h.n_pages AS BIGINT) AS n_pages,
+       CAST(p.n_distinct_lines AS BIGINT) AS n_distinct_lines,
+       CAST(p.n_boiler_lines AS BIGINT) AS n_boiler_lines,
+       CAST(p.n_boiler_lines * 1000000 // p.n_distinct_lines AS BIGINT)
+         AS boiler_line_ppm
+FROM per p JOIN hp h USING (host)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o = dict(ORACLE_SQL)
     o["sniff_pages"] = SQL_SNIFF_PAGES
@@ -442,4 +499,5 @@ def oracle_sql() -> dict[str, str]:
     o["host_lang_profile"] = SQL_HOST_LANG_PROFILE
     o["extraction_ratios"] = SQL_EXTRACTION_RATIOS
     o["mirror_hosts"] = SQL_MIRROR_HOSTS
+    o["host_boilerplate_lines"] = SQL_HOST_BOILERPLATE_LINES
     return o

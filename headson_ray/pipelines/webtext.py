@@ -33,6 +33,13 @@ selection, each Ray-Data-first and DuckDB-oracled:
   per-(host, bucket) partial counts enter the second shuffle. The
   final fold is host-level (O(#hosts + #pairs) rows — independent of
   corpus size), never page-level.
+- ``host_boilerplate_lines``: CCNet-style per-host boilerplate line
+  detection (nav / footer / cookie-banner lines shared across a host's
+  pages) over a deterministically derived boilerplate-injected stream.
+  Distinct (host, line) observations co-locate by combined hash
+  bucket, support counts complete locally, and only line-level
+  (host, support) rows plus tiny per-host partials shuffle; host page
+  totals broadcast once (host-count-sized by nature).
 
 The reference has no crawl-level operators (it is a per-document
 summarizer, /root/reference/src/main.rs); these extend the engine along
@@ -603,4 +610,211 @@ def mirror_host_detection(paths: list[str]) -> pa.Table:
             "n_b": pa.array(n_b),
             "jaccard_ppm": pa.array(jacc),
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. per-host boilerplate line detection
+# ---------------------------------------------------------------------------
+# Deterministic boilerplate injection (mirrored in the oracle SQL):
+# every page gets a host cookie banner line; pages with i % 2 == 0 also
+# get a nav header and a footer line. Detection must recover exactly
+# these from line-support statistics: a line is boilerplate on a host
+# when it appears on >= 2 pages AND >= 40% of the host's pages.
+BOILER_MIN_SUPPORT = 2
+BOILER_MIN_PPM = 400_000
+
+
+def derive_boilerplate_pages(b: pa.Table) -> pa.Table:
+    """(host, full_text) per page with the injected boilerplate lines —
+    Arrow string kernels only."""
+    url = b.column("url")
+    if b.num_rows == 0:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "full_text": pa.array([], pa.string()),
+            }
+        )
+    host = _extract_host(url)
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+    i = pc.cast(
+        pc.struct_field(pc.extract_regex(url, pattern=_IDX_PATTERN), "i"),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    text = b.column("text")
+    cookie = pc.binary_join_element_wise("cookie notice: ", host, "\n", "")
+    with_nav = pc.binary_join_element_wise(
+        cookie, "nav | ", host, " | home\n", text, "\n(c) ", host,
+        " footer", ""
+    )
+    plain = pc.binary_join_element_wise(cookie, text, "")
+    full = pc.if_else(pa.array(i % 2 == 0), with_nav, plain)
+    return pa.table({"host": host, "full_text": full})
+
+
+def _boiler_explode(b: pa.Table) -> pa.Table:
+    """Distinct (host, line) observations per page, bucketed by the
+    combined (host, line) hash so support counting completes inside one
+    bucket."""
+    pages = derive_boilerplate_pages(b)
+    if pages.num_rows == 0:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "lh": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+            }
+        )
+    lines = pc.split_pattern(pages.column("full_text"), pattern="\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = lines.flatten()
+    offsets = lines.offsets.to_numpy(zero_copy_only=False)
+    counts = np.diff(offsets)
+    page_idx = np.repeat(
+        np.arange(pages.num_rows, dtype=np.int64), counts
+    )
+    lh = hash_strings(flat.to_pylist())
+    hosts = np.asarray(pages.column("host").to_pylist(), dtype=object)
+    hh = hash_strings([str(h) for h in hosts])
+    # per-page distinct lines (a page repeating its own line counts once)
+    order = np.lexsort((lh, page_idx))
+    p_s, l_s = page_idx[order], lh[order]
+    keep = np.empty(p_s.size, dtype=bool)
+    if p_s.size:
+        keep[0] = True
+        keep[1:] = (p_s[1:] != p_s[:-1]) | (l_s[1:] != l_s[:-1])
+    p_s, l_s = p_s[keep], l_s[keep]
+    host_col = hosts[p_s]
+    bucket = ((hh[p_s] ^ l_s) % np.uint64(NUM_URL_BUCKETS)).astype(
+        np.int64
+    )
+    return pa.table(
+        {
+            "host": pa.array(list(host_col), pa.string()),
+            "lh": pa.array(l_s.view(np.int64)),
+            "bucket": pa.array(bucket),
+        }
+    )
+
+
+def _boiler_bucket_support(g: pa.Table) -> pa.Table:
+    """One (host, line)-hash bucket: support (pages carrying the line on
+    that host) completes locally; one (host, support) row per distinct
+    (host, line) leaves."""
+    lh = g.column("lh").to_numpy(zero_copy_only=False)
+    hosts = np.asarray(g.column("host").to_pylist(), dtype=object)
+    order = np.lexsort((hosts, lh))
+    l_s, h_s = lh[order], hosts[order]
+    new = np.empty(l_s.size, dtype=bool)
+    new[0] = True
+    new[1:] = (l_s[1:] != l_s[:-1]) | (h_s[1:] != h_s[:-1])
+    starts = np.flatnonzero(new)
+    support = np.diff(np.append(starts, l_s.size))
+    return pa.table(
+        {
+            "host": pa.array(list(h_s[starts]), pa.string()),
+            "support": pa.array(support.astype(np.int64)),
+        }
+    )
+
+
+def host_boilerplate_lines(paths: list[str]) -> "ray.data.Dataset":
+    """Per-host boilerplate summary: distinct lines, how many are
+    boilerplate (support >= BOILER_MIN_SUPPORT and >= BOILER_MIN_PPM of
+    the host's pages), and the boilerplate fraction in ppm.
+
+    Scale posture: pages never materialize past their own batch; the
+    line shuffle carries one row per distinct (host, line); host page
+    totals are #hosts-sized by nature, built with a pre-aggregated
+    groupby and broadcast once via ray.put."""
+    import ray as _ray
+
+    ds = ray.data.read_parquet(paths, columns=["url", "text"])
+
+    def page_partial(b: pa.Table) -> pa.Table:
+        host = _extract_host(b.column("url"))
+        t = pa.table(
+            {
+                "host": host,
+                "c": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["host"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["host", "c"])
+        )
+
+    totals_rows = (
+        ds.map_batches(
+            page_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("host")
+        .aggregate(Sum("c", alias_name="n_pages"))
+        .take_all()
+    )
+    n_pages_by_host = {r["host"]: int(r["n_pages"]) for r in totals_rows}
+    totals_ref = _ray.put(n_pages_by_host)
+
+    support = ds.map_batches(
+        _boiler_explode, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bucket").map_groups(
+        _boiler_bucket_support, batch_format="pyarrow"
+    )
+
+    def mark_partial(b: pa.Table) -> pa.Table:
+        totals = _ray.get(totals_ref)
+        hosts = np.asarray(b.column("host").to_pylist(), dtype=object)
+        sup = b.column("support").to_numpy(zero_copy_only=False)
+        npages = np.fromiter(
+            (totals[h] for h in hosts), dtype=np.int64, count=hosts.size
+        )
+        boiler = (
+            (sup >= BOILER_MIN_SUPPORT)
+            & (sup * 1_000_000 >= BOILER_MIN_PPM * npages)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "host": pa.array(list(hosts), pa.string()),
+                "one": pa.array(np.ones(hosts.size, dtype=np.int64)),
+                "boiler": pa.array(boiler),
+            }
+        )
+        agg = t.group_by(["host"]).aggregate(
+            [("one", "sum"), ("boiler", "sum")]
+        )
+        return agg.rename_columns(["host", "n_lines", "n_boiler"])
+
+    folded = support.map_batches(
+        mark_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("host").aggregate(
+        Sum("n_lines", alias_name="n_distinct_lines"),
+        Sum("n_boiler", alias_name="n_boiler_lines"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        totals = _ray.get(totals_ref)
+        hosts = b.column("host").to_pylist()
+        nl = pc.cast(b.column("n_distinct_lines"), pa.int64())
+        nb = pc.cast(b.column("n_boiler_lines"), pa.int64())
+        npages = pa.array(
+            [totals[h] for h in hosts], pa.int64()
+        )
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "n_pages": npages,
+                "n_distinct_lines": nl,
+                "n_boiler_lines": nb,
+                "boiler_line_ppm": pc.divide(
+                    pc.multiply(nb, 1_000_000), nl
+                ),
+            }
+        )
+
+    return folded.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -12,10 +12,12 @@ import pytest
 import __ray_entry__ as entry
 from headson_ray.pipelines.webtext import (
     canonicalize_urls,
+    derive_boilerplate_pages,
     derive_mirror_observations,
     derive_url_variants,
     extraction_ratio_batch,
     extraction_ratios,
+    host_boilerplate_lines,
     host_crawl_overlap,
     host_lang_profile,
     mirror_host_detection,
@@ -138,6 +140,50 @@ def test_mirror_hosts_finds_only_aliases(pages):
     nb = t.column("n_b").to_pylist()
     for s, x, y in zip(sh, na, nb):
         assert min(x, y) == s  # alias side holds only mirrored pages
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_boilerplate_lines_matches_duckdb(pages):
+    cur, _ = pages
+    sql = entry.SQL_HOST_BOILERPLATE_LINES.replace(
+        entry._PAGES_GLOB, _glob(cur)
+    )
+    _compare(host_boilerplate_lines(cur), sql)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_boilerplate_detects_injected_lines(pages):
+    """Hosts with >= 2 pages detect at least the cookie banner (on every
+    page); multi-page hosts with even-i pages also catch nav/footer."""
+    cur, _ = pages
+    df = host_boilerplate_lines(cur).to_pandas()
+    multi = df[df["n_pages"] >= 4]
+    assert len(multi) > 0
+    # cookie banner is on 100% of pages -> always boilerplate
+    assert (multi["n_boiler_lines"] >= 1).all()
+    # hottest host: cookie + nav + footer all cross the 40% bar
+    top = df.sort_values("n_pages", ascending=False).iloc[0]
+    assert top["n_boiler_lines"] >= 3
+    # content lines are unique per page -> never flagged
+    assert (df["n_boiler_lines"] <= 3).all()
+
+
+def test_derive_boilerplate_pages_kernel():
+    t = pa.table(
+        {
+            "url": pa.array(
+                ["https://h.com/page/2", "https://h.com/page/3"]
+            ),
+            "text": pa.array(["body A", "body B"]),
+        }
+    )
+    out = derive_boilerplate_pages(t)
+    full = out.column("full_text").to_pylist()
+    assert full[0] == (
+        "cookie notice: h.com\nnav | h.com | home\nbody A\n"
+        "(c) h.com footer"
+    )
+    assert full[1] == "cookie notice: h.com\nbody B"
 
 
 def test_extraction_ratio_kernel_edges():
