@@ -204,6 +204,28 @@ def _q_host_boilerplate_lines(sf_dir: str):
     return host_boilerplate_lines(paths)
 
 
+def _q_host_link_graph(sf_dir: str):
+    """Host-level web link graph over the derived outlink stream —
+    webtext.py:host_link_graph."""
+    from headson_ray.pipelines.webtext import host_link_graph
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return host_link_graph(paths, rows)
+
+
+def _q_host_pagerank(sf_dir: str):
+    """Integer-exact PageRank over the host link graph —
+    webtext.py:host_pagerank."""
+    from headson_ray.pipelines.webtext import host_pagerank
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return host_pagerank(paths, rows)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = dict(QUERIES)
     q["summarize_pages"] = _q_summarize_pages
@@ -217,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["extraction_ratios"] = _q_extraction_ratios
     q["mirror_hosts"] = _q_mirror_hosts
     q["host_boilerplate_lines"] = _q_host_boilerplate_lines
+    q["host_link_graph"] = _q_host_link_graph
+    q["host_pagerank"] = _q_host_pagerank
     return q
 
 
@@ -489,6 +513,88 @@ FROM per p JOIN hp h USING (host)
 """
 
 
+# Derived outlinks: page i -> (i+1) % N and (7i+3) % N (page indices
+# are contiguous 0..N-1 in the materialized stream). Host-level edge
+# counts via a self-join on the target index.
+_SQL_LINK_GRAPH_BASE = f"""
+WITH src AS (
+  SELECT regexp_extract(url, {_DOMAIN_RE}, 1) AS host,
+         CAST(regexp_extract(url, '/page/([0-9]+)$', 1) AS BIGINT) AS i
+  FROM read_parquet('{_PAGES_GLOB}')
+), nn AS (
+  SELECT count(*) AS n FROM src
+), e AS (
+  SELECT s.host AS src_host, (s.i + 1) % nn.n AS t FROM src s CROSS JOIN nn
+  UNION ALL
+  SELECT s.host, (s.i * 7 + 3) % nn.n FROM src s CROSS JOIN nn
+), g AS (
+  SELECT e.src_host, d.host AS dst_host, count(*) AS n_links
+  FROM e JOIN src d ON d.i = e.t
+  GROUP BY 1, 2
+)"""
+
+SQL_HOST_LINK_GRAPH = (
+    _SQL_LINK_GRAPH_BASE
+    + """
+SELECT src_host, dst_host, CAST(n_links AS BIGINT) AS n_links FROM g
+"""
+)
+
+
+def _pagerank_sql() -> str:
+    """Chained-CTE mirror of webtext.host_pagerank: SCALE=1e9 fixed
+    point, floor division per edge, then 85%-damp floor + teleport —
+    identical arithmetic order to the numpy fold."""
+    from headson_ray.pipelines.webtext import (
+        PAGERANK_DAMP_PCT,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+    )
+
+    parts = [
+        _SQL_LINK_GRAPH_BASE
+        + f""", hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM g UNION SELECT dst_host FROM g
+  )
+), nh AS (
+  SELECT count(*) AS nh FROM hosts
+), outd AS (
+  SELECT src_host AS host, sum(n_links) AS outw FROM g GROUP BY 1
+), r0 AS (
+  SELECT host, CAST({PAGERANK_SCALE} // nh.nh AS BIGINT) AS r
+  FROM hosts CROSS JOIN nh
+)"""
+    ]
+    for k in range(1, PAGERANK_ITERS + 1):
+        parts.append(
+            f""", r{k} AS (
+  SELECT h.host,
+         CAST((15 * CAST({PAGERANK_SCALE} AS BIGINT) // 100) // nh.nh
+              + {PAGERANK_DAMP_PCT} * COALESCE(c.contrib, 0) // 100
+              AS BIGINT) AS r
+  FROM hosts h CROSS JOIN nh
+  LEFT JOIN (
+    SELECT g.dst_host AS host,
+           sum(r{k - 1}.r * g.n_links // o.outw) AS contrib
+    FROM g
+    JOIN r{k - 1} ON r{k - 1}.host = g.src_host
+    JOIN outd o ON o.host = g.src_host
+    GROUP BY 1
+  ) c ON c.host = h.host
+)"""
+        )
+    parts.append(
+        f"""
+SELECT host, CAST(r AS BIGINT) AS pr_rank FROM r{PAGERANK_ITERS}
+"""
+    )
+    return "".join(parts)
+
+
+SQL_HOST_PAGERANK = _pagerank_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     o = dict(ORACLE_SQL)
     o["sniff_pages"] = SQL_SNIFF_PAGES
@@ -500,4 +606,6 @@ def oracle_sql() -> dict[str, str]:
     o["extraction_ratios"] = SQL_EXTRACTION_RATIOS
     o["mirror_hosts"] = SQL_MIRROR_HOSTS
     o["host_boilerplate_lines"] = SQL_HOST_BOILERPLATE_LINES
+    o["host_link_graph"] = SQL_HOST_LINK_GRAPH
+    o["host_pagerank"] = SQL_HOST_PAGERANK
     return o

@@ -153,7 +153,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         for name in [
             "url_host_stats", "url_canonical_dedup", "host_crawl_overlap",
             "host_lang_profile", "extraction_ratios", "mirror_hosts",
-            "host_boilerplate_lines",
+            "host_boilerplate_lines", "host_link_graph", "host_pagerank",
         ]:
             t0 = time.time()
             res = eq[name](SF_DIR)

@@ -818,3 +818,150 @@ def host_boilerplate_lines(paths: list[str]) -> "ray.data.Dataset":
     return folded.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. host-level web link graph + PageRank
+# ---------------------------------------------------------------------------
+# Deterministic outlink derivation (mirrored in the oracle SQL): page i
+# links to pages (i+1) % N and (7*i+3) % N. Page indices are contiguous
+# 0..N-1 in the materialized stream, so every link target exists.
+LINK_MULT = 7
+LINK_ADD = 3
+PAGERANK_SCALE = 10**9
+PAGERANK_ITERS = 10
+PAGERANK_DAMP_PCT = 85
+
+
+def _link_explode(n_pages: int):
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "idx": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "host": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        host = _extract_host(b.column("url"))
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        i = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b.column("url"), pattern=_IDX_PATTERN), "i"
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        t1 = (i + 1) % n_pages
+        t2 = (i * LINK_MULT + LINK_ADD) % n_pages
+        hosts_np = np.asarray(host.to_pylist(), dtype=object)
+        idx = np.concatenate([i, t1, t2])
+        side = np.concatenate(
+            [
+                np.zeros(i.size, dtype=np.int64),
+                np.ones(2 * i.size, dtype=np.int64),
+            ]
+        )
+        host_col = np.concatenate([hosts_np, hosts_np, hosts_np])
+        return pa.table(
+            {
+                "idx": pa.array(idx),
+                "side": pa.array(side),
+                "host": pa.array(list(host_col), pa.string()),
+                "bucket": pa.array(idx % NUM_URL_BUCKETS),
+            }
+        )
+
+    return fn
+
+
+def _link_bucket_resolve(g: pa.Table) -> pa.Table:
+    """One page-index bucket: the node row of every index in the bucket
+    co-locates with all edge rows targeting it, so dst-host resolution
+    is a local searchsorted. Emits pre-aggregated (src_host, dst_host)
+    partial counts."""
+    idx = g.column("idx").to_numpy(zero_copy_only=False)
+    side = g.column("side").to_numpy(zero_copy_only=False)
+    hosts = np.asarray(g.column("host").to_pylist(), dtype=object)
+    nmask = side == 0
+    n_idx = idx[nmask]
+    n_host = hosts[nmask]
+    order = np.argsort(n_idx)
+    n_idx, n_host = n_idx[order], n_host[order]
+    e_t = idx[~nmask]
+    e_src = hosts[~nmask]
+    if e_t.size == 0:
+        return pa.table(
+            {
+                "src_host": pa.array([], pa.string()),
+                "dst_host": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    pos = np.searchsorted(n_idx, e_t)
+    dst = n_host[pos]
+    t = pa.table(
+        {
+            "src_host": pa.array(list(e_src), pa.string()),
+            "dst_host": pa.array(list(dst), pa.string()),
+            "n": pa.array(np.ones(e_t.size, dtype=np.int64)),
+        }
+    )
+    agg = t.group_by(["src_host", "dst_host"]).aggregate([("n", "sum")])
+    return agg.rename_columns(["src_host", "dst_host", "n_links"])
+
+
+def host_link_graph(paths: list[str], n_pages: int) -> "ray.data.Dataset":
+    """Host-level web link graph: (src_host, dst_host, n_links) over the
+    derived outlink stream. One shuffle co-locates each page index's
+    node row with the edge rows targeting it (dst-host resolution never
+    broadcasts the page->host map); the second shuffle carries only
+    per-(host-pair, bucket) partial counts."""
+    ds = ray.data.read_parquet(paths, columns=["url"])
+    rows = ds.map_batches(
+        _link_explode(n_pages),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    partials = rows.groupby("bucket").map_groups(
+        _link_bucket_resolve, batch_format="pyarrow"
+    )
+    return partials.groupby(["src_host", "dst_host"]).aggregate(
+        Sum("n_links", alias_name="n_links")
+    )
+
+
+def host_pagerank(paths: list[str], n_pages: int) -> pa.Table:
+    """Integer-exact PageRank over the host link graph (damping 0.85,
+    PAGERANK_ITERS iterations, SCALE=1e9 fixed point, floor division at
+    every step so the DuckDB chained-CTE oracle reproduces each rank
+    bit-for-bit).
+
+    The iteration folds on the driver over the HOST-level graph —
+    O(#hosts + #host-pairs) rows regardless of page count (the same
+    small-by-nature argument as mirror_host_detection); the expensive
+    page-level work is the distributed graph build."""
+    edges = host_link_graph(paths, n_pages).take_all()
+    hosts = sorted(
+        {e["src_host"] for e in edges} | {e["dst_host"] for e in edges}
+    )
+    hid = {h: k for k, h in enumerate(hosts)}
+    nh = len(hosts)
+    u = np.array([hid[e["src_host"]] for e in edges], dtype=np.int64)
+    v = np.array([hid[e["dst_host"]] for e in edges], dtype=np.int64)
+    w = np.array([int(e["n_links"]) for e in edges], dtype=np.int64)
+    out = np.bincount(u, weights=w, minlength=nh).astype(np.int64)
+    teleport = (15 * PAGERANK_SCALE // 100) // nh
+    r = np.full(nh, PAGERANK_SCALE // nh, dtype=np.int64)
+    for _ in range(PAGERANK_ITERS):
+        term = r[u] * w // out[u]
+        contrib = np.zeros(nh, dtype=np.int64)
+        np.add.at(contrib, v, term)
+        r = teleport + PAGERANK_DAMP_PCT * contrib // 100
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "pr_rank": pa.array(r),
+        }
+    )

@@ -168,6 +168,42 @@ def test_boilerplate_detects_injected_lines(pages):
     assert (df["n_boiler_lines"] <= 3).all()
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_host_link_graph_matches_duckdb(pages):
+    from headson_ray.pipelines.webtext import host_link_graph
+
+    cur, _ = pages
+    sql = entry.SQL_HOST_LINK_GRAPH.replace(entry._PAGES_GLOB, _glob(cur))
+    _compare(host_link_graph(cur, ROWS), sql)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_pagerank_matches_duckdb(pages):
+    from headson_ray.pipelines.webtext import host_pagerank
+
+    cur, _ = pages
+    sql = entry.SQL_HOST_PAGERANK.replace(entry._PAGES_GLOB, _glob(cur))
+    got = _norm(host_pagerank(cur, ROWS).to_pandas())
+    exp = _norm(duckdb.connect().execute(sql).df())
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_pagerank_hot_host_ranks_highest(pages):
+    """Zipf-hot hosts attract proportionally more inlinks, so the
+    hottest domain must carry the top PageRank."""
+    from headson_ray.pipelines.webtext import host_pagerank
+
+    cur, _ = pages
+    t = host_pagerank(cur, ROWS).to_pandas()
+    top = t.sort_values("pr_rank", ascending=False).iloc[0]
+    assert top["host"] == "wikipedia.org"
+    # ranks are positive and mass stays near SCALE (floor losses only)
+    assert (t["pr_rank"] > 0).all()
+    assert t["pr_rank"].sum() <= 1_000_000_000
+
+
 def test_derive_boilerplate_pages_kernel():
     t = pa.table(
         {
