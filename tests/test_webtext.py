@@ -204,6 +204,67 @@ def test_host_pagerank_hot_host_ranks_highest(pages):
     assert t["pr_rank"].sum() <= 1_000_000_000
 
 
+def test_mirror_bucket_partial_fuzz():
+    """Bucket partial (dedup -> per-host totals + pair counts) equals a
+    brute-force reference over random small buckets."""
+    import numpy as np
+    from collections import defaultdict
+
+    from headson_ray.pipelines.webtext import _mirror_bucket_partial
+
+    rng = np.random.RandomState(7)
+    for trial in range(100):
+        n = rng.randint(1, 40)
+        fps = rng.randint(0, 12, n).astype(np.int64)
+        hosts = [f"h{rng.randint(0, 6)}" for _ in range(n)]
+        g = pa.table({"fp": pa.array(fps), "host": pa.array(hosts)})
+        out = _mirror_bucket_partial(g)
+        obs = set(zip(hosts, fps.tolist()))
+        per_host: dict = defaultdict(int)
+        pairs: dict = defaultdict(int)
+        byfp: dict = defaultdict(set)
+        for h, f in obs:
+            per_host[h] += 1
+            byfp[f].add(h)
+        for f, hs in byfp.items():
+            hs2 = sorted(hs)
+            for x in range(len(hs2)):
+                for y in range(x + 1, len(hs2)):
+                    pairs[(hs2[x], hs2[y])] += 1
+        got_tot, got_pairs = {}, {}
+        for r in out.to_pylist():
+            if r["kind"] == 0:
+                got_tot[r["a"]] = r["n"]
+            else:
+                got_pairs[(r["a"], r["b"])] = r["n"]
+        assert got_tot == dict(per_host), trial
+        assert got_pairs == dict(pairs), trial
+
+
+def test_boiler_bucket_support_fuzz():
+    """Support counting in a bucket equals a brute-force group count."""
+    import numpy as np
+    from collections import Counter
+
+    from headson_ray.pipelines.webtext import _boiler_bucket_support
+
+    rng = np.random.RandomState(11)
+    for trial in range(100):
+        n = rng.randint(1, 50)
+        lh = rng.randint(0, 9, n).astype(np.int64)
+        hosts = [f"h{rng.randint(0, 4)}" for _ in range(n)]
+        g = pa.table({"lh": pa.array(lh), "host": pa.array(hosts)})
+        out = _boiler_bucket_support(g)
+        exp_counts = Counter(zip(hosts, lh.tolist()))
+        exp = Counter(
+            (h, c) for (h, _), c in exp_counts.items()
+        )  # per-host multiset of supports
+        rows = out.to_pylist()
+        assert len(rows) == len(exp_counts)
+        got = Counter((r["host"], r["support"]) for r in rows)
+        assert got == exp, trial
+
+
 def test_derive_boilerplate_pages_kernel():
     t = pa.table(
         {
