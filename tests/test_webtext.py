@@ -241,27 +241,44 @@ def test_mirror_bucket_partial_fuzz():
         assert got_pairs == dict(pairs), trial
 
 
-def test_boiler_bucket_support_fuzz():
-    """Support counting in a bucket equals a brute-force group count."""
+def test_boiler_explode_partials_fuzz():
+    """Per-batch (host, line) partial counts equal the brute-force
+    per-page-distinct line supports (summed over emitted partials)."""
     import numpy as np
     from collections import Counter
 
-    from headson_ray.pipelines.webtext import _boiler_bucket_support
+    from headson_ray.pipelines.webtext import (
+        _boiler_explode,
+        derive_boilerplate_pages,
+    )
 
     rng = np.random.RandomState(11)
-    for trial in range(100):
-        n = rng.randint(1, 50)
-        lh = rng.randint(0, 9, n).astype(np.int64)
-        hosts = [f"h{rng.randint(0, 4)}" for _ in range(n)]
-        g = pa.table({"lh": pa.array(lh), "host": pa.array(hosts)})
-        out = _boiler_bucket_support(g)
-        exp_counts = Counter(zip(hosts, lh.tolist()))
-        exp = Counter(
-            (h, c) for (h, _), c in exp_counts.items()
-        )  # per-host multiset of supports
-        rows = out.to_pylist()
-        assert len(rows) == len(exp_counts)
-        got = Counter((r["host"], r["support"]) for r in rows)
+    for trial in range(30):
+        n = rng.randint(1, 20)
+        urls, texts = [], []
+        for k in range(n):
+            h = f"h{rng.randint(0, 3)}.com"
+            urls.append(f"https://{h}/page/{rng.randint(0, 40)}")
+            n_lines = rng.randint(1, 5)
+            texts.append(
+                "\n".join(
+                    f"line-{rng.randint(0, 6)}" for _ in range(n_lines)
+                )
+            )
+        b = pa.table({"url": pa.array(urls), "text": pa.array(texts)})
+        out = _boiler_explode(b)
+        got: Counter = Counter()
+        for r in out.to_pylist():
+            got[(r["host"], r["lh"])] += r["c"]
+        # brute force over the derived full text
+        pages = derive_boilerplate_pages(b).to_pylist()
+        exp: Counter = Counter()
+        from headson_ray.stages.hashing import hash_strings
+
+        for p in pages:
+            for ln in set(p["full_text"].split("\n")):
+                lh = int(hash_strings([ln])[0].view(np.int64))
+                exp[(p["host"], lh)] += 1
         assert got == exp, trial
 
 
