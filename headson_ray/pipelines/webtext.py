@@ -655,16 +655,19 @@ def derive_boilerplate_pages(b: pa.Table) -> pa.Table:
 
 
 def _boiler_explode(b: pa.Table) -> pa.Table:
-    """Distinct (host, line) observations per page, bucketed by the
-    combined (host, line) hash so support counting completes inside one
-    bucket."""
+    """Per-batch PARTIAL support counts: one (host, lh, c) row per
+    distinct (host, line) in the batch, where c is how many of the
+    batch's pages carry that line (per-page distinct). Boilerplate lines
+    — the common case worth counting — collapse to one row per batch
+    before they ever hit the shuffle. One lexsort serves both the
+    per-page distinct-line dedup and the partial run counting."""
     pages = derive_boilerplate_pages(b)
     if pages.num_rows == 0:
         return pa.table(
             {
                 "host": pa.array([], pa.string()),
                 "lh": pa.array([], pa.int64()),
-                "bucket": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
             }
         )
     lines = pc.split_pattern(pages.column("full_text"), pattern="\n")
@@ -679,44 +682,31 @@ def _boiler_explode(b: pa.Table) -> pa.Table:
     lh = hash_strings(flat.to_pylist())
     hosts = np.asarray(pages.column("host").to_pylist(), dtype=object)
     hh = hash_strings([str(h) for h in hosts])
-    # per-page distinct lines (a page repeating its own line counts once)
-    order = np.lexsort((lh, page_idx))
+    # sort by (host-hash, line-hash, page): a page's repeats of its own
+    # line land adjacent (dedup), and all of a (host, line)'s pages land
+    # in one run (counting). An hh collision between two hosts only
+    # splits a run across extra partial rows — downstream sums are exact
+    # because run boundaries compare the host STRINGS.
+    hh_rep = hh[page_idx]
+    order = np.lexsort((page_idx, lh, hh_rep))
     p_s, l_s = page_idx[order], lh[order]
+    # per-page distinct lines (a page repeating its own line counts
+    # once); same page implies same host, so (page, lh) is the full key
     keep = np.empty(p_s.size, dtype=bool)
-    if p_s.size:
-        keep[0] = True
-        keep[1:] = (p_s[1:] != p_s[:-1]) | (l_s[1:] != l_s[:-1])
+    keep[0] = True
+    keep[1:] = (p_s[1:] != p_s[:-1]) | (l_s[1:] != l_s[:-1])
     p_s, l_s = p_s[keep], l_s[keep]
-    host_col = hosts[p_s]
-    bucket = ((hh[p_s] ^ l_s) % np.uint64(NUM_URL_BUCKETS)).astype(
-        np.int64
-    )
-    return pa.table(
-        {
-            "host": pa.array(list(host_col), pa.string()),
-            "lh": pa.array(l_s.view(np.int64)),
-            "bucket": pa.array(bucket),
-        }
-    )
-
-
-def _boiler_bucket_support(g: pa.Table) -> pa.Table:
-    """One (host, line)-hash bucket: support (pages carrying the line on
-    that host) completes locally; one (host, support) row per distinct
-    (host, line) leaves."""
-    lh = g.column("lh").to_numpy(zero_copy_only=False)
-    hosts = np.asarray(g.column("host").to_pylist(), dtype=object)
-    order = np.lexsort((hosts, lh))
-    l_s, h_s = lh[order], hosts[order]
+    h_s = hosts[p_s]
     new = np.empty(l_s.size, dtype=bool)
     new[0] = True
     new[1:] = (l_s[1:] != l_s[:-1]) | (h_s[1:] != h_s[:-1])
     starts = np.flatnonzero(new)
-    support = np.diff(np.append(starts, l_s.size))
+    c = np.diff(np.append(starts, l_s.size)).astype(np.int64)
     return pa.table(
         {
             "host": pa.array(list(h_s[starts]), pa.string()),
-            "support": pa.array(support.astype(np.int64)),
+            "lh": pa.array(l_s[starts].view(np.int64)),
+            "c": pa.array(c),
         }
     )
 
@@ -727,9 +717,12 @@ def host_boilerplate_lines(paths: list[str]) -> "ray.data.Dataset":
     the host's pages), and the boilerplate fraction in ppm.
 
     Scale posture: pages never materialize past their own batch; the
-    line shuffle carries one row per distinct (host, line); host page
-    totals are #hosts-sized by nature, built with a pre-aggregated
-    groupby and broadcast once via ray.put."""
+    line shuffle carries per-batch PARTIAL (host, line, count) rows —
+    one row per distinct (host, line) per batch, so high-support
+    boilerplate lines collapse before the exchange — folded by a native
+    hash aggregate (no sort stage); host page totals are #hosts-sized by
+    nature, built with a pre-aggregated groupby and broadcast once via
+    ray.put."""
     import ray as _ray
 
     ds = ray.data.read_parquet(paths, columns=["url", "text"])
@@ -759,10 +752,12 @@ def host_boilerplate_lines(paths: list[str]) -> "ray.data.Dataset":
     n_pages_by_host = {r["host"]: int(r["n_pages"]) for r in totals_rows}
     totals_ref = _ray.put(n_pages_by_host)
 
-    support = ds.map_batches(
-        _boiler_explode, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("bucket").map_groups(
-        _boiler_bucket_support, batch_format="pyarrow"
+    support = (
+        ds.map_batches(
+            _boiler_explode, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["host", "lh"])
+        .aggregate(Sum("c", alias_name="support"))
     )
 
     def mark_partial(b: pa.Table) -> pa.Table:
