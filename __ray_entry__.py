@@ -226,6 +226,17 @@ def _q_host_pagerank(sf_dir: str):
     return host_pagerank(paths, rows)
 
 
+def _q_host_anchor_terms(sf_dir: str):
+    """Top anchor terms per destination host over the derived link
+    stream — webtext.py:host_anchor_terms."""
+    from headson_ray.pipelines.webtext import host_anchor_terms
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return host_anchor_terms(paths, rows)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = dict(QUERIES)
     q["summarize_pages"] = _q_summarize_pages
@@ -241,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["host_boilerplate_lines"] = _q_host_boilerplate_lines
     q["host_link_graph"] = _q_host_link_graph
     q["host_pagerank"] = _q_host_pagerank
+    q["host_anchor_terms"] = _q_host_anchor_terms
     return q
 
 
@@ -595,6 +607,45 @@ SELECT host, CAST(r AS BIGINT) AS pr_rank FROM r{PAGERANK_ITERS}
 SQL_HOST_PAGERANK = _pagerank_sql()
 
 
+# Anchor terms derive from (src_i, t) alone — mirrored from
+# webtext._anchor_explode: w<(i*5 + t*2) % 97> and w<(i + t*3) % 53> —
+# then count per destination host and keep the top 3 per host with ties
+# broken by lexicographically smallest term (webtext._anchor_topk's
+# lexsort((term, -n)) order).
+SQL_HOST_ANCHOR_TERMS = f"""
+WITH src AS (
+  SELECT regexp_extract(url, {_DOMAIN_RE}, 1) AS host,
+         CAST(regexp_extract(url, '/page/([0-9]+)$', 1) AS BIGINT) AS i
+  FROM read_parquet('{_PAGES_GLOB}')
+), nn AS (
+  SELECT count(*) AS n FROM src
+), e AS (
+  SELECT s.i AS src_i, (s.i + 1) % nn.n AS t FROM src s CROSS JOIN nn
+  UNION ALL
+  SELECT s.i, (s.i * 7 + 3) % nn.n FROM src s CROSS JOIN nn
+), et AS (
+  SELECT t, 'w' || CAST((src_i * 5 + t * 2) % 97 AS VARCHAR) AS term
+  FROM e
+  UNION ALL
+  SELECT t, 'w' || CAST((src_i + t * 3) % 53 AS VARCHAR) FROM e
+), c AS (
+  SELECT d.host AS dst_host, et.term, count(*) AS n_mentions
+  FROM et JOIN src d ON d.i = et.t
+  GROUP BY 1, 2
+), r AS (
+  SELECT dst_host, term, n_mentions,
+         row_number() OVER (
+           PARTITION BY dst_host ORDER BY n_mentions DESC, term ASC
+         ) AS rnk
+  FROM c
+)
+SELECT dst_host, term,
+       CAST(n_mentions AS BIGINT) AS n_mentions,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o = dict(ORACLE_SQL)
     o["sniff_pages"] = SQL_SNIFF_PAGES
@@ -608,4 +659,5 @@ def oracle_sql() -> dict[str, str]:
     o["host_boilerplate_lines"] = SQL_HOST_BOILERPLATE_LINES
     o["host_link_graph"] = SQL_HOST_LINK_GRAPH
     o["host_pagerank"] = SQL_HOST_PAGERANK
+    o["host_anchor_terms"] = SQL_HOST_ANCHOR_TERMS
     return o

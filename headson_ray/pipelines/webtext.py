@@ -41,6 +41,14 @@ selection, each Ray-Data-first and DuckDB-oracled:
   (host, support) rows plus tiny per-host partials shuffle; host page
   totals broadcast once (host-count-sized by nature).
 
+- ``host_anchor_terms``: anchor-text aggregation per destination host
+  (the classic web-search relevance signal: what the web calls a site).
+  Anchor terms derive deterministically from each (src, dst) edge at
+  explode time — no lookup needed — so only dst-HOST resolution rides
+  the page-index-bucket shuffle the link graph already uses; term
+  counts pre-aggregate in-bucket and the per-host top-k runs on at most
+  #distinct-terms rows per host.
+
 The reference has no crawl-level operators (it is a per-document
 summarizer, /root/reference/src/main.rs); these extend the engine along
 the training-data axis the way decontam_flags / text_scrub do.
@@ -959,4 +967,167 @@ def host_pagerank(paths: list[str], n_pages: int) -> pa.Table:
             "host": pa.array(hosts, pa.string()),
             "pr_rank": pa.array(r),
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# 9. anchor-text aggregation per destination host
+# ---------------------------------------------------------------------------
+# Deterministic anchor derivation (mirrored in the oracle SQL): the
+# link from page i to target page t carries two anchor terms,
+#   w<(i*5 + t*2) % 97>   and   w<(i + t*3) % 53>.
+# Terms depend only on (i, t), so they are computed AT EXPLODE TIME on
+# the source page's batch — nothing is looked up or broadcast; only the
+# dst-HOST resolution needs the page-index-bucket shuffle that
+# host_link_graph already uses.
+ANCHOR_MOD_A = 97
+ANCHOR_MOD_B = 53
+ANCHOR_TOP_K = 3
+
+
+def _anchor_explode(n_pages: int):
+    """Node rows (side=0: page index -> host) and edge-term rows
+    (side=1: target index + derived anchor term), bucketed by page
+    index so dst-host resolution completes inside one bucket."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "idx": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "host": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        host = _extract_host(b.column("url"))
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        i = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b.column("url"), pattern=_IDX_PATTERN), "i"
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        t1 = (i + 1) % n_pages
+        t2 = (i * LINK_MULT + LINK_ADD) % n_pages
+        targets = np.concatenate([t1, t2])
+        srcs = np.concatenate([i, i])
+        term_a = (srcs * 5 + targets * 2) % ANCHOR_MOD_A
+        term_b = (srcs + targets * 3) % ANCHOR_MOD_B
+        hosts_np = np.asarray(host.to_pylist(), dtype=object)
+        n_edge_terms = 2 * targets.size
+        idx = np.concatenate([i, targets, targets])
+        side = np.concatenate(
+            [
+                np.zeros(i.size, dtype=np.int64),
+                np.ones(n_edge_terms, dtype=np.int64),
+            ]
+        )
+        host_col = np.concatenate(
+            [hosts_np, np.full(n_edge_terms, "", dtype=object)]
+        )
+        terms = np.concatenate(
+            [
+                np.full(i.size, "", dtype=object),
+                np.char.add("w", term_a.astype(str)).astype(object),
+                np.char.add("w", term_b.astype(str)).astype(object),
+            ]
+        )
+        return pa.table(
+            {
+                "idx": pa.array(idx),
+                "side": pa.array(side),
+                "host": pa.array(list(host_col), pa.string()),
+                "term": pa.array(list(terms), pa.string()),
+                "bucket": pa.array(idx % NUM_URL_BUCKETS),
+            }
+        )
+
+    return fn
+
+
+def _anchor_bucket_resolve(g: pa.Table) -> pa.Table:
+    """One page-index bucket: resolve each edge-term row's target index
+    to its host locally (searchsorted over the bucket's node rows) and
+    emit pre-aggregated (dst_host, term) partial counts."""
+    idx = g.column("idx").to_numpy(zero_copy_only=False)
+    side = g.column("side").to_numpy(zero_copy_only=False)
+    hosts = np.asarray(g.column("host").to_pylist(), dtype=object)
+    terms = np.asarray(g.column("term").to_pylist(), dtype=object)
+    nmask = side == 0
+    n_idx = idx[nmask]
+    n_host = hosts[nmask]
+    order = np.argsort(n_idx)
+    n_idx, n_host = n_idx[order], n_host[order]
+    e_t = idx[~nmask]
+    e_term = terms[~nmask]
+    if e_t.size == 0:
+        return pa.table(
+            {
+                "dst_host": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    pos = np.searchsorted(n_idx, e_t)
+    dst = n_host[pos]
+    t = pa.table(
+        {
+            "dst_host": pa.array(list(dst), pa.string()),
+            "term": pa.array(list(e_term), pa.string()),
+            "n": pa.array(np.ones(e_t.size, dtype=np.int64)),
+        }
+    )
+    agg = t.group_by(["dst_host", "term"]).aggregate([("n", "sum")])
+    return agg.rename_columns(["dst_host", "term", "n_mentions"])
+
+
+def _anchor_topk(g: pa.Table) -> pa.Table:
+    """One destination host: keep the ANCHOR_TOP_K most-mentioned anchor
+    terms, ties broken by lexicographically smallest term. The group is
+    at most #distinct-terms rows (bounded by the derivation moduli)."""
+    n = g.column("n_mentions").to_numpy(zero_copy_only=False)
+    terms = np.asarray(g.column("term").to_pylist(), dtype=object)
+    order = np.lexsort((terms, -n))
+    k = min(ANCHOR_TOP_K, n.size)
+    sel = order[:k]
+    return pa.table(
+        {
+            "dst_host": g.column("dst_host").take(pa.array(sel)),
+            "term": pa.array(list(terms[sel]), pa.string()),
+            "n_mentions": pa.array(n[sel].astype(np.int64)),
+            "rnk": pa.array(np.arange(1, k + 1, dtype=np.int64)),
+        }
+    )
+
+
+def host_anchor_terms(paths: list[str], n_pages: int) -> "ray.data.Dataset":
+    """Top anchor terms per destination host over the derived link
+    stream — the classic web-search signal (what the linking web calls
+    a site).
+
+    Scale posture: anchor terms are derived at explode time from
+    (src, dst) alone, so nothing is looked up or broadcast; ONE
+    page-index-bucket shuffle (the same partitioning key as
+    host_link_graph) co-locates node and edge rows for dst-host
+    resolution; per-(dst_host, term) counts pre-aggregate in-bucket, so
+    the second shuffle carries at most #hosts x #terms rows per bucket;
+    the per-host top-k group is bounded by the term-space size, never
+    by page count."""
+    ds = ray.data.read_parquet(paths, columns=["url"])
+    rows = ds.map_batches(
+        _anchor_explode(n_pages),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    partials = rows.groupby("bucket").map_groups(
+        _anchor_bucket_resolve, batch_format="pyarrow"
+    )
+    counts = partials.groupby(["dst_host", "term"]).aggregate(
+        Sum("n_mentions", alias_name="n_mentions")
+    )
+    return counts.groupby("dst_host").map_groups(
+        _anchor_topk, batch_format="pyarrow"
     )

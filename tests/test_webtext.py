@@ -190,6 +190,80 @@ def test_host_pagerank_matches_duckdb(pages):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_host_anchor_terms_matches_duckdb(pages):
+    from headson_ray.pipelines.webtext import host_anchor_terms
+
+    cur, _ = pages
+    sql = entry.SQL_HOST_ANCHOR_TERMS.replace(
+        entry._PAGES_GLOB, _glob(cur)
+    )
+    _compare(host_anchor_terms(cur, ROWS), sql)
+
+
+def test_anchor_bucket_resolve_partial_fuzz():
+    """In-bucket dst-host resolution + partial counting equals a
+    brute-force reference over random node/edge-term mixes."""
+    import numpy as np
+    from collections import Counter
+
+    from headson_ray.pipelines.webtext import _anchor_bucket_resolve
+
+    rng = np.random.RandomState(3)
+    for trial in range(100):
+        n_nodes = rng.randint(1, 12)
+        node_idx = rng.choice(1000, n_nodes, replace=False).astype(
+            np.int64
+        )
+        node_host = [f"h{rng.randint(0, 4)}" for _ in range(n_nodes)]
+        n_edges = rng.randint(0, 30)
+        e_t = node_idx[rng.randint(0, n_nodes, n_edges)]
+        e_term = [f"w{rng.randint(0, 9)}" for _ in range(n_edges)]
+        g = pa.table(
+            {
+                "idx": pa.array(
+                    np.concatenate([node_idx, e_t]), pa.int64()
+                ),
+                "side": pa.array(
+                    [0] * n_nodes + [1] * n_edges, pa.int64()
+                ),
+                "host": pa.array(
+                    node_host + [""] * n_edges, pa.string()
+                ),
+                "term": pa.array(
+                    [""] * n_nodes + e_term, pa.string()
+                ),
+            }
+        )
+        out = _anchor_bucket_resolve(g)
+        got: Counter = Counter()
+        for r in out.to_pylist():
+            got[(r["dst_host"], r["term"])] += r["n_mentions"]
+        by_idx = dict(zip(node_idx.tolist(), node_host))
+        exp: Counter = Counter()
+        for t, term in zip(e_t.tolist(), e_term):
+            exp[(by_idx[t], term)] += 1
+        assert got == exp, trial
+
+
+def test_anchor_topk_order_and_ties():
+    from headson_ray.pipelines.webtext import _anchor_topk
+
+    g = pa.table(
+        {
+            "dst_host": pa.array(["h"] * 4),
+            "term": pa.array(["w9", "w2", "w5", "w1"]),
+            "n_mentions": pa.array([3, 7, 3, 1], pa.int64()),
+        }
+    )
+    out = _anchor_topk(g).to_pylist()
+    assert [(r["term"], r["n_mentions"], r["rnk"]) for r in out] == [
+        ("w2", 7, 1),
+        ("w5", 3, 2),
+        ("w9", 3, 3),
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_host_pagerank_hot_host_ranks_highest(pages):
     """Zipf-hot hosts attract proportionally more inlinks, so the
     hottest domain must carry the top PageRank."""
