@@ -226,6 +226,18 @@ def _q_host_pagerank(sf_dir: str):
     return host_pagerank(paths, rows)
 
 
+def _q_host_change_rate(sf_dir: str):
+    """Per-host inter-crawl content change rate (freshness signal) —
+    webtext.py:host_change_rate."""
+    from headson_ray.pipelines.webtext import host_change_rate
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    prior = materialize_pages(rows // 2, tag=f"q-{rows}")
+    return host_change_rate(paths, prior)
+
+
 def _q_host_anchor_terms(sf_dir: str):
     """Top anchor terms per destination host over the derived link
     stream — webtext.py:host_anchor_terms."""
@@ -253,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["host_link_graph"] = _q_host_link_graph
     q["host_pagerank"] = _q_host_pagerank
     q["host_anchor_terms"] = _q_host_anchor_terms
+    q["host_change_rate"] = _q_host_change_rate
     return q
 
 
@@ -607,6 +620,34 @@ SELECT host, CAST(r AS BIGINT) AS pr_rank FROM r{PAGERANK_ITERS}
 SQL_HOST_PAGERANK = _pagerank_sql()
 
 
+# Inter-crawl change detection: the CURRENT crawl serves updated
+# content (text || ' rev2') for pages with i % 5 == 0 — mirrored from
+# webtext._change_explode. The SQL compares the text itself where the
+# Ray side compares 64-bit content fingerprints — identical output
+# absent hash collisions (same contract as mirror_hosts). Only urls
+# present in both crawls produce rows.
+SQL_HOST_CHANGE_RATE = f"""
+WITH cur AS (
+  SELECT DISTINCT url, regexp_extract(url, {_DOMAIN_RE}, 1) AS host,
+         CASE WHEN CAST(regexp_extract(url, '/page/([0-9]+)$', 1)
+                    AS BIGINT) % 5 = 0
+              THEN text || ' rev2' ELSE text END AS text
+  FROM read_parquet('{_PAGES_GLOB}')
+), pr AS (
+  SELECT DISTINCT url, text FROM read_parquet('{_PRIOR_GLOB}')
+), j AS (
+  SELECT cur.host,
+         CASE WHEN cur.text <> pr.text THEN 1 ELSE 0 END AS chg
+  FROM cur JOIN pr USING (url)
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_refetched,
+       CAST(sum(chg) AS BIGINT) AS n_changed,
+       CAST(sum(chg) * 1000000 // count(*) AS BIGINT) AS change_ppm
+FROM j GROUP BY host
+"""
+
+
 # Anchor terms derive from (src_i, t) alone — mirrored from
 # webtext._anchor_explode: w<(i*5 + t*2) % 97> and w<(i + t*3) % 53> —
 # then count per destination host and keep the top 3 per host with ties
@@ -660,4 +701,5 @@ def oracle_sql() -> dict[str, str]:
     o["host_link_graph"] = SQL_HOST_LINK_GRAPH
     o["host_pagerank"] = SQL_HOST_PAGERANK
     o["host_anchor_terms"] = SQL_HOST_ANCHOR_TERMS
+    o["host_change_rate"] = SQL_HOST_CHANGE_RATE
     return o

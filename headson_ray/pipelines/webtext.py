@@ -41,6 +41,12 @@ selection, each Ray-Data-first and DuckDB-oracled:
   (host, support) rows plus tiny per-host partials shuffle; host page
   totals broadcast once (host-count-sized by nature).
 
+- ``host_change_rate``: inter-crawl content change rate per host (the
+  crawl-scheduler's freshness / revisit-priority input). Same
+  partitioned url-hash semi-join posture as ``host_crawl_overlap``,
+  comparing 64-bit content fingerprints in-bucket; the current crawl
+  carries a deterministic revision injection (i % 5 == 0 pages get
+  updated text) so detection has a known exact answer.
 - ``host_anchor_terms``: anchor-text aggregation per destination host
   (the classic web-search relevance signal: what the web calls a site).
   Anchor terms derive deterministically from each (src, dst) edge at
@@ -362,6 +368,174 @@ def host_crawl_overlap(
                 "n_urls": n,
                 "n_overlap": o,
                 "overlap_ppm": pc.divide(pc.multiply(o, 1_000_000), n),
+            }
+        )
+
+    return agg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3b. inter-crawl content change rate per host (freshness signal)
+# ---------------------------------------------------------------------------
+# Deterministic revision derivation (mirrored in the oracle SQL): in the
+# CURRENT crawl, pages with i % 5 == 0 carry updated content (text +
+# " rev2"); the prior crawl serves the original text. Change detection
+# must recover exactly these: a refetched url is "changed" when its
+# current content fingerprint differs from the prior crawl's.
+CHANGE_REV_MOD = 5
+
+
+def _change_explode(side: int):
+    """(url-hash, content-fp, side, host) rows bucketed by url hash so
+    the prior/current fingerprint comparison completes inside one
+    bucket. side 0 = current crawl (with the derived revisions),
+    side 1 = prior crawl."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "uh": pa.array([], pa.int64()),
+                    "fp": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "host": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        urls = b.column("url").to_pylist()
+        uh = hash_strings(urls)
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if side == 0:
+            i = pc.cast(
+                pc.struct_field(
+                    pc.extract_regex(
+                        b.column("url"), pattern=_IDX_PATTERN
+                    ),
+                    "i",
+                ),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            text = pc.if_else(
+                pa.array(i % CHANGE_REV_MOD == 0),
+                pc.binary_join_element_wise(text, " rev2", ""),
+                text,
+            )
+            host = _extract_host(b.column("url"))
+        else:
+            host = pa.array([""] * len(urls), pa.string())
+        fp = hash_strings(text.to_pylist())
+        bucket = (uh % np.uint64(NUM_URL_BUCKETS)).astype(np.int64)
+        return pa.table(
+            {
+                "uh": pa.array(uh.view(np.int64)),
+                "fp": pa.array(fp.view(np.int64)),
+                "side": pa.array(np.full(len(urls), side, np.int64)),
+                "host": host,
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    return fn
+
+
+def _change_bucket_partial(g: pa.Table) -> pa.Table:
+    """One url-hash bucket: every occurrence of a url (either crawl)
+    lands here, so the fingerprint comparison is local. Only refetched
+    urls (present in both crawls) produce rows; per-host partial counts
+    leave (at most one row per (host, bucket))."""
+    uh = g.column("uh").to_numpy(zero_copy_only=False).view(np.uint64)
+    fp = g.column("fp").to_numpy(zero_copy_only=False)
+    side = g.column("side").to_numpy(zero_copy_only=False)
+    hosts = np.asarray(g.column("host").to_pylist(), dtype=object)
+    pmask = side == 1
+    p_uh, p_fp = uh[pmask], fp[pmask]
+    order = np.argsort(p_uh)
+    p_uh, p_fp = p_uh[order], p_fp[order]
+    # distinct prior urls (first occurrence; the derived stream never
+    # repeats a url within a crawl, so the pick is moot by construction)
+    if p_uh.size:
+        first = np.empty(p_uh.size, dtype=bool)
+        first[0] = True
+        first[1:] = p_uh[1:] != p_uh[:-1]
+        p_uh, p_fp = p_uh[first], p_fp[first]
+    c_uh, c_fp, c_host = uh[~pmask], fp[~pmask], hosts[~pmask]
+    empty = pa.table(
+        {
+            "host": pa.array([], pa.string()),
+            "n_refetched": pa.array([], pa.int64()),
+            "n_changed": pa.array([], pa.int64()),
+        }
+    )
+    if c_uh.size == 0 or p_uh.size == 0:
+        return empty
+    _, first_idx = np.unique(c_uh, return_index=True)
+    c_uh, c_fp, c_host = (
+        c_uh[first_idx],
+        c_fp[first_idx],
+        c_host[first_idx],
+    )
+    pos = np.searchsorted(p_uh, c_uh)
+    pos[pos >= p_uh.size] = 0
+    refetched = p_uh[pos] == c_uh
+    if not refetched.any():
+        return empty
+    changed = (p_fp[pos] != c_fp) & refetched
+    t = pa.table(
+        {
+            "host": pa.array(list(c_host[refetched]), pa.string()),
+            "one": pa.array(
+                np.ones(int(refetched.sum()), dtype=np.int64)
+            ),
+            "chg": pa.array(changed[refetched].astype(np.int64)),
+        }
+    )
+    agg = t.group_by(["host"]).aggregate([("one", "sum"), ("chg", "sum")])
+    return agg.rename_columns(["host", "n_refetched", "n_changed"])
+
+
+def host_change_rate(
+    cur_paths: list[str], prior_paths: list[str]
+) -> "ray.data.Dataset":
+    """Per-host content change rate between crawls: of the urls present
+    in both crawls, how many changed content — the crawl-scheduler's
+    freshness / revisit-priority input.
+
+    Scale posture: same partitioned hash semi-join as
+    host_crawl_overlap — ONE url-hash-bucket shuffle of (hash, fp,
+    side, host) rows, fingerprint comparison completes in-bucket, and
+    only per-(host, bucket) partial counts enter the final groupby; no
+    crawl is collected or broadcast and the driver never sees a url."""
+    cur = ray.data.read_parquet(
+        cur_paths, columns=["url", "text"]
+    ).map_batches(
+        _change_explode(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    prior = ray.data.read_parquet(
+        prior_paths, columns=["url", "text"]
+    ).map_batches(
+        _change_explode(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = cur.union(prior).groupby("bucket").map_groups(
+        _change_bucket_partial, batch_format="pyarrow"
+    )
+    agg = partials.groupby("host").aggregate(
+        Sum("n_refetched", alias_name="n_refetched"),
+        Sum("n_changed", alias_name="n_changed"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n_refetched"), pa.int64())
+        c = pc.cast(b.column("n_changed"), pa.int64())
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "n_refetched": n,
+                "n_changed": c,
+                "change_ppm": pc.divide(pc.multiply(c, 1_000_000), n),
             }
         )
 

@@ -190,6 +190,67 @@ def test_host_pagerank_matches_duckdb(pages):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_host_change_rate_matches_duckdb(pages):
+    from headson_ray.pipelines.webtext import host_change_rate
+
+    cur, prior = pages
+    sql = entry.SQL_HOST_CHANGE_RATE.replace(
+        entry._PAGES_GLOB, _glob(cur)
+    ).replace(entry._PRIOR_GLOB, _glob(prior))
+    _compare(host_change_rate(cur, prior), sql)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_change_rate_exact_on_aligned_shards(tmp_path):
+    """When the prior crawl's shards are a prefix of the current
+    crawl's (same rows-per-shard rng streams), shared urls carry
+    identical base text, so the changed set is EXACTLY the derived
+    i % 5 == 0 revisions."""
+    from headson_ray.pipelines.webtext import host_change_rate
+
+    base = str(tmp_path)
+    cur = materialize_pages(
+        1000, num_shards=2, tag="chg-al", base_dir=base
+    )
+    prior = materialize_pages(
+        500, num_shards=1, tag="chg-al", base_dir=base
+    )
+    df = host_change_rate(cur, prior).to_pandas()
+    # brute force over the actual files
+    import pyarrow.parquet as pq
+    import re as _re
+    from collections import Counter
+
+    def load(paths):
+        out = {}
+        for p in paths:
+            t = pq.read_table(p)
+            for u, tx in zip(
+                t.column("url").to_pylist(), t.column("text").to_pylist()
+            ):
+                out[u] = tx
+        return out
+
+    cur_m, prior_m = load(cur), load(prior)
+    exp_ref: Counter = Counter()
+    exp_chg: Counter = Counter()
+    for u, tx in cur_m.items():
+        if u not in prior_m:
+            continue
+        host = _re.match(r"https://([^/]+)/", u).group(1)
+        i = int(u.rsplit("/", 1)[1])
+        cur_tx = tx + " rev2" if i % 5 == 0 else tx
+        exp_ref[host] += 1
+        exp_chg[host] += int(cur_tx != prior_m[u])
+        # aligned prefix: base text identical, so change <=> revision
+        assert (cur_tx != prior_m[u]) == (i % 5 == 0), u
+    got_ref = dict(zip(df["host"], df["n_refetched"]))
+    got_chg = dict(zip(df["host"], df["n_changed"]))
+    assert got_ref == dict(exp_ref)
+    assert got_chg == dict(exp_chg)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_host_anchor_terms_matches_duckdb(pages):
     from headson_ray.pipelines.webtext import host_anchor_terms
 
