@@ -226,6 +226,17 @@ def _q_host_pagerank(sf_dir: str):
     return host_pagerank(paths, rows)
 
 
+def _q_host_crawl_budget(sf_dir: str):
+    """Per-host politeness cut: earliest BUDGET_PER_HOST fetches per
+    host — webtext.py:host_crawl_budget."""
+    from headson_ray.pipelines.webtext import host_crawl_budget
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return host_crawl_budget(paths)
+
+
 def _q_host_change_rate(sf_dir: str):
     """Per-host inter-crawl content change rate (freshness signal) —
     webtext.py:host_change_rate."""
@@ -266,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["host_pagerank"] = _q_host_pagerank
     q["host_anchor_terms"] = _q_host_anchor_terms
     q["host_change_rate"] = _q_host_change_rate
+    q["host_crawl_budget"] = _q_host_crawl_budget
     return q
 
 
@@ -620,6 +632,27 @@ SELECT host, CAST(r AS BIGINT) AS pr_rank FROM r{PAGERANK_ITERS}
 SQL_HOST_PAGERANK = _pagerank_sql()
 
 
+# Politeness cut mirror: earliest BUDGET_PER_HOST fetches per host by
+# (warc_ts, url) — urls are unique so the order is total and the cut
+# deterministic (webtext._budget_partial/_budget_final).
+SQL_HOST_CRAWL_BUDGET = f"""
+WITH src AS (
+  SELECT url, regexp_extract(url, {_DOMAIN_RE}, 1) AS host,
+         epoch_us(warc_ts) AS ts_us
+  FROM read_parquet('{_PAGES_GLOB}')
+), r AS (
+  SELECT host, url, ts_us,
+         row_number() OVER (
+           PARTITION BY host ORDER BY ts_us ASC, url ASC
+         ) AS rnk
+  FROM src
+)
+SELECT host, url, CAST(ts_us AS BIGINT) AS ts_us,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 8
+"""
+
+
 # Inter-crawl change detection: the CURRENT crawl serves updated
 # content (text || ' rev2') for pages with i % 5 == 0 — mirrored from
 # webtext._change_explode. The SQL compares the text itself where the
@@ -702,4 +735,5 @@ def oracle_sql() -> dict[str, str]:
     o["host_pagerank"] = SQL_HOST_PAGERANK
     o["host_anchor_terms"] = SQL_HOST_ANCHOR_TERMS
     o["host_change_rate"] = SQL_HOST_CHANGE_RATE
+    o["host_crawl_budget"] = SQL_HOST_CRAWL_BUDGET
     return o

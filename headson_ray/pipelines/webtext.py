@@ -545,6 +545,88 @@ def host_change_rate(
 
 
 # ---------------------------------------------------------------------------
+# 3c. per-host crawl-budget enforcement (politeness)
+# ---------------------------------------------------------------------------
+# Keep each host's earliest BUDGET_PER_HOST fetches by (warc_ts, url) —
+# the crawl-frontier politeness cut. Classic two-phase distributed
+# top-k: every batch trims to at most B rows per host BEFORE the
+# shuffle, so the exchange carries <= B x #hosts x #blocks rows and the
+# per-host final group is tiny regardless of corpus size.
+BUDGET_PER_HOST = 8
+
+
+def _budget_partial(b: pa.Table) -> pa.Table:
+    """Per-batch trim: at most BUDGET_PER_HOST earliest (ts, url) rows
+    per host leave the batch. One lexsort orders (host, ts, url);
+    run-relative ranks come from a single cumulative-offset subtraction."""
+    if b.num_rows == 0:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "url": pa.array([], pa.string()),
+                "ts_us": pa.array([], pa.int64()),
+            }
+        )
+    host = _extract_host(b.column("url"))
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+    hosts = np.asarray(host.to_pylist(), dtype=object)
+    urls = np.asarray(b.column("url").to_pylist(), dtype=object)
+    ts = pc.cast(b.column("warc_ts"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    order = np.lexsort((urls, ts, hosts))
+    h_s, u_s, t_s = hosts[order], urls[order], ts[order]
+    new = np.empty(h_s.size, dtype=bool)
+    new[0] = True
+    new[1:] = h_s[1:] != h_s[:-1]
+    run_start = np.maximum.accumulate(
+        np.where(new, np.arange(h_s.size), 0)
+    )
+    rank_in_host = np.arange(h_s.size) - run_start
+    keep = rank_in_host < BUDGET_PER_HOST
+    return pa.table(
+        {
+            "host": pa.array(list(h_s[keep]), pa.string()),
+            "url": pa.array(list(u_s[keep]), pa.string()),
+            "ts_us": pa.array(t_s[keep]),
+        }
+    )
+
+
+def _budget_final(g: pa.Table) -> pa.Table:
+    """One host's surviving candidates (<= B per contributing block):
+    pick the global earliest B and assign ranks."""
+    urls = np.asarray(g.column("url").to_pylist(), dtype=object)
+    ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+    order = np.lexsort((urls, ts))
+    k = min(BUDGET_PER_HOST, ts.size)
+    sel = order[:k]
+    return pa.table(
+        {
+            "host": g.column("host").take(pa.array(sel)),
+            "url": pa.array(list(urls[sel]), pa.string()),
+            "ts_us": pa.array(ts[sel].astype(np.int64)),
+            "rnk": pa.array(np.arange(1, k + 1, dtype=np.int64)),
+        }
+    )
+
+
+def host_crawl_budget(paths: list[str]) -> "ray.data.Dataset":
+    """Per-host politeness cut: the BUDGET_PER_HOST earliest fetches of
+    every host, ranked by (warc_ts, url). Two-phase top-k — per-batch
+    trims bound the shuffle, the per-host final group holds at most
+    B x #contributing-blocks rows."""
+    ds = ray.data.read_parquet(paths, columns=["url", "warc_ts"])
+    partials = ds.map_batches(
+        _budget_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("host").map_groups(
+        _budget_final, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # 4. per-host language profile (majority language routing table)
 # ---------------------------------------------------------------------------
 def _lang_partial(b: pa.Table) -> pa.Table:

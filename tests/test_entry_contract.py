@@ -30,8 +30,8 @@ def test_oracle_keys_subset_of_queries():
     q = e.queries()
     o = e.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 82
-    assert len(o) >= 73
+    assert len(q) >= 83
+    assert len(o) >= 74
     missing_oracle = set(q) - set(o)
     # every non-oracled entry is a genuinely non-SQL-expressible op:
     # approximate/recall-based (minhash, ivf, lsh), preview strings, or

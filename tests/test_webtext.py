@@ -251,6 +251,74 @@ def test_host_change_rate_exact_on_aligned_shards(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_host_crawl_budget_matches_duckdb(pages):
+    from headson_ray.pipelines.webtext import host_crawl_budget
+
+    cur, _ = pages
+    sql = entry.SQL_HOST_CRAWL_BUDGET.replace(
+        entry._PAGES_GLOB, _glob(cur)
+    )
+    _compare(host_crawl_budget(cur), sql)
+
+
+def test_budget_two_phase_equals_brute_force_fuzz():
+    """Per-batch trim + per-host final over arbitrary batch splits
+    equals the global earliest-B cut."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from headson_ray.pipelines.webtext import (
+        BUDGET_PER_HOST,
+        _budget_final,
+        _budget_partial,
+    )
+
+    rng = np.random.RandomState(5)
+    for trial in range(50):
+        n = rng.randint(1, 60)
+        hosts = [f"h{rng.randint(0, 4)}.com" for _ in range(n)]
+        urls = [
+            f"https://{h}/page/{k}" for k, h in enumerate(hosts)
+        ]
+        ts = rng.randint(0, 30, n).astype("datetime64[us]")
+        t = pa.table(
+            {
+                "url": pa.array(urls),
+                "warc_ts": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+        # random batch split -> partials -> concat -> per-host final
+        cut = sorted(rng.choice(n + 1, 2, replace=True))
+        parts = [
+            _budget_partial(t.slice(a, b - a))
+            for a, b in zip([0, *cut], [*cut, n])
+            if b > a
+        ]
+        cand = pa.concat_tables([p for p in parts if p.num_rows])
+        got = []
+        for h in sorted(set(hosts)):
+            g = cand.filter(pc.equal(cand.column("host"), h))
+            if g.num_rows:
+                got.extend(_budget_final(g).to_pylist())
+        # brute force
+        rows = sorted(
+            zip(hosts, ts.astype("int64").tolist(), urls),
+            key=lambda r: (r[0], r[1], r[2]),
+        )
+        exp = []
+        seen: dict = {}
+        for h, tus, u in rows:
+            r = seen.get(h, 0) + 1
+            seen[h] = r
+            if r <= BUDGET_PER_HOST:
+                exp.append(
+                    {"host": h, "url": u, "ts_us": tus, "rnk": r}
+                )
+        key = lambda d: (d["host"], d["rnk"])
+        assert sorted(got, key=key) == sorted(exp, key=key), trial
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_host_anchor_terms_matches_duckdb(pages):
     from headson_ray.pipelines.webtext import host_anchor_terms
 
