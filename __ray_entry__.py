@@ -260,6 +260,28 @@ def _q_host_anchor_terms(sf_dir: str):
     return host_anchor_terms(paths, rows)
 
 
+def _q_host_dup_rate(sf_dir: str):
+    """Intra-host exact-duplicate-page rate over the landing-template
+    injected stream — webtext.py:host_dup_rate."""
+    from headson_ray.pipelines.webtext import host_dup_rate
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return host_dup_rate(paths)
+
+
+def _q_frontier_topk(sf_dir: str):
+    """Crawl-frontier next-fetch queue: top-k urls by integer-exact
+    staleness x inverse-host-mass priority — webtext.py:frontier_topk."""
+    from headson_ray.pipelines.webtext import frontier_topk
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return frontier_topk(paths)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = dict(QUERIES)
     q["summarize_pages"] = _q_summarize_pages
@@ -278,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["host_anchor_terms"] = _q_host_anchor_terms
     q["host_change_rate"] = _q_host_change_rate
     q["host_crawl_budget"] = _q_host_crawl_budget
+    q["host_dup_rate"] = _q_host_dup_rate
+    q["frontier_topk"] = _q_frontier_topk
     return q
 
 
@@ -653,6 +677,60 @@ FROM r WHERE rnk <= 8
 """
 
 
+# Intra-host duplicate-page rate: pages with i % 6 == 0 serve the
+# host's landing template (mirrored from webtext._dup_rate_partial).
+# SQL counts DISTINCT effective texts where the Ray side counts
+# distinct 64-bit fingerprints — identical output absent hash
+# collisions (same contract as mirror_hosts / host_change_rate).
+SQL_HOST_DUP_RATE = f"""
+WITH src AS (
+  SELECT regexp_extract(url, {_DOMAIN_RE}, 1) AS host,
+         CAST(regexp_extract(url, '/page/([0-9]+)$', 1) AS BIGINT) AS i,
+         text
+  FROM read_parquet('{_PAGES_GLOB}')
+), eff AS (
+  SELECT host,
+         CASE WHEN i % 6 = 0 THEN 'landing page for ' || host
+              ELSE text END AS t
+  FROM src
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_distinct,
+       CAST((count(*) - count(DISTINCT t)) * 1000000 // count(*)
+            AS BIGINT) AS dup_ppm
+FROM eff GROUP BY host
+"""
+
+
+# Crawl-frontier priority: score = ((gmax_ts - ts) // 1e6 seconds)
+# * 1000 // host_page_count, floor division throughout (mirrored from
+# webtext._frontier_score_stage); global top FRONTIER_K=200 with ties
+# broken by url ASC.
+SQL_FRONTIER_TOPK = f"""
+WITH p AS (
+  SELECT url, regexp_extract(url, {_DOMAIN_RE}, 1) AS host,
+         epoch_us(warc_ts) AS ts
+  FROM read_parquet('{_PAGES_GLOB}')
+), h AS (
+  SELECT host, count(*) AS n FROM p GROUP BY host
+), g AS (
+  SELECT max(ts) AS gmax FROM p
+), scored AS (
+  SELECT p.url, p.host,
+         ((g.gmax - p.ts) // 1000000) * 1000 // h.n AS score
+  FROM p CROSS JOIN g JOIN h ON h.host = p.host
+), r AS (
+  SELECT row_number() OVER (ORDER BY score DESC, url ASC) AS rnk,
+         url, host, score
+  FROM scored
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, url, host,
+       CAST(score AS BIGINT) AS score
+FROM r WHERE rnk <= 200
+"""
+
+
 # Inter-crawl change detection: the CURRENT crawl serves updated
 # content (text || ' rev2') for pages with i % 5 == 0 — mirrored from
 # webtext._change_explode. The SQL compares the text itself where the
@@ -736,4 +814,6 @@ def oracle_sql() -> dict[str, str]:
     o["host_anchor_terms"] = SQL_HOST_ANCHOR_TERMS
     o["host_change_rate"] = SQL_HOST_CHANGE_RATE
     o["host_crawl_budget"] = SQL_HOST_CRAWL_BUDGET
+    o["host_dup_rate"] = SQL_HOST_DUP_RATE
+    o["frontier_topk"] = SQL_FRONTIER_TOPK
     return o

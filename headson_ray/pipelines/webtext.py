@@ -1387,3 +1387,226 @@ def host_anchor_terms(paths: list[str], n_pages: int) -> "ray.data.Dataset":
     return counts.groupby("dst_host").map_groups(
         _anchor_topk, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. intra-host duplicate-page rate (site-template duplication signal)
+# ---------------------------------------------------------------------------
+# Deterministic duplicate injection (mirrored in the oracle SQL): pages
+# with i % DUP_LANDING_MOD == 0 serve the host's landing-page template
+# instead of their own text, so every host has a known exact duplicate
+# mass. The CCNet/C4 curation stacks compute exactly this table to down-
+# weight template-heavy sites before training-data selection.
+DUP_LANDING_MOD = 6
+
+
+def _dup_rate_partial(b: pa.Table) -> pa.Table:
+    """Per-batch collapse to (host, fp, cnt): texts never leave the
+    batch — only 64-bit content fingerprints (stages/hashing.py, the
+    SQL-reproducible mixer family) ride the shuffle, pre-counted per
+    batch so the exchange carries at most one row per distinct
+    (host, fp) per block."""
+    host = _extract_host(b.column("url"))
+    idx = pc.cast(
+        pc.struct_field(
+            pc.extract_regex(b.column("url"), pattern=_IDX_PATTERN), "i"
+        ),
+        pa.int64(),
+    )
+    mod = pc.subtract(
+        idx, pc.multiply(pc.divide(idx, DUP_LANDING_MOD), DUP_LANDING_MOD)
+    )
+    is_landing = pc.equal(mod, 0)
+    landing = pc.binary_join_element_wise(
+        pa.scalar("landing page for "), host, pa.scalar("")
+    )
+    eff = pc.if_else(is_landing, landing, b.column("text"))
+    if isinstance(eff, pa.ChunkedArray):
+        eff = eff.combine_chunks()
+    fp = pa.array(hash_strings(eff.to_pylist()).astype(np.int64))
+    t = pa.table(
+        {
+            "host": host,
+            "fp": fp,
+            "cnt": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }
+    )
+    agg = t.group_by(["host", "fp"]).aggregate([("cnt", "sum")])
+    return agg.rename_columns(["host", "fp", "cnt"])
+
+
+def _dup_rate_host_rows(t: pa.Table) -> pa.Table:
+    """Collapse the globally-deduped (host, fp, cnt) grain to per-host
+    partials: each distinct fingerprint contributes its page count and
+    one distinct unit."""
+    return pa.table(
+        {
+            "host": t.column("host"),
+            "n_pages": t.column("cnt"),
+            "n_distinct": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }
+    )
+
+
+def _dup_rate_ppm(t: pa.Table) -> pa.Table:
+    n = t.column("n_pages").to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t.column("n_distinct").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    ppm = (n - d) * 1_000_000 // n
+    return pa.table(
+        {
+            "host": t.column("host"),
+            "n_pages": pa.array(n),
+            "n_distinct": pa.array(d),
+            "dup_ppm": pa.array(ppm),
+        }
+    )
+
+
+def host_dup_rate(paths: list[str]) -> "ray.data.Dataset":
+    """Exact intra-host duplicate-page rate over the landing-template
+    injected stream: per host, page count, distinct-content count and
+    duplicate ppm.
+
+    Scale posture: two shuffles, both pre-aggregated — the first
+    carries one (host, fp, cnt) row per distinct fingerprint per block
+    (never pages or texts), the second one row per distinct
+    (host, fp) corpus-wide collapsed to host grain block-by-block.
+    Nothing is collected or broadcast; the driver never sees
+    page-level rows."""
+    ds = ray.data.read_parquet(paths, columns=["url", "text"])
+    partials = ds.map_batches(
+        _dup_rate_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_fp = partials.groupby(["host", "fp"]).aggregate(
+        Sum("cnt", alias_name="cnt")
+    )
+    host_rows = per_fp.map_batches(
+        _dup_rate_host_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = host_rows.groupby("host").aggregate(
+        Sum("n_pages", alias_name="n_pages"),
+        Sum("n_distinct", alias_name="n_distinct"),
+    )
+    return agg.map_batches(
+        _dup_rate_ppm, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# 11. crawl-frontier priority top-k (the scheduler's next-fetch queue)
+# ---------------------------------------------------------------------------
+# Integer-exact priority: score = (age_seconds_vs_newest_fetch * 1000)
+# // host_page_count — stale pages on under-crawled hosts first, hot
+# hosts (wikipedia.org) deprioritized by their own crawl mass. Floor
+# division only, so the DuckDB oracle reproduces every score
+# bit-for-bit; ties break on url ASC.
+FRONTIER_K = 200
+
+
+def _frontier_host_partial(b: pa.Table) -> pa.Table:
+    host = _extract_host(b.column("url"))
+    ts = pc.cast(b.column("warc_ts"), pa.int64())
+    t = pa.table(
+        {
+            "host": host,
+            "n_pages": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "max_ts": ts,
+        }
+    )
+    agg = t.group_by("host").aggregate(
+        [("n_pages", "sum"), ("max_ts", "max")]
+    )
+    return agg.rename_columns(["host", "n_pages", "max_ts"])
+
+
+def _frontier_score_stage(lookup_ref):
+    def score_batch(b: pa.Table) -> pa.Table:
+        hosts_sorted, counts_sorted, gmax = ray.get(lookup_ref)
+        host = _extract_host(b.column("url"))
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        h = np.asarray(host.to_pylist(), dtype=object)
+        ts = pc.cast(b.column("warc_ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        pos = np.searchsorted(hosts_sorted, h)
+        n = counts_sorted[pos]
+        age_s = (gmax - ts) // 1_000_000
+        score = age_s * 1000 // n
+        urls = np.asarray(b.column("url").to_pylist(), dtype=object)
+        order = np.lexsort((urls, -score))
+        keep = order[:FRONTIER_K]
+        return pa.table(
+            {
+                "b": pa.array(np.zeros(keep.size, dtype=np.int64)),
+                "url": pa.array(list(urls[keep]), pa.string()),
+                "host": pa.array(list(h[keep]), pa.string()),
+                "score": pa.array(score[keep].astype(np.int64)),
+            }
+        )
+
+    return score_batch
+
+
+def _frontier_final(g: pa.Table) -> pa.Table:
+    urls = np.asarray(g.column("url").to_pylist(), dtype=object)
+    score = g.column("score").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    order = np.lexsort((urls, -score))
+    sel = order[: min(FRONTIER_K, order.size)]
+    return pa.table(
+        {
+            "rnk": pa.array(np.arange(1, sel.size + 1, dtype=np.int64)),
+            "url": g.column("url").take(pa.array(sel)),
+            "host": g.column("host").take(pa.array(sel)),
+            "score": pa.array(score[sel]),
+        }
+    )
+
+
+def frontier_topk(paths: list[str]) -> "ray.data.Dataset":
+    """Crawl-frontier next-fetch queue: the FRONTIER_K highest-priority
+    urls by integer-exact (staleness x inverse-host-mass) score.
+
+    Scale posture: pass 1 is a two-phase host aggregate (per-batch
+    pyarrow partials, host-level merge) whose result is small by
+    nature (#hosts rows) and ships via ray.put exactly once — read
+    zero-copy inside every scoring task, never re-shipped per batch.
+    Pass 2 scores vectorized and trims to the global k per block, so
+    the final fold (a single-bucket map_groups, the same two-phase
+    top-k shape as host_crawl_budget) sees at most k x #blocks rows —
+    independent of corpus size."""
+    hosts_ds = ray.data.read_parquet(paths, columns=["url", "warc_ts"])
+    partials = hosts_ds.map_batches(
+        _frontier_host_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    host_tbl = (
+        partials.groupby("host")
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Max("max_ts", alias_name="max_ts"),
+        )
+        .take_all()
+    )
+    hosts_sorted = np.array(
+        sorted(r["host"] for r in host_tbl), dtype=object
+    )
+    by_host = {r["host"]: int(r["n_pages"]) for r in host_tbl}
+    counts_sorted = np.array(
+        [by_host[h] for h in hosts_sorted], dtype=np.int64
+    )
+    gmax = max(int(r["max_ts"]) for r in host_tbl)
+    lookup_ref = ray.put((hosts_sorted, counts_sorted, gmax))
+
+    ds = ray.data.read_parquet(paths, columns=["url", "warc_ts"])
+    scored = ds.map_batches(
+        _frontier_score_stage(lookup_ref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return scored.groupby("b").map_groups(
+        _frontier_final, batch_format="pyarrow"
+    )

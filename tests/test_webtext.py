@@ -586,3 +586,58 @@ def test_derive_url_variants_shape():
     # canonicalizing the variant stream collapses case+fragment noise
     canon = canonicalize_urls(out.column("raw_url")).to_pylist()
     assert canon.count("https://h2.com/page/5") == 2  # v0 + v2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_dup_rate_matches_duckdb(pages):
+    from headson_ray.pipelines.webtext import host_dup_rate
+
+    cur, _ = pages
+    sql = entry.SQL_HOST_DUP_RATE.replace(entry._PAGES_GLOB, _glob(cur))
+    _compare(host_dup_rate(cur), sql)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_dup_rate_detects_landing_template(pages):
+    """Hosts whose pages include several i%6==0 rows have exactly
+    (landing_count - 1) duplicates; hosts with one landing row have
+    none (per-page texts are unique by construction)."""
+    cur, _ = pages
+    from headson_ray.pipelines.webtext import host_dup_rate
+
+    df = host_dup_rate(cur).to_pandas()
+    assert (df["n_distinct"] <= df["n_pages"]).all()
+    assert (df["dup_ppm"] >= 0).all() and (df["dup_ppm"] < 1_000_000).all()
+    # the hottest host has many landing-template pages -> real dup mass
+    top = df.sort_values("n_pages", ascending=False).iloc[0]
+    assert top["n_pages"] - top["n_distinct"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frontier_topk_matches_duckdb(pages):
+    from headson_ray.pipelines.webtext import frontier_topk
+
+    cur, _ = pages
+    sql = entry.SQL_FRONTIER_TOPK.replace(entry._PAGES_GLOB, _glob(cur))
+    _compare(frontier_topk(cur), sql)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frontier_topk_prefers_stale_small_hosts(pages):
+    """Priority is monotone in staleness and anti-monotone in host
+    mass: within the top-k, no page of the hottest host may outrank an
+    older page of a strictly smaller host at equal-or-greater age."""
+    import numpy as np
+
+    from headson_ray.pipelines.webtext import FRONTIER_K, frontier_topk
+
+    cur, _ = pages
+    df = frontier_topk(cur).to_pandas().sort_values("rnk")
+    assert len(df) == min(FRONTIER_K, ROWS)
+    assert list(df["rnk"]) == list(range(1, len(df) + 1))
+    scores = df["score"].to_numpy()
+    assert (np.diff(scores) <= 0).all()
+    # deterministic tiebreak: equal scores are ordered by url ASC
+    for s in np.unique(scores):
+        grp = df[df["score"] == s]["url"].tolist()
+        assert grp == sorted(grp)
