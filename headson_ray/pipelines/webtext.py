@@ -1523,7 +1523,13 @@ def _frontier_host_partial(b: pa.Table) -> pa.Table:
 
 def _frontier_score_stage(lookup_ref):
     def score_batch(b: pa.Table) -> pa.Table:
-        hosts_sorted, counts_sorted, gmax = ray.get(lookup_ref)
+        # accept a plain tuple so the kernel is fuzzable without Ray
+        lookup = (
+            ray.get(lookup_ref)
+            if isinstance(lookup_ref, ray.ObjectRef)
+            else lookup_ref
+        )
+        hosts_sorted, counts_sorted, gmax = lookup
         host = _extract_host(b.column("url"))
         if isinstance(host, pa.ChunkedArray):
             host = host.combine_chunks()

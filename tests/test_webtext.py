@@ -641,3 +641,130 @@ def test_frontier_topk_prefers_stale_small_hosts(pages):
     for s in np.unique(scores):
         grp = df[df["score"] == s]["url"].tolist()
         assert grp == sorted(grp)
+
+
+def test_dup_rate_two_phase_equals_brute_force_fuzz():
+    """The per-batch (host, fp, cnt) partial + global fold equals a
+    brute-force per-host count/distinct over ANY batch split — the
+    invariant that makes host_dup_rate's shuffle pre-aggregation safe."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from headson_ray.pipelines.webtext import (
+        DUP_LANDING_MOD,
+        _dup_rate_host_rows,
+        _dup_rate_partial,
+        _dup_rate_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    hosts = [f"h{k}.com" for k in range(6)]
+    for trial in range(20):
+        n = int(rng.integers(2, 120))
+        idx = rng.integers(0, 500, size=n)
+        hs = [hosts[int(x)] for x in rng.integers(0, len(hosts), size=n)]
+        urls = [f"https://{h}/page/{i}" for h, i in zip(hs, idx)]
+        # few distinct texts so cross-batch duplicates are common
+        texts = [f"t{int(x)}" for x in rng.integers(0, 8, size=n)]
+        tbl = pa.table({"url": urls, "text": texts})
+
+        # random batch split
+        cuts = sorted(rng.choice(n, size=min(3, n - 1), replace=False))
+        parts, prev = [], 0
+        for c in list(cuts) + [n]:
+            if c > prev:
+                parts.append(tbl.slice(prev, c - prev))
+            prev = c
+        partials = pa.concat_tables(
+            [_dup_rate_partial(p) for p in parts]
+        )
+        per_fp = (
+            partials.group_by(["host", "fp"]).aggregate([("cnt", "sum")])
+        ).rename_columns(["host", "fp", "cnt"])
+        host_rows = _dup_rate_host_rows(per_fp)
+        agg = (
+            host_rows.group_by("host").aggregate(
+                [("n_pages", "sum"), ("n_distinct", "sum")]
+            )
+        ).rename_columns(["host", "n_pages", "n_distinct"])
+        got = _dup_rate_ppm(agg).to_pandas().sort_values("host")
+
+        # brute force with the landing-template injection
+        eff = [
+            f"landing page for {h}" if i % DUP_LANDING_MOD == 0 else t
+            for h, i, t in zip(hs, idx, texts)
+        ]
+        import pandas as pd
+
+        bf = pd.DataFrame({"host": hs, "t": eff})
+        exp = (
+            bf.groupby("host")["t"]
+            .agg(n_pages="size", n_distinct="nunique")
+            .reset_index()
+            .sort_values("host")
+        )
+        assert list(got["host"]) == list(exp["host"])
+        assert list(got["n_pages"]) == list(exp["n_pages"])
+        assert list(got["n_distinct"]) == list(exp["n_distinct"])
+        expected_ppm = [
+            (p - d) * 1_000_000 // p
+            for p, d in zip(exp["n_pages"], exp["n_distinct"])
+        ]
+        assert list(got["dup_ppm"]) == expected_ppm
+
+
+def test_frontier_two_phase_equals_brute_force_fuzz():
+    """Per-block top-k trim + single-bucket final fold returns exactly
+    the global (score DESC, url ASC) top-k for ANY batch split — the
+    invariant that bounds the frontier fold at k x #blocks rows."""
+    import numpy as np
+
+    from headson_ray.pipelines.webtext import (
+        FRONTIER_K,
+        _frontier_final,
+        _frontier_score_stage,
+    )
+
+    rng = np.random.default_rng(11)
+    hosts = [f"h{k}.net" for k in range(5)]
+    for trial in range(15):
+        n = int(rng.integers(5, 400))
+        hs = [hosts[int(x)] for x in rng.integers(0, len(hosts), size=n)]
+        # duplicate-free urls, deterministic
+        urls = [f"https://{h}/page/{j}" for j, h in enumerate(hs)]
+        ts = rng.integers(0, 10**7, size=n).astype(np.int64) * 1_000_000
+        tbl = pa.table(
+            {
+                "url": urls,
+                "warc_ts": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+        counts = {h: hs.count(h) for h in set(hs)}
+        hosts_sorted = np.array(sorted(counts), dtype=object)
+        counts_sorted = np.array(
+            [counts[h] for h in hosts_sorted], dtype=np.int64
+        )
+        gmax = int(ts.max())
+        score_fn = _frontier_score_stage(
+            (hosts_sorted, counts_sorted, gmax)
+        )
+
+        cuts = sorted(rng.choice(n, size=min(4, n - 1), replace=False))
+        parts, prev = [], 0
+        for c in list(cuts) + [n]:
+            if c > prev:
+                parts.append(tbl.slice(prev, c - prev))
+            prev = c
+        partial = pa.concat_tables([score_fn(p) for p in parts])
+        got = _frontier_final(partial).to_pandas()
+
+        # brute force
+        sc = [
+            ((gmax - int(t)) // 1_000_000) * 1000 // counts[h]
+            for t, h in zip(ts, hs)
+        ]
+        order = sorted(range(n), key=lambda j: (-sc[j], urls[j]))
+        top = order[: min(FRONTIER_K, n)]
+        assert list(got["url"]) == [urls[j] for j in top]
+        assert list(got["score"]) == [sc[j] for j in top]
+        assert list(got["rnk"]) == list(range(1, len(top) + 1))
