@@ -282,6 +282,17 @@ def _q_frontier_topk(sf_dir: str):
     return frontier_topk(paths)
 
 
+def _q_window_host_coverage(sf_dir: str):
+    """Per tumbling 600s warc_ts window: page throughput + exact
+    distinct-host coverage — webtext.py:window_host_coverage."""
+    from headson_ray.pipelines.webtext import window_host_coverage
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return window_host_coverage(paths)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = dict(QUERIES)
     q["summarize_pages"] = _q_summarize_pages
@@ -302,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["host_crawl_budget"] = _q_host_crawl_budget
     q["host_dup_rate"] = _q_host_dup_rate
     q["frontier_topk"] = _q_frontier_topk
+    q["window_host_coverage"] = _q_window_host_coverage
     return q
 
 
@@ -731,6 +743,23 @@ FROM r WHERE rnk <= 200
 """
 
 
+# Windowed crawl coverage: tumbling 600s event-time windows (epoch-us
+# floor division, mirrored from webtext._coverage_partial) x exact
+# distinct-host counting.
+SQL_WINDOW_HOST_COVERAGE = f"""
+WITH p AS (
+  SELECT regexp_extract(url, {_DOMAIN_RE}, 1) AS host,
+         (epoch_us(warc_ts) // {600 * 1_000_000}) * {600 * 1_000_000}
+           AS win_start
+  FROM read_parquet('{_PAGES_GLOB}')
+)
+SELECT CAST(win_start AS BIGINT) AS win_start,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM p GROUP BY win_start
+"""
+
+
 # Inter-crawl change detection: the CURRENT crawl serves updated
 # content (text || ' rev2') for pages with i % 5 == 0 — mirrored from
 # webtext._change_explode. The SQL compares the text itself where the
@@ -816,4 +845,5 @@ def oracle_sql() -> dict[str, str]:
     o["host_crawl_budget"] = SQL_HOST_CRAWL_BUDGET
     o["host_dup_rate"] = SQL_HOST_DUP_RATE
     o["frontier_topk"] = SQL_FRONTIER_TOPK
+    o["window_host_coverage"] = SQL_WINDOW_HOST_COVERAGE
     return o

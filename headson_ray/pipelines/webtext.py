@@ -1616,3 +1616,71 @@ def frontier_topk(paths: list[str]) -> "ray.data.Dataset":
     return scored.groupby("b").map_groups(
         _frontier_final, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. windowed crawl coverage (tumbling event-time windows x distinct hosts)
+# ---------------------------------------------------------------------------
+# The crawl-monitoring dashboard row: per tumbling warc_ts window, how
+# many pages were fetched and how many distinct hosts they covered.
+# Combines the CEP layer's event-time windowing with exact distinct
+# counting — the same two pre-aggregated shuffles as host_dup_rate, but
+# keyed by (window, host) so windows stream independently.
+COVERAGE_WINDOW_US = 600 * 1_000_000
+
+
+def _coverage_partial(b: pa.Table) -> pa.Table:
+    """Per-batch collapse to (win_start, host, cnt): the exchange
+    carries at most one row per distinct (window, host) per block."""
+    host = _extract_host(b.column("url"))
+    ts = pc.cast(b.column("warc_ts"), pa.int64())
+    win = pc.multiply(
+        pc.divide(ts, COVERAGE_WINDOW_US), COVERAGE_WINDOW_US
+    )
+    t = pa.table(
+        {
+            "win_start": win,
+            "host": host,
+            "cnt": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }
+    )
+    agg = t.group_by(["win_start", "host"]).aggregate([("cnt", "sum")])
+    return agg.rename_columns(["win_start", "host", "cnt"])
+
+
+def _coverage_window_rows(t: pa.Table) -> pa.Table:
+    """Collapse the globally-deduped (win, host, cnt) grain to window
+    partials: each distinct host contributes its page count and one
+    coverage unit."""
+    return pa.table(
+        {
+            "win_start": t.column("win_start"),
+            "n_pages": t.column("cnt"),
+            "n_hosts": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }
+    )
+
+
+def window_host_coverage(paths: list[str]) -> "ray.data.Dataset":
+    """Per tumbling 600s event-time window: page throughput and exact
+    distinct-host coverage.
+
+    Scale posture: identical to host_dup_rate — two shuffles, both
+    pre-aggregated (first one row per distinct (window, host) per
+    block, second window-grain only); nothing collected, broadcast, or
+    page-level past the first map. Windows are independent keys, so a
+    streaming run finalizes them as the watermark passes."""
+    ds = ray.data.read_parquet(paths, columns=["url", "warc_ts"])
+    partials = ds.map_batches(
+        _coverage_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_host = partials.groupby(["win_start", "host"]).aggregate(
+        Sum("cnt", alias_name="cnt")
+    )
+    win_rows = per_host.map_batches(
+        _coverage_window_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return win_rows.groupby("win_start").aggregate(
+        Sum("n_pages", alias_name="n_pages"),
+        Sum("n_hosts", alias_name="n_hosts"),
+    )

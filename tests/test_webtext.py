@@ -768,3 +768,77 @@ def test_frontier_two_phase_equals_brute_force_fuzz():
         assert list(got["url"]) == [urls[j] for j in top]
         assert list(got["score"]) == [sc[j] for j in top]
         assert list(got["rnk"]) == list(range(1, len(top) + 1))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_host_coverage_matches_duckdb(pages):
+    from headson_ray.pipelines.webtext import window_host_coverage
+
+    cur, _ = pages
+    sql = entry.SQL_WINDOW_HOST_COVERAGE.replace(
+        entry._PAGES_GLOB, _glob(cur)
+    )
+    _compare(window_host_coverage(cur), sql)
+
+
+def test_coverage_two_phase_equals_brute_force_fuzz():
+    """(window, host) partials + global fold equal brute-force per-window
+    count/distinct for any batch split."""
+    import numpy as np
+    import pandas as pd
+
+    from headson_ray.pipelines.webtext import (
+        COVERAGE_WINDOW_US,
+        _coverage_partial,
+        _coverage_window_rows,
+    )
+
+    rng = np.random.default_rng(23)
+    hosts = [f"h{k}.org" for k in range(5)]
+    for trial in range(15):
+        n = int(rng.integers(2, 200))
+        hs = [hosts[int(x)] for x in rng.integers(0, len(hosts), size=n)]
+        urls = [f"https://{h}/page/{j}" for j, h in enumerate(hs)]
+        ts = rng.integers(0, 4 * COVERAGE_WINDOW_US, size=n).astype(
+            np.int64
+        )
+        tbl = pa.table(
+            {"url": urls, "warc_ts": pa.array(ts, pa.timestamp("us"))}
+        )
+        cuts = sorted(rng.choice(n, size=min(3, n - 1), replace=False))
+        parts, prev = [], 0
+        for c in list(cuts) + [n]:
+            if c > prev:
+                parts.append(tbl.slice(prev, c - prev))
+            prev = c
+        partials = pa.concat_tables([_coverage_partial(p) for p in parts])
+        per_host = (
+            partials.group_by(["win_start", "host"]).aggregate(
+                [("cnt", "sum")]
+            )
+        ).rename_columns(["win_start", "host", "cnt"])
+        win_rows = _coverage_window_rows(per_host)
+        got = (
+            win_rows.group_by("win_start")
+            .aggregate([("n_pages", "sum"), ("n_hosts", "sum")])
+            .rename_columns(["win_start", "n_pages", "n_hosts"])
+            .to_pandas()
+            .sort_values("win_start")
+            .reset_index(drop=True)
+        )
+        bf = pd.DataFrame(
+            {
+                "w": (ts // COVERAGE_WINDOW_US) * COVERAGE_WINDOW_US,
+                "h": hs,
+            }
+        )
+        exp = (
+            bf.groupby("w")["h"]
+            .agg(n_pages="size", n_hosts="nunique")
+            .reset_index()
+            .sort_values("w")
+            .reset_index(drop=True)
+        )
+        assert list(got["win_start"]) == list(exp["w"])
+        assert list(got["n_pages"]) == list(exp["n_pages"])
+        assert list(got["n_hosts"]) == list(exp["n_hosts"])
