@@ -282,6 +282,18 @@ def _q_frontier_topk(sf_dir: str):
     return frontier_topk(paths)
 
 
+def _q_host_crawl_delta(sf_dir: str):
+    """Incremental-crawl ledger: new/kept/gone urls per host between
+    the current and prior crawl — webtext.py:host_crawl_delta."""
+    from headson_ray.pipelines.webtext import host_crawl_delta
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    prior = materialize_pages(rows // 2, tag=f"q-{rows}")
+    return host_crawl_delta(paths, prior)
+
+
 def _q_window_host_coverage(sf_dir: str):
     """Per tumbling 600s warc_ts window: page throughput + exact
     distinct-host coverage — webtext.py:window_host_coverage."""
@@ -314,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["host_dup_rate"] = _q_host_dup_rate
     q["frontier_topk"] = _q_frontier_topk
     q["window_host_coverage"] = _q_window_host_coverage
+    q["host_crawl_delta"] = _q_host_crawl_delta
     return q
 
 
@@ -743,6 +756,28 @@ FROM r WHERE rnk <= 200
 """
 
 
+# Incremental-crawl delta ledger: full outer join of the two crawls'
+# DISTINCT url sets (the Ray side resolves membership in url-hash
+# buckets over 64-bit hashes — identical output absent collisions,
+# the same contract as host_crawl_overlap).
+SQL_HOST_CRAWL_DELTA = f"""
+WITH cur AS (
+  SELECT DISTINCT url, regexp_extract(url, {_DOMAIN_RE}, 1) AS host
+  FROM read_parquet('{_PAGES_GLOB}')
+), pr AS (
+  SELECT DISTINCT url, regexp_extract(url, {_DOMAIN_RE}, 1) AS host
+  FROM read_parquet('{_PRIOR_GLOB}')
+)
+SELECT COALESCE(c.host, p.host) AS host,
+       CAST(count(*) FILTER (p.host IS NULL) AS BIGINT) AS n_new,
+       CAST(count(*) FILTER (c.host IS NOT NULL AND p.host IS NOT NULL)
+            AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (c.host IS NULL) AS BIGINT) AS n_gone
+FROM cur c FULL OUTER JOIN pr p USING (url)
+GROUP BY 1
+"""
+
+
 # Windowed crawl coverage: tumbling 600s event-time windows (epoch-us
 # floor division, mirrored from webtext._coverage_partial) x exact
 # distinct-host counting.
@@ -846,4 +881,5 @@ def oracle_sql() -> dict[str, str]:
     o["host_dup_rate"] = SQL_HOST_DUP_RATE
     o["frontier_topk"] = SQL_FRONTIER_TOPK
     o["window_host_coverage"] = SQL_WINDOW_HOST_COVERAGE
+    o["host_crawl_delta"] = SQL_HOST_CRAWL_DELTA
     return o

@@ -1684,3 +1684,122 @@ def window_host_coverage(paths: list[str]) -> "ray.data.Dataset":
         Sum("n_pages", alias_name="n_pages"),
         Sum("n_hosts", alias_name="n_hosts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 13. incremental-crawl delta ledger (new / kept / gone urls per host)
+# ---------------------------------------------------------------------------
+def _delta_explode(side: int):
+    """Side-tagged (url-hash, bucket, host) rows; unlike the overlap
+    explode, BOTH sides keep their host so gone urls attribute to the
+    prior crawl's host."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        h = hash_strings(urls)
+        bucket = (h % np.uint64(NUM_URL_BUCKETS)).astype(np.int64)
+        return pa.table(
+            {
+                "uh": pa.array(h.view(np.int64)),
+                "bucket": pa.array(bucket),
+                "side": pa.array(
+                    np.full(len(urls), side, dtype=np.int64)
+                ),
+                "host": _extract_host(b.column("url")),
+            }
+        )
+
+    return fn
+
+
+def _delta_bucket_partial(g: pa.Table) -> pa.Table:
+    """One url-hash bucket: membership on both sides resolves locally
+    over DISTINCT urls. Emits per-host (n_new, n_kept, n_gone) partial
+    counts — at most one row per (host, bucket) enters the final
+    groupby."""
+    uh = g.column("uh").to_numpy(zero_copy_only=False).view(np.uint64)
+    side = g.column("side").to_numpy(zero_copy_only=False)
+    host = np.asarray(g.column("host").to_pylist(), dtype=object)
+
+    def distinct(mask):
+        hs, idx = np.unique(uh[mask], return_index=True)
+        return hs, host[mask][idx]
+
+    cur_h, cur_hosts = distinct(side == 0)
+    pr_h, pr_hosts = distinct(side == 1)
+
+    def member(needles, haystack):
+        if haystack.size == 0:
+            return np.zeros(needles.size, dtype=bool)
+        idx = np.searchsorted(haystack, needles)
+        idx[idx >= haystack.size] = 0
+        return haystack[idx] == needles
+
+    kept_mask = member(cur_h, pr_h)
+    gone_mask = ~member(pr_h, cur_h)
+    hosts_out = np.concatenate([cur_hosts, pr_hosts[gone_mask]])
+    if hosts_out.size == 0:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "n_new": pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+                "n_gone": pa.array([], pa.int64()),
+            }
+        )
+    n_cur = cur_h.size
+    new_col = np.concatenate(
+        [(~kept_mask).astype(np.int64),
+         np.zeros(int(gone_mask.sum()), dtype=np.int64)]
+    )
+    kept_col = np.concatenate(
+        [kept_mask.astype(np.int64),
+         np.zeros(int(gone_mask.sum()), dtype=np.int64)]
+    )
+    gone_col = np.concatenate(
+        [np.zeros(n_cur, dtype=np.int64),
+         np.ones(int(gone_mask.sum()), dtype=np.int64)]
+    )
+    t = pa.table(
+        {
+            "host": pa.array(list(hosts_out), pa.string()),
+            "n_new": pa.array(new_col),
+            "n_kept": pa.array(kept_col),
+            "n_gone": pa.array(gone_col),
+        }
+    )
+    agg = t.group_by("host").aggregate(
+        [("n_new", "sum"), ("n_kept", "sum"), ("n_gone", "sum")]
+    )
+    return agg.rename_columns(["host", "n_new", "n_kept", "n_gone"])
+
+
+def host_crawl_delta(
+    cur_paths: list[str], prior_paths: list[str]
+) -> "ray.data.Dataset":
+    """Incremental-crawl ledger per host: urls new in the current
+    crawl, kept across both, and gone since the prior crawl — the
+    scheduler's churn signal alongside host_crawl_overlap (rate) and
+    host_change_rate (content).
+
+    Scale posture: same single url-hash-bucket shuffle as the overlap
+    semi-join — only (hash, side, host) rows move, set membership
+    resolves in-bucket over distinct urls, and only per-(host, bucket)
+    count partials enter the final host-grain groupby. The driver
+    never sees a url."""
+    cur = ray.data.read_parquet(cur_paths, columns=["url"]).map_batches(
+        _delta_explode(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    prior = ray.data.read_parquet(
+        prior_paths, columns=["url"]
+    ).map_batches(
+        _delta_explode(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = cur.union(prior).groupby("bucket").map_groups(
+        _delta_bucket_partial, batch_format="pyarrow"
+    )
+    return partials.groupby("host").aggregate(
+        Sum("n_new", alias_name="n_new"),
+        Sum("n_kept", alias_name="n_kept"),
+        Sum("n_gone", alias_name="n_gone"),
+    )

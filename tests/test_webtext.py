@@ -842,3 +842,89 @@ def test_coverage_two_phase_equals_brute_force_fuzz():
         assert list(got["win_start"]) == list(exp["w"])
         assert list(got["n_pages"]) == list(exp["n_pages"])
         assert list(got["n_hosts"]) == list(exp["n_hosts"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_crawl_delta_matches_duckdb(pages):
+    from headson_ray.pipelines.webtext import host_crawl_delta
+
+    cur, prior = pages
+    sql = entry.SQL_HOST_CRAWL_DELTA.replace(
+        entry._PAGES_GLOB, _glob(cur)
+    ).replace(entry._PRIOR_GLOB, _glob(prior))
+    _compare(host_crawl_delta(cur, prior), sql)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_crawl_delta_consistent_with_overlap(pages):
+    """n_kept must equal host_crawl_overlap's n_overlap and
+    n_new + n_kept its n_urls — the two ledgers describe the same
+    distinct-url sets."""
+    from headson_ray.pipelines.webtext import (
+        host_crawl_delta,
+        host_crawl_overlap,
+    )
+
+    cur, prior = pages
+    d = host_crawl_delta(cur, prior).to_pandas().set_index("host")
+    o = host_crawl_overlap(cur, prior).to_pandas().set_index("host")
+    # overlap only reports hosts with current urls
+    joined = o.join(d, how="left")
+    assert (joined["n_kept"] == joined["n_overlap"]).all()
+    assert (joined["n_new"] + joined["n_kept"] == joined["n_urls"]).all()
+
+
+def test_delta_bucket_partial_fuzz():
+    """In-bucket new/kept/gone counting equals brute-force set algebra
+    for random side-tagged url-hash streams with refetch duplicates."""
+    import numpy as np
+    import pandas as pd
+
+    from headson_ray.pipelines.webtext import _delta_bucket_partial
+    from headson_ray.stages.hashing import hash_strings
+
+    rng = np.random.default_rng(31)
+    hosts = [f"h{k}.io" for k in range(4)]
+    for trial in range(20):
+        n = int(rng.integers(1, 150))
+        hs = [hosts[int(x)] for x in rng.integers(0, len(hosts), size=n)]
+        # small url id space -> duplicates within and across sides
+        ids = rng.integers(0, 40, size=n)
+        urls = [f"https://{h}/page/{int(i)}" for h, i in zip(hs, ids)]
+        side = rng.integers(0, 2, size=n).astype(np.int64)
+        uh = hash_strings(urls)
+        g = pa.table(
+            {
+                "uh": pa.array(uh.view(np.int64)),
+                "side": pa.array(side),
+                "host": pa.array(hs, pa.string()),
+            }
+        )
+        got = (
+            _delta_bucket_partial(g)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        cur = {u for u, s in zip(urls, side) if s == 0}
+        pr = {u for u, s in zip(urls, side) if s == 1}
+        host_of = lambda u: u.split("/")[2]
+        rows = {}
+        for u in cur | pr:
+            h = host_of(u)
+            r = rows.setdefault(h, [0, 0, 0])
+            if u in cur and u in pr:
+                r[1] += 1
+            elif u in cur:
+                r[0] += 1
+            else:
+                r[2] += 1
+        exp = (
+            pd.DataFrame(
+                [(h, *v) for h, v in rows.items()],
+                columns=["host", "n_new", "n_kept", "n_gone"],
+            )
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
