@@ -1423,7 +1423,7 @@ def _dup_rate_partial(b: pa.Table) -> pa.Table:
     eff = pc.if_else(is_landing, landing, b.column("text"))
     if isinstance(eff, pa.ChunkedArray):
         eff = eff.combine_chunks()
-    fp = pa.array(hash_strings(eff.to_pylist()).astype(np.int64))
+    fp = pa.array(hash_strings(eff.to_pylist()).view(np.int64))
     t = pa.table(
         {
             "host": host,
