@@ -271,7 +271,11 @@ def _dedup_verified_pairs(
             {
                 "a": pa.array([], pa.int64()),
                 "b": pa.array([], pa.int64()),
-                value_column: pa.array([], pa.float64()),
+                value_column: pa.array(
+                    [],
+                    pa.int64() if value_column.endswith("_ppm")
+                    else pa.float64(),
+                ),
             }
         )
     )
@@ -429,11 +433,16 @@ def minhash_near_dups(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.7,
+    emit_ppm: bool = False,
 ) -> "ray.data.Dataset":
     """Full MinHash+LSH near-dup pipeline: signatures -> band buckets ->
     candidate pairs -> exact-Jaccard verification over candidate-only
-    shingle sets. Returns (a, b, jaccard) pairs with jaccard >= threshold.
-    """
+    shingle sets. Returns (a, b, jaccard) pairs with jaccard >= threshold;
+    with emit_ppm the jaccard is integer parts-per-million (exact int
+    arithmetic) so a DuckDB oracle can reproduce it bit-for-bit — the
+    band codes are fixed slices of the already-oracled signatures, so
+    the candidate set (and therefore the verified pair set, absent
+    64-bit band-hash collisions) is SQL-expressible too."""
     hasher = MinHasher(num_perm)
     sigs = ds.map_batches(
         lambda b: minhash_signatures(
@@ -464,9 +473,11 @@ def minhash_near_dups(
     )
     verified = _verify_pairs_parallel(
         ds, pairs, id_column=id_column, text_column=text_column,
-        shingle_k=shingle_k, threshold=threshold,
+        shingle_k=shingle_k, threshold=threshold, emit_ppm=emit_ppm,
     )
-    return _dedup_verified_pairs(verified)
+    return _dedup_verified_pairs(
+        verified, value_column="jaccard_ppm" if emit_ppm else "jaccard"
+    )
 
 
 def _postings(

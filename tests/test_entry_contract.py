@@ -40,7 +40,7 @@ def test_oracle_keys_subset_of_queries():
     # (round 3); summarize previews stay rows-only (the per-document
     # algorithm's oracle is the byte-exact reference snapshot corpus).
     assert missing_oracle <= {
-        "minhash_near_dups", "summarize_documents",
+        "summarize_documents",
         "image_features", "ivf_topk", "lsh_topk",
         "embedding_near_dups_lsh",
         "summarize_pages", "domain_fileset_previews",

@@ -597,7 +597,7 @@ def test_minhash_near_dups_precision_and_high_sim_recall():
     got_pairs = set(zip(got["a"], got["b"]))
     assert got_pairs <= exact_05          # precision = 1
     assert exact_08 <= got_pairs          # high-sim pairs all found
-    assert (got["jaccard"] >= 0.5).all()
+    assert (got["jaccard_ppm"] >= 500_000).all()
 
 
 @pytest.mark.usefixtures("ray_session")
