@@ -305,6 +305,56 @@ def _q_window_host_coverage(sf_dir: str):
     return window_host_coverage(paths)
 
 
+def _q_cep_window_coverage(sf_dir: str):
+    """Streaming crawl-coverage dashboard (round-4 verdict task 7): the
+    batch window_host_coverage semantics run THROUGH the CEP engine —
+    pages stream in micro-batches, tumbling panes finalize as the
+    watermark passes, the exactly-once sink commits them — and the
+    committed panes fold (distributed, window-grain) to per-window page
+    throughput + exact distinct-host coverage. Proves the webtext suite
+    composes with the north-rule machinery; kill/resume byte-equality
+    is pinned in tests/test_cep_sigkill_resume.py."""
+    import os as _os
+
+    import ray.data as _rd
+
+    from headson_ray.pipelines.cep import CepEngine
+    from headson_ray.pipelines.webtext import window_coverage_from_panes
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    work = tempfile.mkdtemp(prefix="headson-cep-cov-")
+    try:
+        eng = CepEngine(
+            out_dir=f"{work}/out",
+            checkpoint_dir=f"{work}/ckpt",
+            num_state_actors=4,
+            window_size_s=600,
+            allowed_lateness_s=60,
+        )
+        groups = [paths[i : i + 4] for i in range(0, len(paths), 4)]
+        eng.run(groups)
+        files = []
+        for b in sorted(eng.sink.committed_batches()):
+            p = _os.path.join(f"{work}/out", f"windows-b{b:06d}.parquet")
+            if _os.path.exists(p):
+                files.append(p)
+            d = _os.path.join(f"{work}/out", f"windows-b{b:06d}")
+            if _os.path.isdir(d):
+                files.extend(
+                    sorted(
+                        _os.path.join(d, f)
+                        for f in _os.listdir(d)
+                        if f.startswith("part-") and f.endswith(".parquet")
+                    )
+                )
+        panes = _rd.read_parquet(files)
+        return window_coverage_from_panes(panes).materialize()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = dict(QUERIES)
     q["summarize_pages"] = _q_summarize_pages
@@ -327,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["frontier_topk"] = _q_frontier_topk
     q["window_host_coverage"] = _q_window_host_coverage
     q["host_crawl_delta"] = _q_host_crawl_delta
+    q["cep_window_coverage"] = _q_cep_window_coverage
     return q
 
 
@@ -406,6 +457,19 @@ GROUP BY domain, window_id
 
 # Per-host crawl aggregates. length(text) == utf8 codepoints on both
 # sides (page text is generated ASCII-safe either way).
+# Streaming coverage = fold of the CEP pane oracle: per window, total
+# pages and one distinct-host unit per (domain, window) pane row. The
+# engine's pane n_pages counts every routed row (dups included), so the
+# fold is prior-crawl-independent.
+SQL_CEP_WINDOW_COVERAGE = f"""
+WITH w AS ({SQL_CEP_STREAM_WINDOWS})
+SELECT CAST(window_id * {_CEP_WINDOW_US} AS BIGINT) AS win_start,
+       CAST(sum(n_pages) AS BIGINT) AS n_pages,
+       CAST(count(*) AS BIGINT) AS n_hosts
+FROM w GROUP BY window_id
+"""
+
+
 SQL_URL_HOST_STATS = rf"""
 WITH p AS (
   SELECT regexp_extract(url, {_DOMAIN_RE}, 1) AS host,
@@ -882,4 +946,5 @@ def oracle_sql() -> dict[str, str]:
     o["frontier_topk"] = SQL_FRONTIER_TOPK
     o["window_host_coverage"] = SQL_WINDOW_HOST_COVERAGE
     o["host_crawl_delta"] = SQL_HOST_CRAWL_DELTA
+    o["cep_window_coverage"] = SQL_CEP_WINDOW_COVERAGE
     return o

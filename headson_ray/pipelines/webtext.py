@@ -1867,6 +1867,43 @@ def _coverage_window_rows(t: pa.Table) -> pa.Table:
     )
 
 
+def _pane_coverage_partial(b: pa.Table) -> pa.Table:
+    """Per-batch fold of the CEP engine's finalized tumbling panes
+    ((domain, window_id) grain, globally unique by the exactly-once
+    sink) to per-window partials: page throughput plus one distinct-host
+    unit per pane row."""
+    win = pc.multiply(
+        pc.cast(b.column("window_id"), pa.int64()), COVERAGE_WINDOW_US
+    )
+    t = pa.table(
+        {
+            "win_start": win,
+            "n_pages": pc.cast(b.column("n_pages"), pa.int64()),
+            "n_hosts": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }
+    )
+    agg = t.group_by(["win_start"]).aggregate(
+        [("n_pages", "sum"), ("n_hosts", "sum")]
+    )
+    return agg.rename_columns(["win_start", "n_pages", "n_hosts"])
+
+
+def window_coverage_from_panes(panes: "ray.data.Dataset") -> "ray.data.Dataset":
+    """The streaming form of window_host_coverage: fold watermark-
+    finalized tumbling panes (the CEP engine's exactly-once sink output,
+    one row per (domain, window)) to per-window page throughput + exact
+    distinct-host coverage. Pane rows are globally unique, so counting
+    them per window IS the exact distinct-host count — the fold is two
+    pre-aggregated window-grain stages, nothing driver-side."""
+    partials = panes.map_batches(
+        _pane_coverage_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("win_start").aggregate(
+        Sum("n_pages", alias_name="n_pages"),
+        Sum("n_hosts", alias_name="n_hosts"),
+    )
+
+
 def window_host_coverage(paths: list[str]) -> "ray.data.Dataset":
     """Per tumbling 600s event-time window: page throughput and exact
     distinct-host coverage.

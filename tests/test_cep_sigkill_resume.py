@@ -108,3 +108,13 @@ def test_sigkill_mid_run_then_resume(tmp_path):
         assert a is not None and b is not None, kind
         sort_keys = [(c, "ascending") for c in a.column_names]
         assert a.sort_by(sort_keys).equals(b.sort_by(sort_keys)), kind
+
+    # the streaming coverage fold (cep_window_coverage) over the killed+
+    # resumed run's committed panes is byte-identical to the clean run's
+    from headson_ray.pipelines.webtext import _pane_coverage_partial
+
+    cov_a = _pane_coverage_partial(_read_all(clean_out, "windows"))
+    cov_b = _pane_coverage_partial(_read_all(kill_out, "windows"))
+    keys = [("win_start", "ascending")]
+    assert cov_a.num_rows > 0
+    assert cov_a.sort_by(keys).equals(cov_b.sort_by(keys))
