@@ -457,6 +457,23 @@ GROUP BY domain, window_id
 
 # Per-host crawl aggregates. length(text) == utf8 codepoints on both
 # sides (page text is generated ASCII-safe either way).
+# Preview parity as a hashable oracle (round-4 verdict task 8): the
+# 5000-page stream _q_summarize_pages consumes is identical across sf
+# dirs (row cap), so the oracle reads the committed per-url preview
+# fixture generated by the snapshot-validated core
+# (tools/build_preview_fixtures.py; staleness caught by the fixture-
+# parity test in tests/test_queries_oracle.py).
+import os as _os
+
+_PAGE_PREVIEW_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)),
+    "tests", "fixtures", "page_previews.parquet",
+)
+SQL_SUMMARIZE_PAGES = f"""
+SELECT url, domain, preview FROM read_parquet('{_PAGE_PREVIEW_FIXTURE}')
+"""
+
+
 # Streaming coverage = fold of the CEP pane oracle: per window, total
 # pages and one distinct-host unit per (domain, window) pane row. The
 # engine's pane n_pages counts every routed row (dups included), so the
@@ -947,4 +964,5 @@ def oracle_sql() -> dict[str, str]:
     o["window_host_coverage"] = SQL_WINDOW_HOST_COVERAGE
     o["host_crawl_delta"] = SQL_HOST_CRAWL_DELTA
     o["cep_window_coverage"] = SQL_CEP_WINDOW_COVERAGE
+    o["summarize_pages"] = SQL_SUMMARIZE_PAGES
     return o

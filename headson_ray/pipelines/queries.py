@@ -4063,6 +4063,23 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
 }
 
+# Preview parity as a hashable oracle (round-4 verdict task 8): previews
+# are deterministic outputs of the snapshot-validated core but not
+# SQL-expressible, so the oracle joins the documents table against the
+# committed fixture generated by that same core
+# (tools/build_preview_fixtures.py; staleness caught by
+# tests/test_queries_oracle.py fixture-parity test). Keyed by text so
+# one fixture serves every sf dir.
+_DOC_PREVIEW_FIXTURE = str(
+    Path(__file__).resolve().parent.parent.parent
+    / "tests" / "fixtures" / "doc_previews.parquet"
+)
+SQL_SUMMARIZE_DOCUMENTS = f"""
+SELECT d.doc_id, f.preview
+FROM documents d
+JOIN read_parquet('{_DOC_PREVIEW_FIXTURE}') f ON d.text = f.text
+"""
+
 ORACLE_SQL = {
     "tumbling_events": SQL_TUMBLING_EVENTS,
     "sliding_events": SQL_SLIDING_EVENTS,
@@ -4125,4 +4142,5 @@ ORACLE_SQL = {
     "text_scrub": SQL_TEXT_SCRUB,
     "decontam_flags": SQL_DECONTAM_FLAGS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
+    "summarize_documents": SQL_SUMMARIZE_DOCUMENTS,
 }

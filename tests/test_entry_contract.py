@@ -40,10 +40,9 @@ def test_oracle_keys_subset_of_queries():
     # (round 3); summarize previews stay rows-only (the per-document
     # algorithm's oracle is the byte-exact reference snapshot corpus).
     assert missing_oracle <= {
-        "summarize_documents",
         "image_features", "ivf_topk", "lsh_topk",
         "embedding_near_dups_lsh",
-        "summarize_pages", "domain_fileset_previews",
+        "domain_fileset_previews",
         # lineage audit: output is the engine's own checkpoint log (no
         # SQL-visible input); exactly-once semantics are pinned by the
         # SIGKILL-resume byte-equality tests instead

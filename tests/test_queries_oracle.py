@@ -565,6 +565,56 @@ def test_domain_fileset_previews_sections_and_budget():
     assert len(uncolored) <= 400
 
 
+def test_preview_fixtures_not_stale():
+    """The committed preview fixtures (the DuckDB oracles for
+    summarize_documents / summarize_pages) must match a FRESH run of the
+    snapshot-validated core — a core change without regenerating
+    tools/build_preview_fixtures.py fails here, not at the driver."""
+    import pyarrow.parquet as pq
+
+    from headson_ray.stages.summarize import Summarizer
+
+    fx = pq.read_table(
+        Path(__file__).parent / "fixtures" / "doc_previews.parquet"
+    )
+    by_text = dict(
+        zip(fx.column("text").to_pylist(), fx.column("preview").to_pylist())
+    )
+    docs = pq.read_table(
+        Path(SF_DIR) / "documents.parquet", columns=["doc_id", "text"]
+    )
+    out = Summarizer(budget=200, input_format="text")(docs)
+    n = 0
+    for text, prev in zip(
+        out.column("text").to_pylist(), out.column("preview").to_pylist()
+    ):
+        assert by_text[text] == prev
+        n += 1
+    assert n == docs.num_rows
+
+    # pages fixture: first shard of the deterministic 5000-page stream,
+    # summarized through the same flagship kernel the query uses
+    from headson_ray.sources.pages import materialize_pages
+
+    pfx = pq.read_table(
+        Path(__file__).parent / "fixtures" / "page_previews.parquet"
+    )
+    assert pfx.num_rows == 5000
+    by_url = dict(
+        zip(pfx.column("url").to_pylist(), pfx.column("preview").to_pylist())
+    )
+    paths = materialize_pages(5000, tag="q-5000")
+    shard = pq.read_table(paths[0])
+    ps = Summarizer(budget=300)(shard)
+    m = 0
+    for url, prev in zip(
+        ps.column("url").to_pylist(), ps.column("preview").to_pylist()
+    ):
+        assert by_url[url] == prev
+        m += 1
+    assert m == shard.num_rows > 0
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_minhash_near_dups_precision_and_high_sim_recall():
     """Verification makes precision exactly 1 (every emitted pair has
