@@ -261,42 +261,81 @@ def _emit(payload: dict) -> None:
           flush=True)
 
 
+def _run_leg(cpus: int) -> tuple[dict, dict]:
+    """One headline-only bench leg in a fresh subprocess; returns
+    (parsed summary, host-state snapshot)."""
+    state = {
+        "started_unix": time.time(),
+        "loadavg_1m_before": os.getloadavg()[0],
+    }
+    proc = subprocess.run(
+        [sys.executable, __file__, "--single", str(cpus),
+         "--headline-only"],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "RAY_GRAFT_CPUS": str(cpus),
+             "GRAFT_ROWS_MULT": "4"},
+    )
+    line = proc.stdout.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    state["wall_sec"] = parsed["value"]
+    return parsed, state
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         lows, highs = 8, 32
-        out = {}
-        # Per-leg host-state snapshots: the sandbox VM's wall-clock speed
-        # drifts (documented troughs in BASELINE.md where one leg samples a
-        # 2x-slower box than the other). Recording loadavg + start time per
-        # leg lets a tally annotate trough runs with evidence instead of
-        # inference after the fact.
-        leg_state = {}
-        for cpus in (lows, highs):
-            leg_state[cpus] = {
-                "started_unix": time.time(),
-                "loadavg_1m_before": os.getloadavg()[0],
-            }
-            proc = subprocess.run(
-                [sys.executable, __file__, "--single", str(cpus),
-                 "--headline-only"],
-                capture_output=True,
-                text=True,
-                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus),
-                     "GRAFT_ROWS_MULT": "4"},
+        # --- membw gate (round-4 verdict task 3) -------------------------
+        # The sandbox box's own 8->32-proc memory-bandwidth scaling dips
+        # to 0.35-0.58 during documented troughs, dragging ANY pipeline
+        # measurement down with it. Probe the ceiling FIRST and wait out
+        # a trough instead of arguing normalization afterwards.
+        gate_min = float(os.environ.get("GRAFT_MEMBW_GATE", "0.7"))
+        gate_tries = int(os.environ.get("GRAFT_MEMBW_RETRIES", "3"))
+        gate_trace = []
+        for attempt in range(gate_tries):
+            probe = _membw_scaling_baseline(lows, highs)
+            gate_trace.append(
+                {
+                    "membw_scaling_efficiency": probe,
+                    "loadavg_1m": os.getloadavg()[0],
+                    "unix": time.time(),
+                }
             )
-            line = proc.stdout.strip().splitlines()[-1]
-            out[cpus] = json.loads(line)
-        tp_low = out[lows]["extras"]["summarize_docs_per_sec"]
-        tp_high = out[highs]["extras"]["summarize_docs_per_sec"]
-        eff = (tp_high / tp_low) / (highs / lows)
-        cep_low = out[lows]["extras"]["cep_rows_per_sec"]
-        cep_high = out[highs]["extras"]["cep_rows_per_sec"]
-        cep_eff = (cep_high / cep_low) / (highs / lows)
-        win_low = out[lows]["extras"]["windows_finalized_per_sec"]
-        win_high = out[highs]["extras"]["windows_finalized_per_sec"]
-        win_eff = (win_high / win_low) / (highs / lows)
+            if probe >= gate_min:
+                break
+            time.sleep(float(os.environ.get("GRAFT_MEMBW_COOLDOWN", "25")))
+        membw_eff = gate_trace[-1]["membw_scaling_efficiency"]
+
+        # --- interleaved leg pairs --------------------------------------
+        # Each pair runs its 8- and 32-CPU legs back-to-back so both
+        # sample the same host state; pair efficiencies are computed
+        # within a pair, never across drifting host epochs.
+        reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+        pairs = []
+        for _ in range(reps):
+            low_out, low_state = _run_leg(lows)
+            high_out, high_state = _run_leg(highs)
+            p = {"legs": {str(lows): low_state, str(highs): high_state}}
+            for key, name in (
+                ("summarize_docs_per_sec", "summarize"),
+                ("cep_rows_per_sec", "cep"),
+                ("windows_finalized_per_sec", "windows"),
+            ):
+                lo = low_out["extras"][key]
+                hi = high_out["extras"][key]
+                p[f"{name}_low"] = lo
+                p[f"{name}_high"] = hi
+                p[f"{name}_eff"] = (hi / lo) / (highs / lows)
+            pairs.append(p)
+
+        def mean(xs):
+            return sum(xs) / len(xs)
+
+        eff = mean([p["summarize_eff"] for p in pairs])
+        cep_eff = mean([p["cep_eff"] for p in pairs])
+        win_eff = mean([p["windows_eff"] for p in pairs])
         hw_eff = _hardware_scaling_baseline(lows, highs)
-        membw_eff = _membw_scaling_baseline(lows, highs)
         _emit(
                 {
                     "metric": "scaling_efficiency",
@@ -304,28 +343,39 @@ def main() -> None:
                     "unit": "ratio",
                     "low_cpus": lows,
                     "high_cpus": highs,
-                    "docs_per_sec_low": tp_low,
-                    "docs_per_sec_high": tp_high,
-                    "cep_rows_per_sec_low": cep_low,
-                    "cep_rows_per_sec_high": cep_high,
+                    "pairs": pairs,
+                    "docs_per_sec_low": mean(
+                        [p["summarize_low"] for p in pairs]
+                    ),
+                    "docs_per_sec_high": mean(
+                        [p["summarize_high"] for p in pairs]
+                    ),
+                    "cep_rows_per_sec_low": mean(
+                        [p["cep_low"] for p in pairs]
+                    ),
+                    "cep_rows_per_sec_high": mean(
+                        [p["cep_high"] for p in pairs]
+                    ),
                     "cep_scaling_efficiency": cep_eff,
-                    "windows_per_sec_low": win_low,
-                    "windows_per_sec_high": win_high,
+                    "windows_per_sec_low": mean(
+                        [p["windows_low"] for p in pairs]
+                    ),
+                    "windows_per_sec_high": mean(
+                        [p["windows_high"] for p in pairs]
+                    ),
                     "windows_scaling_efficiency": win_eff,
                     "hardware_scaling_efficiency": hw_eff,
                     "membw_scaling_efficiency": membw_eff,
+                    "membw_gate": {
+                        "min": gate_min,
+                        "passed": membw_eff >= gate_min,
+                        "trace": gate_trace,
+                    },
                     "normalized_efficiency": eff / hw_eff,
                     "cep_normalized_efficiency": cep_eff / hw_eff,
                     "windows_normalized_efficiency": win_eff / hw_eff,
                     "membw_normalized_efficiency": eff / membw_eff,
                     "cep_membw_normalized_efficiency": cep_eff / membw_eff,
-                    "leg_state": {
-                        str(c): {
-                            **leg_state[c],
-                            "wall_sec": out[c]["value"],
-                        }
-                        for c in (lows, highs)
-                    },
                     "sf": _sf(),
                 }
         )
