@@ -305,26 +305,23 @@ def _q_window_host_coverage(sf_dir: str):
     return window_host_coverage(paths)
 
 
-def _q_cep_window_coverage(sf_dir: str):
-    """Streaming crawl-coverage dashboard (round-4 verdict task 7): the
-    batch window_host_coverage semantics run THROUGH the CEP engine —
-    pages stream in micro-batches, tumbling panes finalize as the
-    watermark passes, the exactly-once sink commits them — and the
-    committed panes fold (distributed, window-grain) to per-window page
-    throughput + exact distinct-host coverage. Proves the webtext suite
-    composes with the north-rule machinery; kill/resume byte-equality
-    is pinned in tests/test_cep_sigkill_resume.py."""
+def _stream_panes_fold(sf_dir: str, fold, *, with_prior: bool):
+    """Shared harness for the streaming webtext folds: run the CEP
+    engine over the deterministic page stream (micro-batches, watermark
+    finalization, exactly-once sink), read the committed tumbling panes
+    back as a Dataset, and apply a distributed pane fold. The fold
+    result materializes (window/host grain, bounded) before the temp
+    sink dir is removed."""
     import os as _os
 
     import ray.data as _rd
 
     from headson_ray.pipelines.cep import CepEngine
-    from headson_ray.pipelines.webtext import window_coverage_from_panes
     from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
 
     rows = min(rows_for_sf_dir(sf_dir), 20000)
     paths = materialize_pages(rows, tag=f"q-{rows}")
-    work = tempfile.mkdtemp(prefix="headson-cep-cov-")
+    work = tempfile.mkdtemp(prefix="headson-cep-fold-")
     try:
         eng = CepEngine(
             out_dir=f"{work}/out",
@@ -333,6 +330,9 @@ def _q_cep_window_coverage(sf_dir: str):
             window_size_s=600,
             allowed_lateness_s=60,
         )
+        if with_prior:
+            prior = materialize_pages(rows // 2, tag=f"q-{rows}")
+            eng.load_prior_crawl(prior)
         groups = [paths[i : i + 4] for i in range(0, len(paths), 4)]
         eng.run(groups)
         files = []
@@ -350,9 +350,39 @@ def _q_cep_window_coverage(sf_dir: str):
                     )
                 )
         panes = _rd.read_parquet(files)
-        return window_coverage_from_panes(panes).materialize()
+        return fold(panes).materialize()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _q_cep_window_coverage(sf_dir: str):
+    """Streaming crawl-coverage dashboard (round-4 verdict task 7): the
+    batch window_host_coverage semantics run THROUGH the CEP engine —
+    pages stream in micro-batches, tumbling panes finalize as the
+    watermark passes, the exactly-once sink commits them — and the
+    committed panes fold (distributed, window-grain) to per-window page
+    throughput + exact distinct-host coverage. Proves the webtext suite
+    composes with the north-rule machinery; kill/resume byte-equality
+    is pinned in tests/test_cep_sigkill_resume.py."""
+    from headson_ray.pipelines.webtext import window_coverage_from_panes
+
+    return _stream_panes_fold(
+        sf_dir, window_coverage_from_panes, with_prior=False
+    )
+
+
+def _q_cep_crawl_delta(sf_dir: str):
+    """Streaming crawl-delta ledger: the CEP engine's stateful
+    prior-crawl join classifies every first-seen url as new / changed /
+    unchanged while the stream runs; the committed panes fold
+    (distributed, host-grain) to the per-host ledger — the streaming
+    analog of host_crawl_delta, driven by actor-pool join state instead
+    of a batch semi-join."""
+    from headson_ray.pipelines.webtext import host_delta_from_panes
+
+    return _stream_panes_fold(
+        sf_dir, host_delta_from_panes, with_prior=True
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -378,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["window_host_coverage"] = _q_window_host_coverage
     q["host_crawl_delta"] = _q_host_crawl_delta
     q["cep_window_coverage"] = _q_cep_window_coverage
+    q["cep_crawl_delta"] = _q_cep_crawl_delta
     return q
 
 
@@ -484,6 +515,19 @@ SELECT CAST(window_id * {_CEP_WINDOW_US} AS BIGINT) AS win_start,
        CAST(sum(n_pages) AS BIGINT) AS n_pages,
        CAST(count(*) AS BIGINT) AS n_hosts
 FROM w GROUP BY window_id
+"""
+
+
+# Streaming crawl-delta = host-grain fold of the CEP pane oracle (the
+# pane SQL already reproduces the dedup + prior-crawl classification).
+SQL_CEP_CRAWL_DELTA = f"""
+WITH w AS ({SQL_CEP_STREAM_WINDOWS})
+SELECT domain AS host,
+       CAST(sum(n_new) AS BIGINT) AS n_new,
+       CAST(sum(n_changed) AS BIGINT) AS n_changed,
+       CAST(sum(n_unchanged) AS BIGINT) AS n_unchanged,
+       CAST(sum(n_dup) AS BIGINT) AS n_dup
+FROM w GROUP BY domain
 """
 
 
@@ -964,5 +1008,6 @@ def oracle_sql() -> dict[str, str]:
     o["window_host_coverage"] = SQL_WINDOW_HOST_COVERAGE
     o["host_crawl_delta"] = SQL_HOST_CRAWL_DELTA
     o["cep_window_coverage"] = SQL_CEP_WINDOW_COVERAGE
+    o["cep_crawl_delta"] = SQL_CEP_CRAWL_DELTA
     o["summarize_pages"] = SQL_SUMMARIZE_PAGES
     return o

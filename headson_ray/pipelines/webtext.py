@@ -1904,6 +1904,49 @@ def window_coverage_from_panes(panes: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def _pane_delta_partial(b: pa.Table) -> pa.Table:
+    """Per-batch host-grain fold of finalized tumbling panes: the
+    prior-crawl delta counters the CEP join already computed per
+    (domain, window) collapse to per-host partials."""
+    t = pa.table(
+        {
+            "host": b.column("domain"),
+            "n_new": pc.cast(b.column("n_new"), pa.int64()),
+            "n_changed": pc.cast(b.column("n_changed"), pa.int64()),
+            "n_unchanged": pc.cast(b.column("n_unchanged"), pa.int64()),
+            "n_dup": pc.cast(b.column("n_dup"), pa.int64()),
+        }
+    )
+    agg = t.group_by(["host"]).aggregate(
+        [
+            ("n_new", "sum"),
+            ("n_changed", "sum"),
+            ("n_unchanged", "sum"),
+            ("n_dup", "sum"),
+        ]
+    )
+    return agg.rename_columns(
+        ["host", "n_new", "n_changed", "n_unchanged", "n_dup"]
+    )
+
+
+def host_delta_from_panes(panes: "ray.data.Dataset") -> "ray.data.Dataset":
+    """The streaming form of the crawl-delta ledger: fold the CEP
+    engine's watermark-finalized panes (whose stateful prior-crawl join
+    already classified every first-seen url as new / changed /
+    unchanged) to per-host totals. Two pre-aggregated host-grain
+    stages, nothing driver-side."""
+    partials = panes.map_batches(
+        _pane_delta_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("host").aggregate(
+        Sum("n_new", alias_name="n_new"),
+        Sum("n_changed", alias_name="n_changed"),
+        Sum("n_unchanged", alias_name="n_unchanged"),
+        Sum("n_dup", alias_name="n_dup"),
+    )
+
+
 def window_host_coverage(paths: list[str]) -> "ray.data.Dataset":
     """Per tumbling 600s event-time window: page throughput and exact
     distinct-host coverage.

@@ -111,10 +111,20 @@ def test_sigkill_mid_run_then_resume(tmp_path):
 
     # the streaming coverage fold (cep_window_coverage) over the killed+
     # resumed run's committed panes is byte-identical to the clean run's
-    from headson_ray.pipelines.webtext import _pane_coverage_partial
+    from headson_ray.pipelines.webtext import (
+        _pane_coverage_partial,
+        _pane_delta_partial,
+    )
 
     cov_a = _pane_coverage_partial(_read_all(clean_out, "windows"))
     cov_b = _pane_coverage_partial(_read_all(kill_out, "windows"))
     keys = [("win_start", "ascending")]
     assert cov_a.num_rows > 0
     assert cov_a.sort_by(keys).equals(cov_b.sort_by(keys))
+
+    # same for the streaming crawl-delta fold (cep_crawl_delta)
+    del_a = _pane_delta_partial(_read_all(clean_out, "windows"))
+    del_b = _pane_delta_partial(_read_all(kill_out, "windows"))
+    hkeys = [("host", "ascending")]
+    assert del_a.num_rows > 0
+    assert del_a.sort_by(hkeys).equals(del_b.sort_by(hkeys))
