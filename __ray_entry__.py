@@ -294,6 +294,21 @@ def _q_host_crawl_delta(sf_dir: str):
     return host_crawl_delta(paths, prior)
 
 
+def _q_window_host_hll(sf_dir: str):
+    """Approximate windowed host coverage: per tumbling window, the HLL
+    register state (register, max rho) over host hashes — the sketch
+    path that replaces the exact (window, host) shuffle at 10^8+ hosts
+    with O(#windows * 256) rows. Registers are bit-exact oracled (the
+    string mixer is SQL-reproducible); estimate accuracy vs the exact
+    path is pinned in tests/test_webtext.py."""
+    from headson_ray.pipelines.webtext import window_host_hll
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return window_host_hll(paths)
+
+
 def _q_window_host_coverage(sf_dir: str):
     """Per tumbling 600s warc_ts window: page throughput + exact
     distinct-host coverage — webtext.py:window_host_coverage."""
@@ -409,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["host_crawl_delta"] = _q_host_crawl_delta
     q["cep_window_coverage"] = _q_cep_window_coverage
     q["cep_crawl_delta"] = _q_cep_crawl_delta
+    q["window_host_hll"] = _q_window_host_hll
     return q
 
 
@@ -516,6 +532,49 @@ SELECT CAST(window_id * {_CEP_WINDOW_US} AS BIGINT) AS win_start,
        CAST(count(*) AS BIGINT) AS n_hosts
 FROM w GROUP BY window_id
 """
+
+
+# HLL register state per window, recomputed bit-for-bit: host string ->
+# codepoint Horner mod 2^64 -> two mix rounds (the stages/hashing.py
+# family, same staged CTEs as the minhash oracle), register = v % 256,
+# rho = 57 - bit_length(v // 256). DISTINCT (window, host) first — max
+# over duplicates is unchanged and the char-level Horner runs once per
+# distinct host.
+def _window_host_hll_sql() -> str:
+    from headson_ray.pipelines.queries import _M64, _mixr_sql
+
+    w_us = 600 * 1_000_000
+    return f"""
+WITH p AS (
+  SELECT DISTINCT regexp_extract(url, {_DOMAIN_RE}, 1) AS host,
+         epoch_us(warc_ts) // {w_us} * {w_us} AS win_start
+  FROM read_parquet('{_PAGES_GLOB}')
+), h0 AS (
+  SELECT win_start,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             [CAST(ord(ch) AS HUGEINT) for ch in string_split(host, '')]),
+             (a, x) -> (a * 1000003 + x) % {_M64}) AS v
+  FROM p
+), hm1 AS (SELECT win_start, {_mixr_sql('v')} AS v FROM h0),
+hm2 AS (SELECT win_start, {_mixr_sql('v')} AS v FROM hm1),
+r AS (
+  SELECT win_start, CAST(v % 256 AS BIGINT) AS register, v // 256 AS w
+  FROM hm2
+), pw AS (
+  SELECT i, CAST(2 AS HUGEINT) ** i AS p FROM range(57) t(i)
+), bl AS (
+  SELECT win_start, register,
+         COALESCE((SELECT max(pw.i) + 1 FROM pw WHERE pw.p <= r.w), 0)
+           AS bitlen
+  FROM r
+)
+SELECT CAST(win_start AS BIGINT) AS win_start, register,
+       CAST(max(57 - bitlen) AS BIGINT) AS rho
+FROM bl GROUP BY 1, 2
+"""
+
+
+SQL_WINDOW_HOST_HLL = _window_host_hll_sql()
 
 
 # Streaming crawl-delta = host-grain fold of the CEP pane oracle (the
@@ -1009,5 +1068,6 @@ def oracle_sql() -> dict[str, str]:
     o["host_crawl_delta"] = SQL_HOST_CRAWL_DELTA
     o["cep_window_coverage"] = SQL_CEP_WINDOW_COVERAGE
     o["cep_crawl_delta"] = SQL_CEP_CRAWL_DELTA
+    o["window_host_hll"] = SQL_WINDOW_HOST_HLL
     o["summarize_pages"] = SQL_SUMMARIZE_PAGES
     return o

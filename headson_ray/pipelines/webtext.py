@@ -1973,6 +1973,82 @@ def window_host_coverage(paths: list[str]) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# 12b. windowed coverage, sketch path (HLL distinct hosts per window)
+# ---------------------------------------------------------------------------
+# The 100-TB-scale complement to window_host_coverage: the exact path
+# shuffles one row per distinct (window, host) — fine to ~10^7 hosts,
+# heavy at 10^8+. The HLL path ships AT MOST m=256 register rows per
+# window per block regardless of host count, and the deterministic
+# string mixer (stages/hashing.py) makes the register STATE itself
+# SQL-reproducible, so the sketch is oracle-checked bit-for-bit like
+# hll_user_registers.
+HLL_COVERAGE_REGISTERS = 256
+
+
+def _hll_coverage_partial(b: pa.Table) -> pa.Table:
+    """Per-batch partial register maxima per window: register =
+    hash(host) % m, rho = 57 - bit_length(hash(host) >> 8)."""
+    host = _extract_host(b.column("url"))
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+    ts = pc.cast(b.column("warc_ts"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    win = ts // COVERAGE_WINDOW_US * COVERAGE_WINDOW_US
+    h = hash_strings(host.to_pylist())
+    reg = (h % np.uint64(HLL_COVERAGE_REGISTERS)).astype(np.int64)
+    w = h >> np.uint64(8)
+    # exact vectorized bit_length (float log2 is off-by-one near powers
+    # of two for > 53-bit values) — same ladder as hll_user_registers
+    bl = np.zeros(len(w), dtype=np.int64)
+    v = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(shift))
+        bl[m] += shift
+        v[m] >>= np.uint64(shift)
+    bl += (v > 0).astype(np.int64)
+    rho = 57 - bl
+    t = pa.table(
+        {
+            "win_start": pa.array(win),
+            "register": pa.array(reg),
+            "rho": pa.array(rho),
+        }
+    )
+    agg = t.group_by(["win_start", "register"]).aggregate([("rho", "max")])
+    return agg.rename_columns(["win_start", "register", "rho"])
+
+
+def window_host_hll(paths: list[str]) -> "ray.data.Dataset":
+    """Per tumbling window: HLL register state for approximate
+    distinct-host coverage. Two-phase mergeable-sketch shape: per-batch
+    partial register maxima (<= m rows per window per block), one tiny
+    (window, register) groupby — the exchange is O(#windows * m)
+    regardless of corpus or host count."""
+    ds = ray.data.read_parquet(paths, columns=["url", "warc_ts"])
+    partials = ds.map_batches(
+        _hll_coverage_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby(["win_start", "register"]).aggregate(
+        Max("rho", alias_name="rho")
+    )
+
+
+def hll_estimate(rhos: np.ndarray, m: int = HLL_COVERAGE_REGISTERS) -> float:
+    """Standard HLL estimate from one sketch's present-register rho
+    values (absent registers are zeros): alpha_m * m^2 / sum(2^-M_j),
+    with the linear-counting small-range correction."""
+    rhos = np.asarray(rhos, dtype=np.int64)
+    zeros = m - rhos.size + int((rhos == 0).sum())
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    denom = float(np.sum(np.power(2.0, -rhos.astype(np.float64)))) + zeros
+    est = alpha * m * m / denom
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+# ---------------------------------------------------------------------------
 # 13. incremental-crawl delta ledger (new / kept / gone urls per host)
 # ---------------------------------------------------------------------------
 def _delta_explode(side: int):

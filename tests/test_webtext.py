@@ -902,6 +902,39 @@ def test_window_host_coverage_matches_duckdb(pages):
     _compare(window_host_coverage(cur), sql)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_window_host_hll_matches_duckdb(pages):
+    """The sketch path's register STATE is bit-exact against the
+    HUGEINT SQL recomputation (hash family = codepoint Horner + two mix
+    rounds, same contract as hll_user_registers)."""
+    from headson_ray.pipelines.webtext import window_host_hll
+
+    cur, _ = pages
+    sql = entry.SQL_WINDOW_HOST_HLL.replace(entry._PAGES_GLOB, _glob(cur))
+    _compare(window_host_hll(cur), sql)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_host_hll_estimate_tracks_exact(pages):
+    """Per window, the HLL estimate must track the exact distinct-host
+    count within the m=256 error envelope (linear counting makes small
+    windows near-exact)."""
+    from headson_ray.pipelines.webtext import (
+        hll_estimate,
+        window_host_coverage,
+        window_host_hll,
+    )
+
+    cur, _ = pages
+    regs = window_host_hll(cur).to_pandas()
+    exact = window_host_coverage(cur).to_pandas().set_index("win_start")
+    assert len(regs) > 0
+    for win, grp in regs.groupby("win_start"):
+        est = hll_estimate(grp["rho"].to_numpy())
+        true = int(exact.loc[win, "n_hosts"])
+        assert abs(est - true) / true < 0.2, (win, est, true)
+
+
 def test_coverage_two_phase_equals_brute_force_fuzz():
     """(window, host) partials + global fold equal brute-force per-window
     count/distinct for any batch split."""
