@@ -271,21 +271,25 @@ def pagerank_from_edges(
             ]
         )
         ray.get([a.init_ranks.remote(nh) for a in actors])
+        # All rounds submit WITHOUT driver-side barriers: per-actor task
+        # ordering runs compute_t -> apply_t -> compute_{t+1} in order,
+        # and each apply waits on the other actors' compute refs, so the
+        # BSP dependency graph is enforced by Ray itself; contributions
+        # move actor-to-actor through the object store and the driver
+        # holds refs only (one final get at the end).
+        last_acks: list = []
         for _ in range(iters):
             outs = [
                 a.compute_contribs.options(num_returns=num_parts).remote()
                 for a in actors
             ]
-            # BSP barrier per iteration; contributions move actor-to-
-            # actor through the object store (driver passes refs only)
-            ray.get(
-                [
-                    actors[j].apply_contribs.remote(
-                        *[outs[i][j] for i in range(num_parts)]
-                    )
-                    for j in range(num_parts)
-                ]
-            )
+            last_acks = [
+                actors[j].apply_contribs.remote(
+                    *[outs[i][j] for i in range(num_parts)]
+                )
+                for j in range(num_parts)
+            ]
+        ray.get(last_acks)
         refs = [a.result.remote() for a in actors]
         ray.wait(refs, num_returns=len(refs))
         return ray.data.from_arrow_refs(refs)
