@@ -48,6 +48,10 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         num_cpus=num_cpus,
         include_dashboard=False,
         ignore_reinit_error=True,
+        # worker log lines race with the final summary line on stdout;
+        # a stray "(pid=...)" line AFTER the JSON would break the
+        # driver's last-line parse
+        log_to_driver=False,
     )
     from headson_ray.pipelines.cep import CepEngine
     from headson_ray.pipelines.flagship import summarize_pages
