@@ -748,6 +748,111 @@ def test_host_grain_ops_no_driver_structures(pages, monkeypatch, opname):
     assert not offender, offender
 
 
+def test_frontier_salt_spreads_hot_host():
+    """A mega-host (90% of the corpus) must spread its page rows over
+    all NUM_FRONTIER_SALT salted buckets instead of landing in one
+    group — the property that keeps the bucket join skew-proof."""
+    import numpy as np
+
+    from headson_ray.pipelines.webtext import (
+        NUM_FRONTIER_SALT,
+        _frontier_page_explode,
+    )
+
+    n_hot, n_cold = 1800, 200
+    urls = [f"https://mega.example/page/{j}" for j in range(n_hot)]
+    urls += [f"https://h{j % 20}.net/page/{j}" for j in range(n_cold)]
+    ts = np.arange(len(urls), dtype=np.int64) * 1_000_000
+    tbl = pa.table(
+        {"url": urls, "warc_ts": pa.array(ts, pa.timestamp("us"))}
+    )
+    rows = _frontier_page_explode(tbl)
+    hosts = rows.column("host").to_pylist()
+    buckets = rows.column("bucket").to_numpy(zero_copy_only=False)
+    hot = buckets[[h == "mega.example" for h in hosts]]
+    spread = np.unique(hot)
+    assert spread.size == NUM_FRONTIER_SALT
+    # no salt holds more than ~2x its fair share
+    counts = np.bincount(hot - hot.min())
+    assert counts.max() <= 2 * n_hot // NUM_FRONTIER_SALT
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_bsp_matches_numpy_at_100k_hosts():
+    """Beyond-toy-scale soak for the BSP actor path: a synthetic
+    100k-host / ~400k-edge graph (Zipf-ish in-degree) through
+    pagerank_from_edges equals a local integer-exact numpy fold
+    bit-for-bit, and rank mass stays <= SCALE."""
+    import numpy as np
+    import ray.data
+
+    from headson_ray.pipelines.webtext import (
+        PAGERANK_DAMP_PCT,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+    )
+    from headson_ray.stages.pagerank import pagerank_from_edges
+
+    rng = np.random.default_rng(7)
+    nh = 100_000
+    ne = 400_000
+    u = rng.integers(0, nh, size=ne)
+    # skewed targets: half the edges hit the first 100 hosts
+    v = np.where(
+        rng.random(ne) < 0.5,
+        rng.integers(0, 100, size=ne),
+        rng.integers(0, nh, size=ne),
+    )
+    keep = u != v
+    u, v = u[keep], v[keep]
+    # aggregate to (src, dst, n_links) like host_link_graph emits
+    key = u.astype(np.int64) * nh + v
+    uniq, cnt = np.unique(key, return_counts=True)
+    su, sv = uniq // nh, uniq % nh
+    hosts = np.array([f"h{k}.net" for k in range(nh)], dtype=object)
+    edges_tbl = pa.table(
+        {
+            "src_host": pa.array([f"h{k}.net" for k in su], pa.string()),
+            "dst_host": pa.array([f"h{k}.net" for k in sv], pa.string()),
+            "n_links": pa.array(cnt.astype(np.int64)),
+        }
+    )
+    edges = ray.data.from_arrow(edges_tbl).repartition(16)
+    got = (
+        pagerank_from_edges(
+            edges,
+            iters=PAGERANK_ITERS,
+            scale=PAGERANK_SCALE,
+            damp_pct=PAGERANK_DAMP_PCT,
+            num_parts=4,
+        )
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+
+    # local integer-exact reference over the same aggregated edges
+    present = np.unique(np.concatenate([su, sv]))
+    hid = {int(k): i for i, k in enumerate(present)}
+    n = present.size
+    uu = np.array([hid[int(k)] for k in su], dtype=np.int64)
+    vv = np.array([hid[int(k)] for k in sv], dtype=np.int64)
+    w = cnt.astype(np.int64)
+    out = np.bincount(uu, weights=w, minlength=n).astype(np.int64)
+    teleport = (15 * PAGERANK_SCALE // 100) // n
+    r = np.full(n, PAGERANK_SCALE // n, dtype=np.int64)
+    for _ in range(PAGERANK_ITERS):
+        term = r[uu] * w // out[uu]
+        contrib = np.zeros(n, dtype=np.int64)
+        np.add.at(contrib, vv, term)
+        r = teleport + PAGERANK_DAMP_PCT * contrib // 100
+    ref_hosts = [f"h{int(k)}.net" for k in present]
+    order = np.argsort(np.array(ref_hosts, dtype=object))
+    assert list(got["host"]) == [ref_hosts[i] for i in order]
+    assert list(got["pr_rank"]) == [int(r[i]) for i in order]
+    assert got["pr_rank"].sum() <= PAGERANK_SCALE
+
+
 def test_dup_rate_two_phase_equals_brute_force_fuzz():
     """The per-batch (host, fp, cnt) partial + global fold equals a
     brute-force per-host count/distinct over ANY batch split — the
