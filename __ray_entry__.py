@@ -320,7 +320,9 @@ def _q_window_host_coverage(sf_dir: str):
     return window_host_coverage(paths)
 
 
-def _stream_panes_fold(sf_dir: str, fold, *, with_prior: bool):
+def _stream_panes_fold(
+    sf_dir: str, fold, *, with_prior: bool, kind: str = "windows"
+):
     """Shared harness for the streaming webtext folds: run the CEP
     engine over the deterministic page stream (micro-batches, watermark
     finalization, exactly-once sink), read the committed tumbling panes
@@ -352,10 +354,10 @@ def _stream_panes_fold(sf_dir: str, fold, *, with_prior: bool):
         eng.run(groups)
         files = []
         for b in sorted(eng.sink.committed_batches()):
-            p = _os.path.join(f"{work}/out", f"windows-b{b:06d}.parquet")
+            p = _os.path.join(f"{work}/out", f"{kind}-b{b:06d}.parquet")
             if _os.path.exists(p):
                 files.append(p)
-            d = _os.path.join(f"{work}/out", f"windows-b{b:06d}")
+            d = _os.path.join(f"{work}/out", f"{kind}-b{b:06d}")
             if _os.path.isdir(d):
                 files.extend(
                     sorted(
@@ -400,6 +402,20 @@ def _q_cep_crawl_delta(sf_dir: str):
     )
 
 
+def _q_cep_sessions(sf_dir: str):
+    """Streaming per-domain sessionization through the CEP engine: the
+    session state store gap-merges out-of-order fragments per domain
+    (all of a domain's rows route to ONE state actor), the watermark
+    finalizes sessions whose end + gap it has passed, and the
+    exactly-once sink commits them. Oracle = gaps-and-islands SQL over
+    the same stream (exact because the deterministic stream carries no
+    session-late rows at these parameters — n_late == 0, asserted in
+    tests)."""
+    return _stream_panes_fold(
+        sf_dir, lambda panes: panes, with_prior=False, kind="sessions"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = dict(QUERIES)
     q["summarize_pages"] = _q_summarize_pages
@@ -424,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["host_crawl_delta"] = _q_host_crawl_delta
     q["cep_window_coverage"] = _q_cep_window_coverage
     q["cep_crawl_delta"] = _q_cep_crawl_delta
+    q["cep_sessions"] = _q_cep_sessions
     q["window_host_hll"] = _q_window_host_hll
     return q
 
@@ -575,6 +592,44 @@ FROM bl GROUP BY 1, 2
 
 
 SQL_WINDOW_HOST_HLL = _window_host_hll_sql()
+
+
+# Streaming sessionization oracle: gaps-and-islands over (domain, ts)
+# with the engine's 1800s default gap. Exact because the deterministic
+# stream has no session-late rows at these parameters (n_late == 0,
+# asserted in tests/test_cep.py) and every aggregate is
+# arrival-order-invariant (min/max/count/sum over the session's rows).
+_SESSION_GAP_US = 1800 * 1_000_000
+SQL_CEP_SESSIONS = f"""
+WITH src AS (
+  SELECT regexp_extract(url, {_DOMAIN_RE}, 1) AS domain,
+         epoch_us(warc_ts) AS ts, length(text) AS n_chars, url
+  FROM read_parquet('{_PAGES_GLOB}')
+), o AS (
+  -- ORDER BY must be TOTAL (ts, url): with ts ties alone, lag and the
+  -- running sum below may evaluate under DIFFERENT tie orders and split
+  -- a tied pair across sessions nondeterministically
+  SELECT domain, ts, n_chars, url,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM src
+  WINDOW w AS (PARTITION BY domain ORDER BY ts, url)
+), g AS (
+  SELECT domain, ts, n_chars,
+         sum(brk) OVER (
+           PARTITION BY domain ORDER BY ts, url
+           ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM o
+)
+SELECT domain,
+       CAST(min(ts) AS BIGINT) AS session_start,
+       CAST(max(ts) AS BIGINT) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM g GROUP BY domain, sid
+"""
 
 
 # Streaming crawl-delta = host-grain fold of the CEP pane oracle (the
@@ -1068,6 +1123,7 @@ def oracle_sql() -> dict[str, str]:
     o["host_crawl_delta"] = SQL_HOST_CRAWL_DELTA
     o["cep_window_coverage"] = SQL_CEP_WINDOW_COVERAGE
     o["cep_crawl_delta"] = SQL_CEP_CRAWL_DELTA
+    o["cep_sessions"] = SQL_CEP_SESSIONS
     o["window_host_hll"] = SQL_WINDOW_HOST_HLL
     o["summarize_pages"] = SQL_SUMMARIZE_PAGES
     return o

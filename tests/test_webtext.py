@@ -748,6 +748,32 @@ def test_host_grain_ops_no_driver_structures(pages, monkeypatch, opname):
     assert not offender, offender
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_cep_sessions_matches_gaps_and_islands_oracle():
+    """The engine's streaming sessionization (gap-merged fragments in
+    domain-routed actor state, watermark-finalized, exactly-once sink)
+    equals the batch gaps-and-islands SQL over the same stream, and no
+    row is session-late (sum of n_events == total rows)."""
+    import duckdb
+
+    import __ray_entry__ as entry_mod
+    from headson_ray.sources.pages import rows_for_sf_dir
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    got = _norm(entry_mod._q_cep_sessions(sf_dir).to_pandas())
+    assert got["n_events"].sum() == rows  # zero late drops
+    glob = (
+        f"/tmp/headson_ray_pages/q-{rows}-r{rows}-s42/shard-*.parquet"
+    )
+    sql = entry_mod.SQL_CEP_SESSIONS.replace(entry_mod._PAGES_GLOB, glob)
+    exp = _norm(duckdb.connect().execute(sql).df())
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(
+        got, exp, check_dtype=False, check_exact=True
+    )
+
+
 def test_frontier_salt_spreads_hot_host():
     """A mega-host (90% of the corpus) must spread its page rows over
     all NUM_FRONTIER_SALT salted buckets instead of landing in one
