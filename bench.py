@@ -317,8 +317,16 @@ def main() -> None:
         # sample the same host state; pair efficiencies are computed
         # within a pair, never across drifting host epochs.
         reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+        pair_cooldown = float(os.environ.get("GRAFT_PAIR_COOLDOWN", "75"))
         pairs = []
-        for _ in range(reps):
+        for rep in range(reps):
+            if rep:
+                # let the box drain to steady state between pairs: the
+                # 8-CPU leg started right after a 32-CPU leg reads
+                # systematically hot (turbo/cache), deflating its
+                # pair's ratio (r5 runs 1-3: every pair-2 8-leg ran
+                # 0.9-1.1k docs/s above its pair-1 sibling)
+                time.sleep(pair_cooldown)
             low_out, low_state = _run_leg(lows)
             high_out, high_state = _run_leg(highs)
             p = {"legs": {str(lows): low_state, str(highs): high_state}}
