@@ -192,6 +192,19 @@ def _q_mirror_hosts(sf_dir: str):
     return mirror_host_detection(paths)
 
 
+def _q_mirror_alias_clusters(sf_dir: str):
+    """Mirror-cluster canonicalization: transitive closure of the
+    strong (Jaccard >= 0.2) alias-pair graph via distributed min-label
+    propagation; every clustered host maps to its lexicographic-min
+    cluster member — webtext.py:mirror_alias_clusters."""
+    from headson_ray.pipelines.webtext import mirror_alias_clusters
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return mirror_alias_clusters(paths)
+
+
 def _q_host_boilerplate_lines(sf_dir: str):
     """CCNet-style per-host boilerplate line detection over a
     deterministic boilerplate-injected stream —
@@ -428,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["host_lang_profile"] = _q_host_lang_profile
     q["extraction_ratios"] = _q_extraction_ratios
     q["mirror_hosts"] = _q_mirror_hosts
+    q["mirror_alias_clusters"] = _q_mirror_alias_clusters
     q["host_boilerplate_lines"] = _q_host_boilerplate_lines
     q["host_link_graph"] = _q_host_link_graph
     q["host_pagerank"] = _q_host_pagerank
@@ -794,6 +808,49 @@ JOIN tot tb ON tb.host = pairs.host_b
 """
 
 
+# Mirror-cluster canonicalization: the three-tier alias derive (host,
+# m.host on i%4==0, cdn.host on i%8==0), strong pairs at Jaccard >=
+# 0.2 (integer ppm, same floor division as the Ray kernel), then a
+# recursive-CTE transitive closure; canonical = lexicographic min
+# member (hosts are ASCII, so DuckDB byte-wise VARCHAR min == Python
+# str min). Exact absent 64-bit text-fp collisions (same contract as
+# mirror_hosts).
+SQL_MIRROR_ALIAS_CLUSTERS = f"""
+WITH RECURSIVE src AS (
+  SELECT regexp_extract(url, {_DOMAIN_RE}, 1) AS host, text,
+         CAST(regexp_extract(url, '/page/([0-9]+)$', 1) AS BIGINT) AS i
+  FROM read_parquet('{_PAGES_GLOB}')
+), obs AS (
+  SELECT DISTINCT host, text FROM src
+  UNION
+  SELECT DISTINCT 'm.' || host, text FROM src WHERE i % 4 = 0
+  UNION
+  SELECT DISTINCT 'cdn.' || host, text FROM src WHERE i % 8 = 0
+), tot AS (
+  SELECT host, count(*) AS n FROM obs GROUP BY host
+), pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM obs a JOIN obs b ON a.text = b.text AND a.host < b.host
+  GROUP BY 1, 2
+), strong AS (
+  SELECT host_a AS a, host_b AS b
+  FROM pairs
+  JOIN tot ta ON ta.host = pairs.host_a
+  JOIN tot tb ON tb.host = pairs.host_b
+  WHERE shared * 1000000 // (ta.n + tb.n - shared) >= 200000
+), edges AS (
+  SELECT a, b FROM strong UNION SELECT b, a FROM strong
+), nodes AS (
+  SELECT DISTINCT a AS host FROM edges
+), reach(host, r) AS (
+  SELECT host, host FROM nodes
+  UNION
+  SELECT reach.host, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT host, min(r) AS canonical_host FROM reach GROUP BY host
+"""
+
+
 # Boilerplate injection (cookie banner on every page; nav+footer on
 # i % 2 == 0 pages) + per-(host, line) support counting, mirroring
 # webtext.derive_boilerplate_pages / host_boilerplate_lines. A line is
@@ -1111,6 +1168,7 @@ def oracle_sql() -> dict[str, str]:
     o["host_lang_profile"] = SQL_HOST_LANG_PROFILE
     o["extraction_ratios"] = SQL_EXTRACTION_RATIOS
     o["mirror_hosts"] = SQL_MIRROR_HOSTS
+    o["mirror_alias_clusters"] = SQL_MIRROR_ALIAS_CLUSTERS
     o["host_boilerplate_lines"] = SQL_HOST_BOILERPLATE_LINES
     o["host_link_graph"] = SQL_HOST_LINK_GRAPH
     o["host_pagerank"] = SQL_HOST_PAGERANK

@@ -161,7 +161,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
             "host_anchor_terms", "host_change_rate", "host_crawl_budget",
             "host_dup_rate", "frontier_topk", "window_host_coverage",
             "host_crawl_delta", "cep_window_coverage", "cep_crawl_delta",
-            "window_host_hll", "cep_sessions",
+            "window_host_hll", "cep_sessions", "mirror_alias_clusters",
         ]:
             t0 = time.time()
             res = eq[name](SF_DIR)

@@ -758,6 +758,56 @@ def derive_mirror_observations(b: pa.Table) -> pa.Table:
     )
 
 
+_ALIAS_CDN_MOD = 8
+
+
+def derive_alias_observations(b: pa.Table) -> pa.Table:
+    """Three-tier alias injection for the mirror-CLUSTER op: every page
+    observes under its host; pages with i % 4 == 0 also under
+    ``m.<host>``; pages with i % 8 == 0 also under ``cdn.<host>``.
+    The cdn tier is a strict subset of the m tier, so the pair-Jaccard
+    profile is h~m ≈ 0.25, m~cdn ≈ 0.5, h~cdn ≈ 0.125 — thresholding
+    at 0.2 yields PATH-shaped alias groups (h—m—cdn) whose transitive
+    closure genuinely requires multi-hop label propagation."""
+    if b.num_rows == 0:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "fp": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+            }
+        )
+    url = b.column("url")
+    host = _extract_host(url)
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+    i = pc.cast(
+        pc.struct_field(pc.extract_regex(url, pattern=_IDX_PATTERN), "i"),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    fp = hash_strings(b.column("text").to_pylist())
+    parts_h, parts_f = [host], [fp]
+    for prefix, mod in (("m.", _MIRROR_MOD), ("cdn.", _ALIAS_CDN_MOD)):
+        sel = i % mod == 0
+        a_host = pc.binary_join_element_wise(
+            prefix, host.filter(pa.array(sel)), ""
+        )
+        if isinstance(a_host, pa.ChunkedArray):
+            a_host = a_host.combine_chunks()
+        parts_h.append(a_host)
+        parts_f.append(fp[sel])
+    all_host = pa.concat_arrays(parts_h)
+    all_fp = np.concatenate(parts_f)
+    bucket = (all_fp % np.uint64(NUM_URL_BUCKETS)).astype(np.int64)
+    return pa.table(
+        {
+            "host": all_host,
+            "fp": pa.array(all_fp.view(np.int64)),
+            "bucket": pa.array(bucket),
+        }
+    )
+
+
 def _mirror_bucket_partial(g: pa.Table) -> pa.Table:
     """One fp-hash bucket: every observation of a fingerprint co-locates
     here, so host pairs sharing each fp materialize locally. Emits
@@ -950,6 +1000,15 @@ def mirror_host_detection(paths: list[str]) -> "ray.data.Dataset":
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    return _pair_jaccard_from_obs(obs)
+
+
+def _pair_jaccard_from_obs(obs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Shared mirror-pair pipeline over a (host, fp, bucket) observation
+    stream: fp-bucket pair/total partials -> fold -> marker-row bucket
+    join resolving host totals -> pair-grain Jaccard. Derive-agnostic —
+    mirror_host_detection and mirror_alias_clusters differ only in the
+    alias tiers their derive injects."""
     partials = obs.groupby("bucket").map_groups(
         _mirror_bucket_partial, batch_format="pyarrow"
     )
@@ -969,6 +1028,123 @@ def mirror_host_detection(paths: list[str]) -> "ray.data.Dataset":
     )
     return pair_grain.map_batches(
         _mirror_jaccard, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+ALIAS_CLUSTER_MIN_PPM = 200_000
+
+
+def _alias_edge_nodes(b: pa.Table) -> pa.Table:
+    """Strong pairs -> int64 node-id edges for min-label components:
+    node = 64-bit host hash (stages/hashing.py) viewed as int64. Hash
+    collisions would merge two alias groups; at 2^-64 per pair over a
+    deterministic input this never fires (same contract as the other
+    hash-keyed webtext joins)."""
+    keep = (
+        b.column("jaccard_ppm").to_numpy(zero_copy_only=False)
+        >= ALIAS_CLUSTER_MIN_PPM
+    )
+    a = np.asarray(b.column("host_a").to_pylist(), dtype=object)[keep]
+    bb = np.asarray(b.column("host_b").to_pylist(), dtype=object)[keep]
+    return pa.table(
+        {
+            "a": pa.array(hash_strings(list(a)).view(np.int64)),
+            "b": pa.array(hash_strings(list(bb)).view(np.int64)),
+            "host_a": pa.array(list(a), pa.string()),
+            "host_b": pa.array(list(bb), pa.string()),
+        }
+    )
+
+
+def _alias_node_roster(b: pa.Table) -> pa.Table:
+    """(node, host) rows for both endpoints of every strong pair;
+    duplicates are fine — the component-grain fold below uniquifies."""
+    node = pa.concat_arrays(
+        [
+            b.column("a").combine_chunks()
+            if isinstance(b.column("a"), pa.ChunkedArray)
+            else b.column("a"),
+            b.column("b").combine_chunks()
+            if isinstance(b.column("b"), pa.ChunkedArray)
+            else b.column("b"),
+        ]
+    )
+    host = pa.concat_arrays(
+        [
+            b.column("host_a").combine_chunks()
+            if isinstance(b.column("host_a"), pa.ChunkedArray)
+            else b.column("host_a"),
+            b.column("host_b").combine_chunks()
+            if isinstance(b.column("host_b"), pa.ChunkedArray)
+            else b.column("host_b"),
+        ]
+    )
+    return pa.table({"node": node, "host": host})
+
+
+def _alias_component_fold(g: pa.Table) -> pa.Table:
+    """One component (all rows share lbl): uniquify member hosts and
+    emit (host, canonical_host = lexicographic min member)."""
+    hosts = np.unique(np.asarray(g.column("host").to_pylist(), dtype=object))
+    canon = hosts.min()
+    return pa.table(
+        {
+            "host": pa.array(list(hosts), pa.string()),
+            "canonical_host": pa.array([canon] * hosts.size, pa.string()),
+        }
+    )
+
+
+def mirror_alias_clusters(paths: list[str]) -> "ray.data.Dataset":
+    """Mirror-cluster canonicalization: group hosts serving the same
+    content into alias clusters (host, m.host, cdn.host) by TRANSITIVE
+    closure of the strong-pair graph (Jaccard >= 0.2), and map every
+    clustered host to its canonical (lexicographic-min) member — the
+    "pick one host per mirror group" step that follows pair detection
+    in a crawl-dedup stack.
+
+    The 0.2 threshold drops the weak h~cdn edge (~0.125) but keeps
+    h~m (~0.25) and m~cdn (~0.5), so clusters are PATHS h—m—cdn:
+    closure cannot be read off any single pair row and exercises real
+    multi-hop propagation (unlike mirror_host_detection's output,
+    whose components are single edges).
+
+    Scale posture: the corpus shuffles once by fp bucket (shared
+    _pair_jaccard_from_obs machinery); everything after is host/pair
+    grain. Components resolve via components_min_label
+    (stages/dedup.py) — iterative hash-partitioned min-label
+    propagation, the 10^12-edge path with NO driver union-find; the
+    canonical pick is one component-grain map_groups. The driver never
+    materializes pairs, labels, or rosters."""
+    from ..stages.dedup import components_min_label
+    from ..stages.join import hash_join
+
+    ds = ray.data.read_parquet(paths, columns=["url", "text"])
+    obs = ds.map_batches(
+        derive_alias_observations,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = _pair_jaccard_from_obs(obs)
+    strong = pairs.map_batches(
+        _alias_edge_nodes, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if strong.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "canonical_host": pa.array([], pa.string()),
+                }
+            )
+        )
+    labels = components_min_label(strong.select_columns(["a", "b"]))
+    roster = strong.map_batches(
+        _alias_node_roster, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join(labels, roster, key="node")
+    return joined.groupby("lbl").map_groups(
+        _alias_component_fold, batch_format="pyarrow"
     )
 
 

@@ -143,6 +143,53 @@ def test_mirror_hosts_finds_only_aliases(pages):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_mirror_alias_clusters_matches_duckdb(pages):
+    cur, _ = pages
+    sql = entry.SQL_MIRROR_ALIAS_CLUSTERS.replace(
+        entry._PAGES_GLOB, _glob(cur)
+    )
+    from headson_ray.pipelines.webtext import mirror_alias_clusters
+
+    _compare(mirror_alias_clusters(cur), sql)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mirror_alias_clusters_transitive_closure(pages):
+    """Clusters are the TRANSITIVE closure of the strong-pair path
+    h—m.h—cdn.h: the h~cdn.h edge itself is below the 0.2 threshold
+    (Jaccard ~0.125), so cdn.X landing in X's cluster proves label
+    propagation crossed an intermediate hop. Every cluster is a subset
+    of one base host's alias set and each host appears exactly once."""
+    from headson_ray.pipelines.webtext import mirror_alias_clusters
+
+    cur, _ = pages
+    df = mirror_alias_clusters(cur).to_pandas()
+    assert len(df) > 0
+    assert df["host"].is_unique
+
+    def base(h: str) -> str:
+        for p in ("m.", "cdn."):
+            if h.startswith(p):
+                return h[len(p):]
+        return h
+
+    # one base host per cluster; canonical is the lexicographic min
+    for canon, grp in df.groupby("canonical_host"):
+        members = sorted(grp["host"])
+        bases = {base(h) for h in members}
+        assert len(bases) == 1, (canon, members)
+        assert canon == min(members)
+    # multi-hop evidence: at least one size-3 cluster whose cdn member
+    # joined through m despite no direct strong edge to the base host
+    sizes = df.groupby("canonical_host").size()
+    assert (sizes == 3).sum() > 0
+    cdn_hosts = df[df["host"].str.startswith("cdn.")]
+    assert len(cdn_hosts) > 0
+    for _, row in cdn_hosts.iterrows():
+        assert base(row["canonical_host"]) == base(row["host"])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_host_boilerplate_lines_matches_duckdb(pages):
     cur, _ = pages
     sql = entry.SQL_HOST_BOILERPLATE_LINES.replace(
@@ -704,7 +751,7 @@ def test_frontier_topk_prefers_stale_small_hosts(pages):
 
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize(
-    "opname", ["mirror", "boilerplate", "frontier"]
+    "opname", ["mirror", "boilerplate", "frontier", "alias_clusters"]
 )
 def test_host_grain_ops_no_driver_structures(pages, monkeypatch, opname):
     """Round-4 verdict weak #2: mirror_host_detection,
@@ -733,10 +780,13 @@ def test_host_grain_ops_no_driver_structures(pages, monkeypatch, opname):
     def boom(self, *a, **kw):
         raise AssertionError("driver take_all during host-grain op")
 
+    from headson_ray.pipelines.webtext import mirror_alias_clusters
+
     op = {
         "mirror": mirror_host_detection,
         "boilerplate": host_boilerplate_lines,
         "frontier": frontier_topk,
+        "alias_clusters": mirror_alias_clusters,
     }[opname]
     with monkeypatch.context() as m:
         m.setattr(ray, "put", spy_put)
