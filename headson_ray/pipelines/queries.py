@@ -1723,6 +1723,43 @@ FROM events e
 """
 
 
+CONCURRENCY_WIDTH_US = 3600 * 1_000_000
+
+
+def q_event_concurrency(sf_dir: str):
+    """Keyless range join (no equality key at all — the one join class
+    hash_join cannot express): for every event, how many OTHER events
+    across ALL users landed within +/-1 hour (load / burst-detection
+    signal). Implemented as stages/join.py:banded_interval_count — one
+    time-band groupby; a 3x-replicated ts-only build stream makes every
+    band self-sufficient, and per-band resolution is sort + two
+    searchsorted calls. Scale: shuffle volume is 4x a single int64
+    column (1 probe + 3 build replicas) regardless of row width; bursty
+    bands parallelize by shrinking band_us."""
+    from ..stages.join import banded_interval_count
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    return banded_interval_count(
+        ds,
+        ts_col="ts",
+        id_col="event_id",
+        width_us=CONCURRENCY_WIDTH_US,
+    )
+
+
+SQL_EVENT_CONCURRENCY = f"""
+SELECT e1.event_id,
+       CAST(count(e2.event_id) AS BIGINT) AS n_concurrent
+FROM events e1
+LEFT JOIN events e2
+  ON e2.event_id <> e1.event_id
+ AND epoch_us(e2.ts) BETWEEN epoch_us(e1.ts) - {CONCURRENCY_WIDTH_US}
+                         AND epoch_us(e1.ts) + {CONCURRENCY_WIDTH_US}
+WHERE e1.ts IS NOT NULL
+GROUP BY e1.event_id
+"""
+
+
 def q_click_purchase_pairs(sf_dir: str):
     """Event-sequence interval join (CEP pattern `click -> purchase`
     within 1 hour, per user): count qualifying (click, purchase) pairs
@@ -4033,6 +4070,7 @@ QUERIES = {
     "order_customers_without_events": q_order_customers_without_events,
     "top3_orders_per_segment": q_top3_orders_per_segment,
     "asof_latest_order_per_event": q_asof_latest_order_per_event,
+    "event_concurrency": q_event_concurrency,
     "funnel_depths": q_funnel_depths,
     "value_quantiles_by_type": q_value_quantiles_by_type,
     "events_value_ranges": q_events_value_ranges,
@@ -4099,6 +4137,7 @@ ORACLE_SQL = {
     "order_customers_without_events": SQL_ORDER_CUSTOMERS_WITHOUT_EVENTS,
     "top3_orders_per_segment": SQL_TOP3_ORDERS_PER_SEGMENT,
     "asof_latest_order_per_event": SQL_ASOF_LATEST_ORDER_PER_EVENT,
+    "event_concurrency": SQL_EVENT_CONCURRENCY,
     "funnel_depths": SQL_FUNNEL_DEPTHS,
     "value_quantiles_by_type": SQL_VALUE_QUANTILES_BY_TYPE,
     "events_value_ranges": SQL_EVENTS_VALUE_RANGES,

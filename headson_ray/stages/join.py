@@ -152,3 +152,107 @@ def hash_join(
     return unioned.groupby("__bucket").map_groups(
         join_bucket, batch_format="pyarrow"
     )
+
+
+def banded_interval_count(
+    ds: "ray.data.Dataset",
+    *,
+    ts_col: str,
+    id_col: str,
+    width_us: int,
+    band_us: int | None = None,
+    out_col: str = "n_concurrent",
+) -> "ray.data.Dataset":
+    """Self interval-range join, count form: for every row, how many
+    OTHER rows have |ts2 - ts1| <= width_us. The range-join sibling of
+    hash_join for predicates with NO equality key (pure interval
+    overlap) — the shape Ray Data's groupby cannot express directly.
+
+    Banding: time splits into bands of band_us (>= width_us, default
+    equal). Each row probes in its own band; a 3x-replicated narrow
+    (ts-only) build stream covers bands t//B-1 .. t//B+1, so every
+    probe's [t-W, t+W] window is fully present in its band and each
+    build lands in a given band exactly once — counts are exact with
+    no dedup pass. ONE groupby shuffle; the probe side carries only
+    (id, ts) and the build side only ts, so replication cost is 3x a
+    single int64 column regardless of input width. Per-band resolution
+    is a vectorized sort + two searchsorted calls. A bursty interval
+    (hot band) parallelizes by lowering band_us — bands have no
+    cross-band state.
+
+    Rows with null ts are dropped from both sides (mirror the oracle
+    with WHERE ts IS NOT NULL on both join legs)."""
+    import numpy as np
+
+    if band_us is None:
+        band_us = width_us
+    if band_us < width_us:
+        raise ValueError("band_us must be >= width_us (window coverage)")
+    w = int(width_us)
+    bu = int(band_us)
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = b.column(ts_col)
+        if pa.types.is_timestamp(t.type):
+            t = pc.cast(t, pa.int64())
+        valid = pc.is_valid(t)
+        ts = pc.cast(t, pa.int64()).filter(valid).to_numpy(
+            zero_copy_only=False
+        )
+        ids = b.column(id_col).filter(valid).to_numpy(zero_copy_only=False)
+        band = ts // bu
+        # probe rows: side=0, own band only
+        p_band = band
+        # build rows: side=1, replicated into band-1, band, band+1
+        b_band = np.concatenate([band - 1, band, band + 1])
+        b_ts = np.concatenate([ts, ts, ts])
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate([p_band, b_band])),
+                "side": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(ts.size, dtype=np.int8),
+                            np.ones(b_ts.size, dtype=np.int8),
+                        ]
+                    )
+                ),
+                "ts": pa.array(np.concatenate([ts, b_ts])),
+                "id": pa.array(
+                    np.concatenate(
+                        [ids, np.zeros(b_ts.size, dtype=np.int64)]
+                    )
+                ),
+            }
+        )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        p = side == 0
+        if not p.any():
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    out_col: pa.array([], pa.int64()),
+                }
+            )
+        build = np.sort(ts[~p])
+        pt = ts[p]
+        hi = np.searchsorted(build, pt + w, side="right")
+        lo = np.searchsorted(build, pt - w, side="left")
+        # each probe's own build replica lands in this band exactly once
+        n = (hi - lo - 1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: g.column("id").filter(pa.array(p)),
+                out_col: pa.array(n),
+            }
+        )
+
+    exploded = ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return exploded.groupby("band").map_groups(
+        resolve, batch_format="pyarrow"
+    )

@@ -94,3 +94,60 @@ def test_salted_left_outer_join():
     import math
 
     assert rows[(5, "e")] is None or math.isnan(rows[(5, "e")])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_banded_interval_count_matches_brute_force():
+    """Random timestamps (with duplicates and band-boundary values)
+    across random shard splits: banded self interval-count equals the
+    O(n^2) reference, for band_us == width_us and band_us > width_us."""
+    import numpy as np
+
+    from headson_ray.stages.join import banded_interval_count
+
+    rng = np.random.RandomState(11)
+    for trial in range(8):
+        n = rng.randint(1, 120)
+        w = int(rng.choice([10, 50, 100]))
+        # cluster around band edges so windows straddle bands often
+        ts = rng.randint(0, 5 * w, n).astype(np.int64)
+        snap = rng.rand(n) < 0.3
+        ts[snap] = (ts[snap] // w) * w
+        ids = np.arange(n, dtype=np.int64)
+        expect = {
+            int(i): int(np.sum(np.abs(ts - t) <= w) - 1)
+            for i, t in zip(ids, ts)
+        }
+        tbl = pa.table({"event_id": pa.array(ids), "ts": pa.array(ts)})
+        k = rng.randint(1, 4)
+        ds = ray.data.from_arrow(tbl).repartition(k)
+        for band in (w, 3 * w):
+            got = banded_interval_count(
+                ds, ts_col="ts", id_col="event_id", width_us=w,
+                band_us=band,
+            ).to_pandas()
+            assert len(got) == n
+            gm = dict(zip(got["event_id"], got["n_concurrent"]))
+            assert {int(a): int(b) for a, b in gm.items()} == expect, (
+                trial, w, band
+            )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_banded_interval_count_drops_null_ts():
+    import numpy as np
+
+    from headson_ray.stages.join import banded_interval_count
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([100, None, 105], pa.int64()),
+        }
+    )
+    got = banded_interval_count(
+        ray.data.from_arrow(tbl), ts_col="ts", id_col="event_id",
+        width_us=10,
+    ).to_pandas()
+    assert sorted(got["event_id"]) == [1, 3]
+    assert (got["n_concurrent"] == 1).all()
