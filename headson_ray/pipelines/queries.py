@@ -1815,6 +1815,63 @@ GROUP BY c.user_id
 """
 
 
+_PATTERN = ("click", "click", "purchase")
+
+
+def q_event_pattern_matches(sf_dir: str):
+    """MATCH_RECOGNIZE-style strict-contiguity CEP pattern: per user,
+    count CONSECUTIVE [click, click, purchase] runs in event-time order
+    (total key (ts, event_id) so ties are deterministic). The
+    contiguous-pattern shape is what windowed pair joins like
+    click_purchase_pairs cannot express — adjacency matters, not
+    co-occurrence. groupby(user).map_groups with a vectorized
+    shifted-equality test; per-user rows bounded (same partitioning
+    assumption as the other per-key sweeps)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def count_runs(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id")[0].as_py()
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts))
+        et = et[order]
+        n = 0
+        if et.size >= len(_PATTERN):
+            m = et[: et.size - 2] == _PATTERN[0]
+            m &= et[1 : et.size - 1] == _PATTERN[1]
+            m &= et[2:] == _PATTERN[2]
+            n = int(m.sum())
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_matches": pa.array([n], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(
+        count_runs, batch_format="pyarrow"
+    )
+
+
+SQL_EVENT_PATTERN_MATCHES = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' AND e2 = 'click'
+                      AND e3 = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matches
+FROM o GROUP BY user_id
+"""
+
+
 def q_funnel_depths(sf_dir: str):
     """Multi-step CEP sequence detection (funnel `view -> click ->
     purchase`, each step within 1 hour of the previous, per user):
@@ -4071,6 +4128,7 @@ QUERIES = {
     "top3_orders_per_segment": q_top3_orders_per_segment,
     "asof_latest_order_per_event": q_asof_latest_order_per_event,
     "event_concurrency": q_event_concurrency,
+    "event_pattern_matches": q_event_pattern_matches,
     "funnel_depths": q_funnel_depths,
     "value_quantiles_by_type": q_value_quantiles_by_type,
     "events_value_ranges": q_events_value_ranges,
@@ -4138,6 +4196,7 @@ ORACLE_SQL = {
     "top3_orders_per_segment": SQL_TOP3_ORDERS_PER_SEGMENT,
     "asof_latest_order_per_event": SQL_ASOF_LATEST_ORDER_PER_EVENT,
     "event_concurrency": SQL_EVENT_CONCURRENCY,
+    "event_pattern_matches": SQL_EVENT_PATTERN_MATCHES,
     "funnel_depths": SQL_FUNNEL_DEPTHS,
     "value_quantiles_by_type": SQL_VALUE_QUANTILES_BY_TYPE,
     "events_value_ranges": SQL_EVENTS_VALUE_RANGES,
