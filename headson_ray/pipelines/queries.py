@@ -2620,6 +2620,69 @@ def q_quality_filter(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+BLOCK_MAX_PPM = 60_000  # drop docs with > 6% blocklisted tokens
+
+
+def q_blocklist_filter(sf_dir: str):
+    """C4-style blocklist (badwords) filter — the curation stage that
+    precedes quality scoring in most corpus builds: per doc, the count
+    and ppm of blocklisted tokens (token-equality semantics) plus the
+    keep verdict at the 6% ratio bar. One map_batches, zero shuffle;
+    integer cross-multiply verdict (no float compare)."""
+    from ..stages.textstats import add_blocklist_stats, add_token_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def verdict(b: pa.Table) -> pa.Table:
+        b = add_blocklist_stats(add_token_stats(b))
+        tc = b.column("token_count")
+        nb = b.column("n_blocked")
+        kept = pc.cast(
+            pc.less_equal(
+                pc.multiply(nb, 1_000_000),
+                pc.multiply(tc, BLOCK_MAX_PPM),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "token_count": tc,
+                "n_blocked": nb,
+                "kept": kept,
+            }
+        )
+
+    return ds.map_batches(
+        verdict, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _blocklist_sql() -> str:
+    from ..stages.textstats import BLOCKLIST
+
+    terms = ", ".join(f"'{t}'" for t in BLOCKLIST)
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, len(toks) AS token_count,
+         len(list_filter(toks, x -> x IN ({terms}))) AS n_blocked
+  FROM d
+)
+SELECT doc_id, CAST(token_count AS BIGINT) AS token_count,
+       CAST(n_blocked AS BIGINT) AS n_blocked,
+       CAST(CASE WHEN n_blocked * 1000000 <= token_count * {BLOCK_MAX_PPM}
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM c
+"""
+
+
+SQL_BLOCKLIST_FILTER = _blocklist_sql()
+
+
 SQL_QUALITY_FILTER = rf"""
 WITH d AS (
   SELECT doc_id,
@@ -4129,6 +4192,7 @@ QUERIES = {
     "asof_latest_order_per_event": q_asof_latest_order_per_event,
     "event_concurrency": q_event_concurrency,
     "event_pattern_matches": q_event_pattern_matches,
+    "blocklist_filter": q_blocklist_filter,
     "funnel_depths": q_funnel_depths,
     "value_quantiles_by_type": q_value_quantiles_by_type,
     "events_value_ranges": q_events_value_ranges,
@@ -4197,6 +4261,7 @@ ORACLE_SQL = {
     "asof_latest_order_per_event": SQL_ASOF_LATEST_ORDER_PER_EVENT,
     "event_concurrency": SQL_EVENT_CONCURRENCY,
     "event_pattern_matches": SQL_EVENT_PATTERN_MATCHES,
+    "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "funnel_depths": SQL_FUNNEL_DEPTHS,
     "value_quantiles_by_type": SQL_VALUE_QUANTILES_BY_TYPE,
     "events_value_ranges": SQL_EVENTS_VALUE_RANGES,

@@ -53,6 +53,27 @@ def add_token_stats(batch: pa.Table, text_column: str = "text") -> pa.Table:
     )
 
 
+BLOCKLIST = ("spark", "slow", "big")
+
+
+def add_blocklist_stats(
+    batch: pa.Table,
+    text_column: str = "text",
+    terms: tuple[str, ...] = BLOCKLIST,
+) -> pa.Table:
+    """Append n_blocked = count of whitespace tokens that exactly match
+    a blocklist term (C4-style badwords filtering, token-equality
+    semantics so the oracle's list_filter(x IN (...)) counts
+    identically). Same measured str.split kernel as add_token_stats.
+    """
+    blocked = frozenset(terms)
+    counts = [
+        len([1 for x in (t or "").split() if x in blocked])
+        for t in batch.column(text_column).to_pylist()
+    ]
+    return batch.append_column("n_blocked", pa.array(counts, pa.int64()))
+
+
 def add_quality_score(batch: pa.Table, text_column: str = "text") -> pa.Table:
     """Heuristic quality score in [0,1]: length + stopword-ratio blend
     (Gopher/C4-style length/stopword filters, simplified)."""

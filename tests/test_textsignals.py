@@ -193,3 +193,26 @@ def test_late_events_exact_boundary_row(ray_session, tmp_path):
     assert idY in got  # strictly below the line: late
     assert idX not in got  # exactly at the line: NOT late
     assert id0 not in got
+
+
+def test_add_blocklist_stats_token_equality():
+    """Blocklist counting is token-EQUALITY, not substring: 'bigtable'
+    must not count for 'big'; empty/None texts count zero; multiple
+    hits accumulate."""
+    from headson_ray.stages.textstats import add_blocklist_stats
+
+    b = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "spark is slow and big",
+                    "bigtable sparkles slowly",
+                    "",
+                    None,
+                    "big big big",
+                ]
+            )
+        }
+    )
+    out = add_blocklist_stats(b)
+    assert out.column("n_blocked").to_pylist() == [3, 0, 0, 0, 3]
