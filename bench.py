@@ -142,6 +142,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "distinct_users_per_type", "video_frame_plans", "hll_user_registers",
         "text_scrub", "decontam_flags", "curation_pipeline",
         "event_concurrency", "event_pattern_matches", "blocklist_filter",
+        "events_cube",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)

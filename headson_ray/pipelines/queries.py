@@ -183,6 +183,107 @@ GROUP BY 1, 2
 """
 
 
+def q_events_cube(sf_dir: str):
+    """GROUPING SETS / CUBE over (event_type, day window) from ONE
+    finest-grain partial pass: the (type x window) two-phase aggregate
+    materializes once, and the (type), (window), and grand-total levels
+    re-fold THOSE partial rows — one corpus scan, one partial-row
+    shuffle, three grain-sized re-folds (never a rescan). Sentinels
+    ('' / -1) stand in for rolled-up keys; level = grouping id
+    (0 = finest, 1 = by type, 2 = by window, 3 = grand total)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        wid = pc.divide(pc.cast(b.column("ts"), pa.int64()), DAY_US)
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "window_id": wid,
+                "cents": _cents(b.column("value")),
+            }
+        )
+        g = t.group_by(["event_type", "window_id"]).aggregate(
+            [([], "count_all"), ("cents", "sum")]
+        )
+        return g.rename_columns(["event_type", "window_id", "n", "val_cents"])
+
+    fine = _two_phase_sum(
+        ds, ["event_type", "window_id"], partial, ["n", "val_cents"]
+    ).materialize()
+
+    def shape(level: int, with_type: bool, with_window: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {
+                    "event_type": (
+                        b.column("event_type")
+                        if with_type
+                        else pa.array([""] * n, pa.string())
+                    ),
+                    "window_id": (
+                        b.column("window_id")
+                        if with_window
+                        else pa.array([-1] * n, pa.int64())
+                    ),
+                    "n": pc.cast(b.column("n"), pa.int64()),
+                    "val_cents": pc.cast(b.column("val_cents"), pa.int64()),
+                    "level": pa.array([level] * n, pa.int64()),
+                }
+            )
+
+        return fn
+
+    lvl0 = fine.map_batches(shape(0, True, True), batch_format="pyarrow")
+    lvl1 = (
+        fine.groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("val_cents", alias_name="val_cents"))
+        .map_batches(shape(1, True, False), batch_format="pyarrow")
+    )
+    lvl2 = (
+        fine.groupby("window_id")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("val_cents", alias_name="val_cents"))
+        .map_batches(shape(2, False, True), batch_format="pyarrow")
+    )
+
+    def const_key(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array([0] * b.num_rows, pa.int64()),
+                "n": b.column("n"),
+                "val_cents": b.column("val_cents"),
+            }
+        )
+
+    lvl3 = (
+        fine.map_batches(const_key, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("val_cents", alias_name="val_cents"))
+        .map_batches(shape(3, False, False), batch_format="pyarrow")
+    )
+    return lvl0.union(lvl1).union(lvl2).union(lvl3)
+
+
+SQL_EVENTS_CUBE = f"""
+SELECT COALESCE(event_type, '') AS event_type,
+       COALESCE(window_id, -1) AS window_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS val_cents,
+       CAST(grouping(event_type) * 2 + grouping(window_id) AS BIGINT)
+         AS level
+FROM (
+  SELECT event_type,
+         epoch_us(ts) // {DAY_US} AS window_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+GROUP BY CUBE (event_type, window_id)
+"""
+
+
 def q_sliding_events(sf_dir: str):
     # size = 2 days, slide = 1 day -> each event in exactly 2 windows
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
@@ -4193,6 +4294,7 @@ QUERIES = {
     "event_concurrency": q_event_concurrency,
     "event_pattern_matches": q_event_pattern_matches,
     "blocklist_filter": q_blocklist_filter,
+    "events_cube": q_events_cube,
     "funnel_depths": q_funnel_depths,
     "value_quantiles_by_type": q_value_quantiles_by_type,
     "events_value_ranges": q_events_value_ranges,
@@ -4262,6 +4364,7 @@ ORACLE_SQL = {
     "event_concurrency": SQL_EVENT_CONCURRENCY,
     "event_pattern_matches": SQL_EVENT_PATTERN_MATCHES,
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
+    "events_cube": SQL_EVENTS_CUBE,
     "funnel_depths": SQL_FUNNEL_DEPTHS,
     "value_quantiles_by_type": SQL_VALUE_QUANTILES_BY_TYPE,
     "events_value_ranges": SQL_EVENTS_VALUE_RANGES,
