@@ -2245,6 +2245,337 @@ LIMIT {Q3_TOPK}
 """
 
 
+Q5_REGION = "ASIA"
+Q5_LO_US = 852_076_800_000_000  # 1997-01-01 epoch microseconds
+Q5_HI_US = 883_612_800_000_000  # 1998-01-01
+
+
+def q_regional_nation_revenue(sf_dir: str):
+    """TPC-H Q5 shape: revenue per nation for 1997 orders whose customer
+    and line-item supplier sit in the SAME nation, restricted to one
+    region — the six-table join chain (customer x orders x lineitem x
+    supplier x nation x region).
+
+    Scale composition, three join grains but ONE all-to-all exchange:
+    nation x region resolve driver-side (tiny by nature, ~10^2 rows
+    total) into an in-region nationkey -> name map; supplier broadcasts
+    suppkey -> nationkey once via _broadcast_lookup (dimension-sized;
+    its guardrail raises past BROADCAST_ROW_LIMIT); customer broadcasts
+    custkey -> nationkey under the same limit WITH a hash_join fallback
+    (customer is a fact at high sf). Both fact sides are pre-filtered
+    to the region BEFORE the lineitem x orders bucket join (supplier
+    nation in-region on the lineitem side, customer nation in-region +
+    the order-date window on the orders side), and bucket_post
+    collapses every bucket to <= one row per nation, so the final
+    groupby shuffles only #buckets x #in-region-nations tiny rows."""
+    import ray as _ray
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name",
+                                      "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    region_keys = set()
+    for b in region.iter_batches(batch_format="pyarrow"):
+        for rk, rn in zip(b.column("r_regionkey").to_pylist(),
+                          b.column("r_name").to_pylist()):
+            if rn == Q5_REGION:
+                region_keys.add(rk)
+    nk2name = {}
+    for b in nation.iter_batches(batch_format="pyarrow"):
+        for nk, nn, rk in zip(b.column("n_nationkey").to_pylist(),
+                              b.column("n_name").to_pylist(),
+                              b.column("n_regionkey").to_pylist()):
+            if rk in region_keys:
+                nk2name[nk] = nn
+    in_region = pa.array(sorted(nk2name), pa.int64())
+
+    supp_ref = _broadcast_lookup(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey", "s_nationkey",
+    )
+
+    # orders side: window filter, attach + filter the customer nation
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def orders_window(b: pa.Table) -> pa.Table:
+        t_us = pc.cast(b.column("o_orderdate"), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(t_us, pa.scalar(Q5_LO_US, pa.int64())),
+            pc.less(t_us, pa.scalar(Q5_HI_US, pa.int64())),
+        )
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+            }
+        ).filter(keep)
+
+    orders_w = orders.map_batches(
+        orders_window, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    small = _collect_small_side(
+        cust, "c_custkey", "c_nationkey", BROADCAST_ROW_LIMIT
+    )
+    if small is None:
+        # customer too big to broadcast: hash-partitioned lookup join
+        from ..stages.join import hash_join as _hj
+
+        cust_keyed = cust.map_batches(
+            lambda b: pa.table(
+                {
+                    "o_custkey": b.column("c_custkey"),
+                    "c_nat": pc.cast(b.column("c_nationkey"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        orders_nat = _hj(orders_w, cust_keyed, key="o_custkey",
+                         how="inner")
+
+        def trim(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_orderkey": b.column("o_orderkey"),
+                    "c_nat": b.column("c_nat"),
+                }
+            ).filter(pc.is_in(b.column("c_nat"), value_set=in_region))
+
+        orders_nat = orders_nat.map_batches(
+            trim, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        cust_ref = _ray.put(small)
+
+        def attach_cnat(b: pa.Table) -> pa.Table:
+            keys_arr, vals_arr = _ray.get(cust_ref)
+            cn = pc.cast(
+                _probe(b.column("o_custkey"), keys_arr, vals_arr),
+                pa.int64(),
+            )
+            return pa.table(
+                {
+                    "o_orderkey": b.column("o_orderkey"),
+                    "c_nat": cn,
+                }
+            ).filter(pc.is_in(cn, value_set=in_region))
+
+        orders_nat = orders_w.map_batches(
+            attach_cnat, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # lineitem side: attach + filter the supplier nation, price in cents
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_shape(b: pa.Table) -> pa.Table:
+        keys_arr, vals_arr = _ray.get(supp_ref)
+        sn = pc.cast(
+            _probe(b.column("l_suppkey"), keys_arr, vals_arr), pa.int64()
+        )
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "s_nat": sn,
+                "rev_cents": _cents(rev),
+            }
+        ).filter(pc.is_in(sn, value_set=in_region))
+
+    li_proj = li.map_batches(
+        li_shape, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_post(joined: pa.Table) -> pa.Table:
+        # same-nation predicate, then collapse the bucket to one row
+        # per nation — the post-join exchange is O(#nations) per bucket
+        m = joined.filter(
+            pc.equal(joined.column("c_nat"), joined.column("s_nat"))
+        )
+        g = m.group_by(["s_nat"]).aggregate([("rev_cents", "sum")])
+        return g.rename_columns(["nationkey", "rev_cents"])
+
+    from ..stages.join import hash_join
+
+    per_bucket = hash_join(
+        li_proj, orders_nat, key="o_orderkey", how="inner",
+        bucket_post=bucket_post,
+    )
+    totals = per_bucket.groupby("nationkey").aggregate(
+        Sum("rev_cents", alias_name="rev_cents")
+    )
+    parts = list(totals.iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return pa.table(
+            {
+                "n_name": pa.array([], pa.string()),
+                "rev_cents": pa.array([], pa.int64()),
+            }
+        )
+    merged = pa.concat_tables(parts)
+    names = pa.array(
+        [nk2name[k] for k in merged.column("nationkey").to_pylist()],
+        pa.string(),
+    )
+    out = pa.table(
+        {
+            "n_name": names,
+            "rev_cents": pc.cast(merged.column("rev_cents"), pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("rev_cents", "descending"),
+                       ("n_name", "ascending")],
+        )
+    )
+
+
+SQL_REGIONAL_NATION_REVENUE = f"""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS rev_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = '{Q5_REGION}'
+  AND epoch_us(o_orderdate) >= {Q5_LO_US}
+  AND epoch_us(o_orderdate) < {Q5_HI_US}
+GROUP BY n_name
+ORDER BY rev_cents DESC, n_name
+"""
+
+
+Q4_LATE_US = 90 * DAY_US
+
+
+def q_late_ship_priority_counts(sf_dir: str):
+    """TPC-H Q4 shape: per order priority, how many 1997 orders had at
+    least one line item shipped more than 90 days after the order date
+    — the correlated EXISTS, rewritten as a per-order max-shipdate
+    aggregate (EXISTS(ship > date + 90d) <=> max(ship) > date + 90d).
+
+    Scale composition: lineitem pre-aggregates max(l_shipdate) per
+    orderkey INSIDE each batch, so the single bucket shuffle moves at
+    most one row per (orderkey, block) instead of every line item;
+    bucket_post finishes the per-order max (each bucket holds all of
+    its keys' partials), applies the lateness predicate, and counts per
+    priority — the final exchange is #buckets x #priorities rows."""
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def orders_window(b: pa.Table) -> pa.Table:
+        t_us = pc.cast(b.column("o_orderdate"), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(t_us, pa.scalar(Q5_LO_US, pa.int64())),
+            pc.less(t_us, pa.scalar(Q5_HI_US, pa.int64())),
+        )
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_date_us": t_us,
+                "o_orderpriority": b.column("o_orderpriority"),
+            }
+        ).filter(keep)
+
+    orders_w = orders.map_batches(
+        orders_window, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def li_max_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "ship_us": pc.cast(b.column("l_shipdate"), pa.int64()),
+            }
+        )
+        g = t.group_by(["o_orderkey"]).aggregate([("ship_us", "max")])
+        return g.rename_columns(["o_orderkey", "ship_us"])
+
+    li_partials = li.map_batches(
+        li_max_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_post(joined: pa.Table) -> pa.Table:
+        g = joined.group_by(
+            ["o_orderkey", "o_date_us", "o_orderpriority"]
+        ).aggregate([("ship_us", "max")])
+        g = g.rename_columns(
+            ["o_orderkey", "o_date_us", "o_orderpriority", "ship_us"]
+        )
+        late = g.filter(
+            pc.greater(
+                g.column("ship_us"),
+                pc.add(g.column("o_date_us"),
+                       pa.scalar(Q4_LATE_US, pa.int64())),
+            )
+        )
+        c = late.group_by(["o_orderpriority"]).aggregate(
+            [([], "count_all")]
+        )
+        return c.rename_columns(["o_orderpriority", "n_late_orders"])
+
+    from ..stages.join import hash_join
+
+    per_bucket = hash_join(
+        li_partials, orders_w, key="o_orderkey", how="inner",
+        bucket_post=bucket_post,
+    )
+    totals = per_bucket.groupby("o_orderpriority").aggregate(
+        Sum("n_late_orders", alias_name="n_late_orders")
+    )
+    parts = list(totals.iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([], pa.string()),
+                "n_late_orders": pa.array([], pa.int64()),
+            }
+        )
+    merged = pa.concat_tables(parts)
+    out = pa.table(
+        {
+            "o_orderpriority": merged.column("o_orderpriority"),
+            "n_late_orders": pc.cast(
+                merged.column("n_late_orders"), pa.int64()
+            ),
+        }
+    )
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("o_orderpriority", "ascending")])
+    )
+
+
+SQL_LATE_SHIP_PRIORITY_COUNTS = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders
+WHERE epoch_us(o_orderdate) >= {Q5_LO_US}
+  AND epoch_us(o_orderdate) < {Q5_HI_US}
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND epoch_us(l_shipdate) > epoch_us(o_orderdate) + {Q4_LATE_US}
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUANTILES_BY_TYPE = [("p25", 0.25), ("p50", 0.50), ("p90", 0.90)]
 
 
@@ -4300,6 +4631,8 @@ QUERIES = {
     "events_value_ranges": q_events_value_ranges,
     "revenue_by_priority": q_revenue_by_priority,
     "order_revenue_topk": q_order_revenue_topk,
+    "regional_nation_revenue": q_regional_nation_revenue,
+    "late_ship_priority_counts": q_late_ship_priority_counts,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -4370,6 +4703,8 @@ ORACLE_SQL = {
     "events_value_ranges": SQL_EVENTS_VALUE_RANGES,
     "revenue_by_priority": SQL_REVENUE_BY_PRIORITY,
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
+    "regional_nation_revenue": SQL_REGIONAL_NATION_REVENUE,
+    "late_ship_priority_counts": SQL_LATE_SHIP_PRIORITY_COUNTS,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,

@@ -305,6 +305,46 @@ def test_orders_by_segment_hash_join_fallback(con, monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_regional_revenue_hash_join_fallback(con, monkeypatch):
+    """With the broadcast limit forced between supplier size (10 rows at
+    sf0.001 — still broadcastable) and customer size (150 rows), the Q5
+    chain must route the customer-nation lookup through the
+    hash-partitioned join and stay oracle-exact."""
+    import headson_ray.pipelines.queries as q
+
+    monkeypatch.setattr(q, "BROADCAST_ROW_LIMIT", 50)
+    got = _norm(_to_frame(q.q_regional_nation_revenue(SF_DIR)))
+    exp = _norm(con.execute(ORACLE_SQL["regional_nation_revenue"]).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_late_ship_exists_rewrite_counts_orders_once():
+    """The EXISTS rewrite must count each qualifying ORDER once, however
+    many late line items it has: every per-priority count is bounded by
+    the number of distinct orders in the window."""
+    import duckdb as _d
+
+    from headson_ray.pipelines.queries import (
+        Q5_HI_US,
+        Q5_LO_US,
+        q_late_ship_priority_counts,
+    )
+
+    got = _to_frame(q_late_ship_priority_counts(SF_DIR))
+    bound = _d.connect().execute(
+        f"""SELECT o_orderpriority, count(*) AS n FROM
+            read_parquet('{SF_DIR}/orders.parquet')
+            WHERE epoch_us(o_orderdate) >= {Q5_LO_US}
+              AND epoch_us(o_orderdate) < {Q5_HI_US}
+            GROUP BY 1"""
+    ).df().set_index("o_orderpriority")["n"]
+    assert len(got) > 0
+    for prio, n in zip(got["o_orderpriority"], got["n_late_orders"]):
+        assert 0 < n <= bound[prio]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_broadcast_lookup_guardrail_raises(monkeypatch):
     import ray.data
 
