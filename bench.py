@@ -142,7 +142,8 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "distinct_users_per_type", "video_frame_plans", "hll_user_registers",
         "text_scrub", "decontam_flags", "curation_pipeline",
         "event_concurrency", "event_pattern_matches", "blocklist_filter",
-        "events_cube",
+        "events_cube", "regional_nation_revenue",
+        "late_ship_priority_counts",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)
@@ -291,7 +292,11 @@ def _run_leg(cpus: int) -> tuple[dict, dict]:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        lows, highs = 8, 32
+        # Default 8->32; override with GRAFT_SCALING_LOW/HIGH to sample
+        # the same 4x ratio at a different absolute point (e.g. 4->16,
+        # below the box's measured DRAM-bandwidth saturation knee).
+        lows = int(os.environ.get("GRAFT_SCALING_LOW", "8"))
+        highs = int(os.environ.get("GRAFT_SCALING_HIGH", "32"))
         # --- membw gate (round-4 verdict task 3) -------------------------
         # The sandbox box's own 8->32-proc memory-bandwidth scaling dips
         # to 0.35-0.58 during documented troughs, dragging ANY pipeline
