@@ -143,7 +143,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "text_scrub", "decontam_flags", "curation_pipeline",
         "event_concurrency", "event_pattern_matches", "blocklist_filter",
         "events_cube", "regional_nation_revenue",
-        "late_ship_priority_counts",
+        "late_ship_priority_counts", "customer_order_distribution",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)

@@ -2576,6 +2576,95 @@ ORDER BY o_orderpriority
 """
 
 
+def q_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape: the distribution of orders-per-customer,
+    INCLUDING zero-order customers (LEFT JOIN semantics) — expressed
+    without a join: the customer stream contributes one zero marker row
+    per custkey, the orders stream contributes per-batch pre-aggregated
+    counts, and a single groupby(custkey) sums both — a customer with
+    no orders survives the union as n_orders=0, exactly what the outer
+    join's null side would produce.
+
+    Scale posture: both shuffles move pre-aggregated rows only (order
+    counts collapse inside each batch before the custkey exchange; the
+    histogram partials collapse to <= max-orders-per-customer rows per
+    block before the tiny final exchange)."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def zero_marker(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "n_orders": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"c_custkey": b.column("o_custkey")}).group_by(
+            ["c_custkey"]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["c_custkey", "n_orders"])
+
+    per_cust = (
+        cust.map_batches(
+            zero_marker, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .union(
+            orders.map_batches(
+                order_partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("c_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["n_orders"]).group_by(["n_orders"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["n_orders", "n_customers"])
+
+    totals = (
+        per_cust.map_batches(
+            hist_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("n_orders")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+    parts = list(totals.iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return pa.table(
+            {
+                "n_orders": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+            }
+        )
+    merged = pa.concat_tables(parts)
+    out = pa.table(
+        {
+            "n_orders": pc.cast(merged.column("n_orders"), pa.int64()),
+            "n_customers": pc.cast(
+                merged.column("n_customers"), pa.int64()
+            ),
+        }
+    )
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("n_orders", "ascending")])
+    )
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+ORDER BY n_orders
+"""
+
+
 QUANTILES_BY_TYPE = [("p25", 0.25), ("p50", 0.50), ("p90", 0.90)]
 
 
@@ -4633,6 +4722,7 @@ QUERIES = {
     "order_revenue_topk": q_order_revenue_topk,
     "regional_nation_revenue": q_regional_nation_revenue,
     "late_ship_priority_counts": q_late_ship_priority_counts,
+    "customer_order_distribution": q_customer_order_distribution,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -4705,6 +4795,7 @@ ORACLE_SQL = {
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
     "regional_nation_revenue": SQL_REGIONAL_NATION_REVENUE,
     "late_ship_priority_counts": SQL_LATE_SHIP_PRIORITY_COUNTS,
+    "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,

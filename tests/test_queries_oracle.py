@@ -345,6 +345,29 @@ def test_late_ship_exists_rewrite_counts_orders_once():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_customer_order_distribution_counts_zero_order_customers(tmp_path):
+    """The LEFT-JOIN semantics must survive the zero-marker-union
+    rewrite: customers with no orders land in the n_orders=0 bucket."""
+    import pyarrow.parquet as pq
+
+    from headson_ray.pipelines.queries import q_customer_order_distribution
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {"o_custkey": pa.array([1, 1, 1, 3], pa.int64())}
+        ),
+        tmp_path / "orders.parquet",
+    )
+    got = _to_frame(q_customer_order_distribution(str(tmp_path)))
+    dist = dict(zip(got["n_orders"], got["n_customers"]))
+    assert dist == {0: 2, 1: 1, 3: 1}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_broadcast_lookup_guardrail_raises(monkeypatch):
     import ray.data
 
