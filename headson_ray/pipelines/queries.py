@@ -2665,6 +2665,64 @@ ORDER BY n_orders
 """
 
 
+def q_user_top_event_type(sf_dir: str):
+    """Grouped mode (argmax aggregate): each user's most frequent event
+    type, ties broken by event_type ASC — the top-1-of-counts shape
+    that plain groupby aggregates cannot express.
+
+    ONE shuffle total: per-batch partial (user, type) counts collapse
+    inside map_batches, the groupby(user) exchange moves only those
+    partials, and each group finishes its own count-sum + argmax
+    vectorized (sort by n DESC, type ASC; take row 0)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def argmax(group: pa.Table) -> pa.Table:
+        g = group.group_by(["user_id", "event_type"]).aggregate(
+            [("n", "sum")]
+        ).rename_columns(["user_id", "event_type", "n"])
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("n", "descending"), ("event_type", "ascending")],
+        )
+        top = g.take(idx.slice(0, 1))
+        return pa.table(
+            {
+                "user_id": top.column("user_id"),
+                "top_event_type": top.column("event_type"),
+                "n_events": pc.cast(top.column("n"), pa.int64()),
+            }
+        )
+
+    return partials.groupby("user_id").map_groups(
+        argmax, batch_format="pyarrow"
+    )
+
+
+SQL_USER_TOP_EVENT_TYPE = """
+SELECT user_id, event_type AS top_event_type,
+       CAST(n AS BIGINT) AS n_events
+FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY count(*) DESC, event_type
+         ) AS rn
+  FROM events GROUP BY user_id, event_type
+)
+WHERE rn = 1
+"""
+
+
 QUANTILES_BY_TYPE = [("p25", 0.25), ("p50", 0.50), ("p90", 0.90)]
 
 
@@ -4723,6 +4781,7 @@ QUERIES = {
     "regional_nation_revenue": q_regional_nation_revenue,
     "late_ship_priority_counts": q_late_ship_priority_counts,
     "customer_order_distribution": q_customer_order_distribution,
+    "user_top_event_type": q_user_top_event_type,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -4796,6 +4855,7 @@ ORACLE_SQL = {
     "regional_nation_revenue": SQL_REGIONAL_NATION_REVENUE,
     "late_ship_priority_counts": SQL_LATE_SHIP_PRIORITY_COUNTS,
     "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
+    "user_top_event_type": SQL_USER_TOP_EVENT_TYPE,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,

@@ -532,13 +532,22 @@ def test_misra_gries_trim_mergeable_guarantee():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_components_min_label_matches_union_find():
-    """Distributed min-label propagation must produce the exact same
-    components as the driver union-find on an adversarial graph (long
-    chain + star + singleton pairs)."""
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_components_min_label_matches_union_find(
+    monkeypatch, force_distributed
+):
+    """Both closure paths — the single-task union-find fold (small
+    graphs) and the iterative min-label propagation (forced here by
+    zeroing the small-graph threshold) — must produce the exact same
+    components on an adversarial graph (long chain + star + singleton
+    pairs)."""
     import ray.data
 
+    import headson_ray.stages.dedup as dedup_mod
     from headson_ray.stages.dedup import components_min_label
+
+    if force_distributed:
+        monkeypatch.setattr(dedup_mod, "SMALL_COMPONENT_GRAPH_ROWS", 0)
 
     # chain 100..110, star around 200, disjoint pair (301,300), loner 400
     edges = [(i, i + 1) for i in range(100, 110)]
