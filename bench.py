@@ -144,7 +144,8 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "event_concurrency", "event_pattern_matches", "blocklist_filter",
         "events_cube", "regional_nation_revenue",
         "late_ship_priority_counts", "customer_order_distribution",
-        "user_top_event_type",
+        "user_top_event_type", "large_volume_orders",
+        "idle_rich_customers",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)

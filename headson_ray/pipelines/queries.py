@@ -2723,6 +2723,293 @@ WHERE rn = 1
 """
 
 
+Q18_MIN_QTY = 300
+Q18_TOPK = 100
+
+
+def q_large_volume_orders(sf_dir: str):
+    """TPC-H Q18 shape: the top orders by total price among orders whose
+    summed line-item quantity exceeds Q18_MIN_QTY, with the buying
+    customer attached — the HAVING-filtered semi-join into a two-table
+    enrichment.
+
+    Scale composition: line items pre-aggregate sum(l_quantity) per
+    orderkey INSIDE each batch (quantities are integer-valued, summed
+    exactly as int64), one groupby(orderkey) finishes the sums, and the
+    HAVING filter cuts the stream to the rare heavy orders BEFORE any
+    join — both hash joins then move only those few rows plus the
+    projected orders/customer payloads. The customer-side join's
+    bucket_post trims each bucket to the global-candidate top Q18_TOPK
+    by (price DESC, orderkey ASC), so the driver fold sees at most
+    k x #buckets rows regardless of corpus size."""
+    from ..stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "total_qty": _cents(b.column("l_quantity"), 1.0),
+            }
+        )
+        g = t.group_by(["o_orderkey"]).aggregate([("total_qty", "sum")])
+        return g.rename_columns(["o_orderkey", "total_qty"])
+
+    totals = (
+        li.map_batches(
+            li_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("o_orderkey")
+        .aggregate(Sum("total_qty", alias_name="total_qty"))
+    )
+
+    def heavy_only(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "total_qty": pc.cast(b.column("total_qty"), pa.int64()),
+            }
+        )
+        return t.filter(
+            pc.greater(
+                t.column("total_qty"), pa.scalar(Q18_MIN_QTY, pa.int64())
+            )
+        )
+
+    heavy = totals.map_batches(
+        heavy_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def orders_proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "c_custkey": b.column("o_custkey"),
+                "o_date_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "price_cents": _cents(b.column("o_totalprice")),
+            }
+        )
+
+    enriched = hash_join(
+        heavy,
+        orders.map_batches(
+            orders_proj, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        key="o_orderkey",
+        how="inner",
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def bucket_trim(joined: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            joined,
+            sort_keys=[("price_cents", "descending"),
+                       ("o_orderkey", "ascending")],
+        )
+        return joined.take(idx.slice(0, Q18_TOPK))
+
+    named = hash_join(
+        enriched, cust, key="c_custkey", how="inner",
+        bucket_post=bucket_trim,
+    )
+    parts = list(named.iter_batches(batch_format="pyarrow"))
+    cols = ["c_name", "c_custkey", "o_orderkey", "o_date_us",
+            "price_cents", "total_qty"]
+    if not parts:
+        return pa.table(
+            {
+                "c_name": pa.array([], pa.string()),
+                "c_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_date_us": pa.array([], pa.int64()),
+                "price_cents": pa.array([], pa.int64()),
+                "total_qty": pa.array([], pa.int64()),
+            }
+        )
+    merged = pa.concat_tables(
+        [p.select(cols) for p in parts]
+    ).combine_chunks()
+    idx = pc.sort_indices(
+        merged,
+        sort_keys=[("price_cents", "descending"),
+                   ("o_orderkey", "ascending")],
+    )
+    return merged.take(idx.slice(0, Q18_TOPK))
+
+
+SQL_LARGE_VOLUME_ORDERS = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS o_date_us,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {Q18_MIN_QTY})
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY price_cents DESC, o_orderkey
+LIMIT {Q18_TOPK}
+"""
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape: per market segment, the count and total balance
+    of customers holding an above-average positive account balance who
+    placed NO orders in the 1997 window — the scalar-subquery filter
+    plus NOT-EXISTS anti-join.
+
+    Exactness: the average is never computed as a float — a customer is
+    "rich" iff bal_cents * n_pos > sum_pos_cents (integer
+    cross-multiplication), which the DuckDB oracle reproduces exactly
+    in BIGINT math.
+
+    Scale composition: the global (sum, count) over positive balances
+    folds two-phase (one two-int partial per block; the driver sees two
+    scalars). The anti-join is the bucket hash_join in left-outer mode:
+    the rich-customer stream joins per-batch pre-aggregated 1997 order
+    counts, and each bucket finishes its own null-side filter (idle =
+    zero non-null matches) plus segment partials — the final exchange
+    is #buckets x #segments rows."""
+    from ..stages.join import hash_join
+
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("c_acctbal"))
+        pos = pc.filter(cents, pc.greater(cents, pa.scalar(0, pa.int64())))
+        s = pc.sum(pos).as_py() or 0
+        return pa.table(
+            {
+                "sum_pos": pa.array([s], pa.int64()),
+                "n_pos": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    stats = cust.map_batches(
+        pos_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sum_pos = 0
+    n_pos = 0
+    for p in stats.iter_batches(batch_format="pyarrow"):
+        sum_pos += pc.sum(p.column("sum_pos")).as_py() or 0
+        n_pos += pc.sum(p.column("n_pos")).as_py() or 0
+
+    def rich_only(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("c_acctbal"))
+        t = pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "bal_cents": cents,
+            }
+        )
+        return t.filter(
+            pc.greater(
+                pc.multiply(cents, pa.scalar(n_pos, pa.int64())),
+                pa.scalar(sum_pos, pa.int64()),
+            )
+        )
+
+    rich = cust.map_batches(
+        rich_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        t_us = pc.cast(b.column("o_orderdate"), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(t_us, pa.scalar(Q5_LO_US, pa.int64())),
+            pc.less(t_us, pa.scalar(Q5_HI_US, pa.int64())),
+        )
+        g = pa.table(
+            {"c_custkey": pc.filter(b.column("o_custkey"), keep)}
+        ).group_by(["c_custkey"]).aggregate([([], "count_all")])
+        return g.rename_columns(["c_custkey", "n_orders"])
+
+    counts = orders.map_batches(
+        order_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_post(joined: pa.Table) -> pa.Table:
+        g = joined.group_by(
+            ["c_custkey", "c_mktsegment", "bal_cents"]
+        ).aggregate([("n_orders", "count")])
+        g = g.rename_columns(
+            ["c_custkey", "c_mktsegment", "bal_cents", "n_matches"]
+        )
+        idle = g.filter(
+            pc.equal(g.column("n_matches"), pa.scalar(0, pa.int64()))
+        )
+        seg = idle.group_by(["c_mktsegment"]).aggregate(
+            [([], "count_all"), ("bal_cents", "sum")]
+        )
+        return seg.rename_columns(
+            ["c_mktsegment", "n_customers", "bal_cents"]
+        )
+
+    per_bucket = hash_join(
+        rich, counts, key="c_custkey", how="left outer",
+        bucket_post=bucket_post,
+    )
+    totals = per_bucket.groupby("c_mktsegment").aggregate(
+        Sum("n_customers", alias_name="n_customers"),
+        Sum("bal_cents", alias_name="bal_cents"),
+    )
+    parts = list(totals.iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return pa.table(
+            {
+                "c_mktsegment": pa.array([], pa.string()),
+                "n_customers": pa.array([], pa.int64()),
+                "bal_cents": pa.array([], pa.int64()),
+            }
+        )
+    merged = pa.concat_tables(parts)
+    out = pa.table(
+        {
+            "c_mktsegment": merged.column("c_mktsegment"),
+            "n_customers": pc.cast(merged.column("n_customers"), pa.int64()),
+            "bal_cents": pc.cast(merged.column("bal_cents"), pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("c_mktsegment", "ascending")])
+    )
+
+
+SQL_IDLE_RICH_CUSTOMERS = f"""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM customer
+WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+      * (SELECT count(*) FROM customer
+         WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+    > (SELECT coalesce(sum(CAST(round(c_acctbal * 100) AS BIGINT)), 0)
+       FROM customer
+       WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND epoch_us(o_orderdate) >= {Q5_LO_US}
+          AND epoch_us(o_orderdate) < {Q5_HI_US})
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUANTILES_BY_TYPE = [("p25", 0.25), ("p50", 0.50), ("p90", 0.90)]
 
 
@@ -4782,6 +5069,8 @@ QUERIES = {
     "late_ship_priority_counts": q_late_ship_priority_counts,
     "customer_order_distribution": q_customer_order_distribution,
     "user_top_event_type": q_user_top_event_type,
+    "large_volume_orders": q_large_volume_orders,
+    "idle_rich_customers": q_idle_rich_customers,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -4856,6 +5145,8 @@ ORACLE_SQL = {
     "late_ship_priority_counts": SQL_LATE_SHIP_PRIORITY_COUNTS,
     "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
     "user_top_event_type": SQL_USER_TOP_EVENT_TYPE,
+    "large_volume_orders": SQL_LARGE_VOLUME_ORDERS,
+    "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,
