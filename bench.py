@@ -145,7 +145,8 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "events_cube", "regional_nation_revenue",
         "late_ship_priority_counts", "customer_order_distribution",
         "user_top_event_type", "large_volume_orders",
-        "idle_rich_customers",
+        "idle_rich_customers", "small_quantity_part_revenue",
+        "customer_balance_ranks",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)
@@ -259,7 +260,15 @@ def _round_floats(obj, nd: int):
 def _emit(payload: dict) -> None:
     """ONE compact JSON summary line on stdout (rounded, no spaces) as
     the final line, plus the full-precision record in BENCH_LOCAL.json
-    next to this file as the driver-independent fallback."""
+    next to this file as the driver-independent fallback.
+
+    Headline-only legs are --scaling subprocesses; they must not
+    clobber BENCH_LOCAL.json (the parent --scaling emit, or a full
+    catalog run, owns that record)."""
+    if "--headline-only" in sys.argv:
+        print(json.dumps(_round_floats(payload, 2),
+                         separators=(",", ":")), flush=True)
+        return
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_LOCAL.json")

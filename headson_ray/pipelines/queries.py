@@ -3010,6 +3010,220 @@ ORDER BY c_mktsegment
 """
 
 
+def q_small_quantity_part_revenue(sf_dir: str):
+    """TPC-H Q17 shape: total revenue (and item count) of line items
+    whose quantity is below 20% of their part's average quantity — the
+    correlated per-group average rejoined against the fact stream.
+
+    Exactness: no float average — the predicate qty < 0.2 * avg is the
+    integer cross-multiplication 5 * qty * cnt_part < sum_qty_part
+    (quantities are integer-valued), bit-reproducible in the oracle.
+
+    Scale composition: per-part (sum_qty, cnt) pre-aggregates inside
+    each batch so the first shuffle moves one row per (part, block);
+    the rejoin is the bucket hash_join and each bucket FINISHES the
+    predicate + revenue partial locally (bucket_post), so the second
+    exchange is one row per bucket and the driver folds #buckets
+    rows into the single-row answer."""
+    from ..stages.join import hash_join
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def part_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "sum_qty": _cents(b.column("l_quantity"), 1.0),
+                "cnt": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["l_partkey"]).aggregate(
+            [("sum_qty", "sum"), ("cnt", "sum")]
+        )
+        return g.rename_columns(["l_partkey", "sum_qty", "cnt"])
+
+    totals = (
+        li.map_batches(
+            part_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("l_partkey")
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("cnt", alias_name="cnt"),
+        )
+    )
+
+    def totals_proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "sum_qty": pc.cast(b.column("sum_qty"), pa.int64()),
+                "cnt": pc.cast(b.column("cnt"), pa.int64()),
+            }
+        )
+
+    def fact_proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "qty": _cents(b.column("l_quantity"), 1.0),
+                "price_cents": _cents(b.column("l_extendedprice")),
+            }
+        )
+
+    def bucket_post(joined: pa.Table) -> pa.Table:
+        small = joined.filter(
+            pc.less(
+                pc.multiply(
+                    pc.multiply(joined.column("qty"),
+                                pa.scalar(5, pa.int64())),
+                    joined.column("cnt"),
+                ),
+                joined.column("sum_qty"),
+            )
+        )
+        s = pc.sum(small.column("price_cents")).as_py() or 0
+        return pa.table(
+            {
+                "b": pa.array([0], pa.int64()),
+                "revenue_cents": pa.array([s], pa.int64()),
+                "n_items": pa.array([small.num_rows], pa.int64()),
+            }
+        )
+
+    per_bucket = hash_join(
+        li.map_batches(
+            fact_proj, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        totals.map_batches(
+            totals_proj, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        key="l_partkey",
+        how="inner",
+        bucket_post=bucket_post,
+    )
+    revenue = 0
+    n_items = 0
+    for p in per_bucket.iter_batches(batch_format="pyarrow"):
+        revenue += pc.sum(p.column("revenue_cents")).as_py() or 0
+        n_items += pc.sum(p.column("n_items")).as_py() or 0
+    return pa.table(
+        {
+            "revenue_cents": pa.array([revenue], pa.int64()),
+            "n_items": pa.array([n_items], pa.int64()),
+        }
+    )
+
+
+SQL_SMALL_QUANTITY_PART_REVENUE = """
+SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)),
+                     0) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN (
+  SELECT l_partkey AS pk,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+) t ON l.l_partkey = t.pk
+WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * t.cnt < t.sum_qty
+"""
+
+
+def q_customer_balance_ranks(sf_dir: str):
+    """Per-row analytic window function over the whole table: every
+    customer's RANK() by account balance (ties share a rank, SQL rank
+    semantics) — the full-table OVER (ORDER BY ...) shape.
+
+    Scale composition: rank(x) = 1 + #rows with balance < x, so ONE
+    pre-aggregated groupby builds the balance histogram — whose size is
+    bounded by the number of DISTINCT cent values (itself bounded by
+    the balance range, ~1.1M entries at any corpus size, ~18 MB), NOT
+    by row count — and the sorted (value, base_rank) pair broadcasts
+    once via ray.put; every batch then resolves its ranks with one
+    vectorized searchsorted. No sort of the data, no per-row state."""
+    import ray as _ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"bal_cents": _cents(b.column("c_acctbal"))}).group_by(
+            ["bal_cents"]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["bal_cents", "cnt"])
+
+    hist = (
+        cust.map_batches(
+            hist_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bal_cents")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    vals_parts = []
+    cnt_parts = []
+    for p in hist.iter_batches(batch_format="pyarrow"):
+        vals_parts.append(
+            p.column("bal_cents").to_numpy(zero_copy_only=False)
+        )
+        cnt_parts.append(
+            pc.cast(p.column("cnt"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+    if not vals_parts:
+        return pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "bal_cents": pa.array([], pa.int64()),
+                "bal_rank": pa.array([], pa.int64()),
+            }
+        )
+    vals = np.concatenate(vals_parts)
+    cnts = np.concatenate(cnt_parts)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    base = np.empty_like(cnts)
+    base[0] = 1
+    np.cumsum(cnts[:-1], out=base[1:])
+    base[1:] += 1
+    lookup_ref = _ray.put(
+        pa.table({"v": pa.array(vals), "r": pa.array(base)})
+    )
+
+    def assign_rank(b: pa.Table) -> pa.Table:
+        lk = _ray.get(lookup_ref)
+        v = lk.column("v").to_numpy(zero_copy_only=False)
+        r = lk.column("r").to_numpy(zero_copy_only=False)
+        cents = _cents(b.column("c_acctbal")).to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.searchsorted(v, cents)
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "bal_cents": pa.array(cents),
+                "bal_rank": pa.array(r[idx]),
+            }
+        )
+
+    return cust.map_batches(
+        assign_rank, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_CUSTOMER_BALANCE_RANKS = """
+SELECT c_custkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+       CAST(rank() OVER (
+         ORDER BY CAST(round(c_acctbal * 100) AS BIGINT)
+       ) AS BIGINT) AS bal_rank
+FROM customer
+"""
+
+
 QUANTILES_BY_TYPE = [("p25", 0.25), ("p50", 0.50), ("p90", 0.90)]
 
 
@@ -5071,6 +5285,8 @@ QUERIES = {
     "user_top_event_type": q_user_top_event_type,
     "large_volume_orders": q_large_volume_orders,
     "idle_rich_customers": q_idle_rich_customers,
+    "small_quantity_part_revenue": q_small_quantity_part_revenue,
+    "customer_balance_ranks": q_customer_balance_ranks,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -5147,6 +5363,8 @@ ORACLE_SQL = {
     "user_top_event_type": SQL_USER_TOP_EVENT_TYPE,
     "large_volume_orders": SQL_LARGE_VOLUME_ORDERS,
     "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
+    "small_quantity_part_revenue": SQL_SMALL_QUANTITY_PART_REVENUE,
+    "customer_balance_ranks": SQL_CUSTOMER_BALANCE_RANKS,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,
