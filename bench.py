@@ -146,7 +146,8 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "late_ship_priority_counts", "customer_order_distribution",
         "user_top_event_type", "large_volume_orders",
         "idle_rich_customers", "small_quantity_part_revenue",
-        "customer_balance_ranks",
+        "customer_balance_ranks", "promo_revenue_share",
+        "top_supplier_revenue", "brand_disjunctive_revenue",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)

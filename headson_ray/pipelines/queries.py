@@ -3224,6 +3224,456 @@ FROM customer
 """
 
 
+def _rev_cents(b: pa.Table) -> pa.Array:
+    """extendedprice * (1 - discount) in integer cents, SQL round()."""
+    return _cents(
+        pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+    )
+
+
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape: per ship-month, the promo-part slice of revenue
+    next to total revenue (the conditional-aggregate ratio, emitted as
+    two BIGINT cent sums so the ratio is exact on the reader's side).
+
+    Scale composition: part is dimension-sized, so (partkey -> is_promo)
+    broadcasts once via ray.put and every lineitem batch resolves the
+    flag with one vectorized index_in probe, then collapses to at most
+    one (month, promo, total) row per month per batch — the only
+    shuffle is the final O(#months) groupby. Past BROADCAST_ROW_LIMIT
+    the same plan runs as a bucket hash_join whose bucket_post emits
+    the identical per-month partials."""
+    import ray as _ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def month_partial(t: pa.Table) -> pa.Table:
+        # t: ship_month, rev_cents, promo (int64 0/1)
+        g = t.group_by(["ship_month"]).aggregate(
+            [("promo_cents", "sum"), ("rev_cents", "sum")]
+        )
+        return g.rename_columns(["ship_month", "promo_cents",
+                                 "total_cents"])
+
+    small = _collect_small_side(
+        part, "p_partkey", "p_type", BROADCAST_ROW_LIMIT
+    )
+    if small is not None:
+        part_ref = _ray.put(small)
+
+        def probe_collapse(b: pa.Table) -> pa.Table:
+            keys_arr, vals_arr = _ray.get(part_ref)
+            ptype = _probe(b.column("l_partkey"), keys_arr, vals_arr)
+            rev = _rev_cents(b)
+            promo = pc.cast(
+                pc.equal(ptype, pa.scalar("PROMO")), pa.int64()
+            )
+            t = pa.table(
+                {
+                    "ship_month": pc.strftime(
+                        b.column("l_shipdate"), format="%Y-%m"
+                    ),
+                    "promo_cents": pc.multiply(rev, promo),
+                    "rev_cents": rev,
+                }
+            ).filter(pc.is_valid(ptype))  # inner-join semantics
+            return month_partial(t)
+
+        partials = li.map_batches(
+            probe_collapse, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        from ..stages.join import hash_join
+
+        def li_proj(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_partkey": b.column("l_partkey"),
+                    "ship_month": pc.strftime(
+                        b.column("l_shipdate"), format="%Y-%m"
+                    ),
+                    "rev_cents": _rev_cents(b),
+                }
+            )
+
+        def part_proj(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "p_partkey": b.column("p_partkey"),
+                    "promo": pc.cast(
+                        pc.equal(b.column("p_type"), pa.scalar("PROMO")),
+                        pa.int64(),
+                    ),
+                }
+            ).rename_columns(["l_partkey", "promo"])
+
+        def bucket_post(joined: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "ship_month": joined.column("ship_month"),
+                    "promo_cents": pc.multiply(
+                        joined.column("rev_cents"), joined.column("promo")
+                    ),
+                    "rev_cents": joined.column("rev_cents"),
+                }
+            )
+            return month_partial(t)
+
+        partials = hash_join(
+            li.map_batches(
+                li_proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            part.map_batches(
+                part_proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key="l_partkey",
+            how="inner",
+            bucket_post=bucket_post,
+        )
+
+    out = (
+        partials.groupby("ship_month")
+        .aggregate(
+            Sum("promo_cents", alias_name="promo_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .sort("ship_month")
+    )
+
+    def final_cast(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ship_month": b.column("ship_month"),
+                "promo_cents": pc.cast(b.column("promo_cents"),
+                                       pa.int64()),
+                "total_cents": pc.cast(b.column("total_cents"),
+                                       pa.int64()),
+            }
+        )
+
+    return out.map_batches(
+        final_cast, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS total_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY ship_month
+ORDER BY ship_month
+"""
+
+
+Q15_LO_US = 852_076_800_000_000  # 1997-01-01 epoch microseconds
+Q15_HI_US = 859_852_800_000_000  # 1997-04-01
+
+
+def q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals
+    the global maximum — aggregate, take a scalar max OF the aggregate,
+    filter the aggregate by it (the create-view + subquery-max form).
+
+    Scale composition: per-supplier partials collapse inside each batch
+    so the one shuffle is supplier-grain; the materialized totals are
+    dimension-sized by nature. The global max is the ONE scalar the
+    driver reads; winners (ties only) are a tiny table, and their names
+    resolve by scanning supplier with an is_in semi-filter — no
+    supplier-sized structure ever lands on the driver."""
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def supp_partial(b: pa.Table) -> pa.Table:
+        t_us = pc.cast(b.column("l_shipdate"), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(t_us, pa.scalar(Q15_LO_US, pa.int64())),
+            pc.less(t_us, pa.scalar(Q15_HI_US, pa.int64())),
+        )
+        w = b.filter(keep)
+        t = pa.table(
+            {
+                "l_suppkey": w.column("l_suppkey"),
+                "rev_cents": _rev_cents(w),
+            }
+        )
+        g = t.group_by(["l_suppkey"]).aggregate([("rev_cents", "sum")])
+        return g.rename_columns(["l_suppkey", "rev_cents"])
+
+    totals = (
+        li.map_batches(
+            supp_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+        .materialize()
+    )
+    empty = pa.table(
+        {
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "rev_cents": pa.array([], pa.int64()),
+        }
+    )
+    if totals.count() == 0:
+        return empty
+    gmax = int(totals.max("rev_cents"))
+
+    def winners_only(b: pa.Table) -> pa.Table:
+        m = b.filter(
+            pc.equal(
+                pc.cast(b.column("rev_cents"), pa.int64()),
+                pa.scalar(gmax, pa.int64()),
+            )
+        )
+        return pa.table(
+            {
+                "s_suppkey": m.column("l_suppkey"),
+                "rev_cents": pc.cast(m.column("rev_cents"), pa.int64()),
+            }
+        )
+
+    win_parts = list(
+        totals.map_batches(
+            winners_only, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    )
+    if not win_parts:
+        return empty
+    winners = pa.concat_tables(win_parts)  # ties only: tiny by nature
+    win_keys = winners.column("s_suppkey").combine_chunks()
+
+    def name_filter(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.is_in(b.column("s_suppkey"), value_set=win_keys))
+        return pa.table(
+            {
+                "s_suppkey": m.column("s_suppkey"),
+                "s_name": m.column("s_name"),
+            }
+        )
+
+    name_parts = list(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(
+            name_filter, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .iter_batches(batch_format="pyarrow")
+    )
+    names = (
+        pa.concat_tables(name_parts)
+        if name_parts
+        else pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+            }
+        )
+    )
+    nm = _probe(
+        win_keys,
+        names.column("s_suppkey").combine_chunks(),
+        names.column("s_name").combine_chunks(),
+    )
+    out = pa.table(
+        {
+            "s_suppkey": win_keys,
+            "s_name": nm,
+            "rev_cents": winners.column("rev_cents"),
+        }
+    ).filter(pc.is_valid(nm))  # inner-join semantics
+    return out.take(pc.sort_indices(out, sort_keys=[("s_suppkey",
+                                                     "ascending")]))
+
+
+SQL_TOP_SUPPLIER_REVENUE = f"""
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) >= {Q15_LO_US}
+    AND epoch_us(l_shipdate) < {Q15_HI_US}
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, rev_cents
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev_cents = (SELECT max(rev_cents) FROM r)
+ORDER BY s_suppkey
+"""
+
+
+# Q19-style disjunctive predicate: three (brand, size-range, qty-range)
+# conjunctions OR'd together (brands exist in the synthetic part table).
+Q19_ARMS = [
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#7", 1, 15, 20, 30),
+]
+
+
+def q_brand_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of per-arm
+    (brand equality x part-size range x quantity range) conjunctions —
+    the multi-arm compound predicate that defeats naive pushdown.
+
+    Scale composition: part's two predicate attributes broadcast once
+    (dimension-sized; hash_join bucket_post fallback past the limit);
+    each lineitem batch resolves brand/size with two vectorized probes
+    and evaluates all three arms as Arrow boolean kernels — no python
+    row loop, and the batch collapses to ONE (revenue, count) partial
+    row, so nothing shuffles at all in the broadcast path."""
+    import ray as _ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def arms_mask(brand: pa.Array, size: pa.Array,
+                  qty: pa.Array) -> pa.Array:
+        m = None
+        for bname, slo, shi, qlo, qhi in Q19_ARMS:
+            arm = pc.and_(
+                pc.and_(
+                    pc.equal(brand, pa.scalar(bname)),
+                    pc.and_(
+                        pc.greater_equal(size,
+                                         pa.scalar(slo, pa.int64())),
+                        pc.less_equal(size, pa.scalar(shi, pa.int64())),
+                    ),
+                ),
+                pc.and_(
+                    pc.greater_equal(qty, pa.scalar(qlo, pa.int64())),
+                    pc.less_equal(qty, pa.scalar(qhi, pa.int64())),
+                ),
+            )
+            m = arm if m is None else pc.or_(m, arm)
+        return m
+
+    def one_row(rev: int, n: int) -> pa.Table:
+        return pa.table(
+            {
+                "b": pa.array([0], pa.int64()),
+                "revenue_cents": pa.array([rev], pa.int64()),
+                "n_items": pa.array([n], pa.int64()),
+            }
+        )
+
+    small_brand = _collect_small_side(
+        part, "p_partkey", "p_brand", BROADCAST_ROW_LIMIT
+    )
+    if small_brand is not None:
+        small_size = _collect_small_side(
+            part, "p_partkey", "p_size", BROADCAST_ROW_LIMIT
+        )
+        ref = _ray.put(
+            (small_brand[0], small_brand[1],
+             pc.cast(small_size[1], pa.int64()))
+        )
+
+        def probe_arms(b: pa.Table) -> pa.Table:
+            keys_arr, brand_arr, size_arr = _ray.get(ref)
+            idx = pc.index_in(b.column("l_partkey"), value_set=keys_arr)
+            brand = pc.take(brand_arr, idx)
+            size = pc.take(size_arr, idx)
+            qty = _cents(b.column("l_quantity"), 1.0)
+            keep = pc.and_(pc.is_valid(brand),
+                           arms_mask(brand, size, qty))
+            m = b.filter(pc.fill_null(keep, False))
+            rev = pc.sum(_cents(m.column("l_extendedprice"))).as_py() or 0
+            return one_row(rev, m.num_rows)
+
+        partials = li.map_batches(
+            probe_arms, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        from ..stages.join import hash_join
+
+        def li_proj(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_partkey": b.column("l_partkey"),
+                    "qty": _cents(b.column("l_quantity"), 1.0),
+                    "price_cents": _cents(b.column("l_extendedprice")),
+                }
+            )
+
+        def part_proj(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_partkey": b.column("p_partkey"),
+                    "p_brand": b.column("p_brand"),
+                    "p_size": pc.cast(b.column("p_size"), pa.int64()),
+                }
+            )
+
+        def bucket_post(joined: pa.Table) -> pa.Table:
+            keep = arms_mask(
+                joined.column("p_brand"),
+                joined.column("p_size"),
+                joined.column("qty"),
+            )
+            m = joined.filter(keep)
+            rev = pc.sum(m.column("price_cents")).as_py() or 0
+            return one_row(rev, m.num_rows)
+
+        partials = hash_join(
+            li.map_batches(
+                li_proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            part.map_batches(
+                part_proj, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key="l_partkey",
+            how="inner",
+            bucket_post=bucket_post,
+        )
+
+    revenue = 0
+    n_items = 0
+    for p in partials.iter_batches(batch_format="pyarrow"):
+        revenue += pc.sum(p.column("revenue_cents")).as_py() or 0
+        n_items += pc.sum(p.column("n_items")).as_py() or 0
+    return pa.table(
+        {
+            "revenue_cents": pa.array([revenue], pa.int64()),
+            "n_items": pa.array([n_items], pa.int64()),
+        }
+    )
+
+
+def _q19_arm_sql(arm) -> str:
+    bname, slo, shi, qlo, qhi = arm
+    return (
+        f"(p_brand = '{bname}' AND p_size BETWEEN {slo} AND {shi}"
+        f" AND CAST(round(l_quantity) AS BIGINT)"
+        f" BETWEEN {qlo} AND {qhi})"
+    )
+
+
+SQL_BRAND_DISJUNCTIVE_REVENUE = f"""
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)),
+                     0) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE {" OR ".join(_q19_arm_sql(a) for a in Q19_ARMS)}
+"""
+
+
 QUANTILES_BY_TYPE = [("p25", 0.25), ("p50", 0.50), ("p90", 0.90)]
 
 
@@ -5287,6 +5737,9 @@ QUERIES = {
     "idle_rich_customers": q_idle_rich_customers,
     "small_quantity_part_revenue": q_small_quantity_part_revenue,
     "customer_balance_ranks": q_customer_balance_ranks,
+    "promo_revenue_share": q_promo_revenue_share,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "brand_disjunctive_revenue": q_brand_disjunctive_revenue,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -5365,6 +5818,9 @@ ORACLE_SQL = {
     "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
     "small_quantity_part_revenue": SQL_SMALL_QUANTITY_PART_REVENUE,
     "customer_balance_ranks": SQL_CUSTOMER_BALANCE_RANKS,
+    "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
+    "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
+    "brand_disjunctive_revenue": SQL_BRAND_DISJUNCTIVE_REVENUE,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,

@@ -319,6 +319,32 @@ def test_regional_revenue_hash_join_fallback(con, monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_promo_revenue_hash_join_fallback(con, monkeypatch):
+    """With the part side over a forced-low broadcast limit, the Q14
+    shape must route through the bucket hash_join (bucket_post emits the
+    same per-month partials) and stay oracle-exact."""
+    import headson_ray.pipelines.queries as q
+
+    monkeypatch.setattr(q, "BROADCAST_ROW_LIMIT", 10)
+    got = _norm(_to_frame(q.q_promo_revenue_share(SF_DIR)))
+    exp = _norm(con.execute(ORACLE_SQL["promo_revenue_share"]).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_brand_disjunctive_hash_join_fallback(con, monkeypatch):
+    """The Q19 disjunctive predicate must produce identical (revenue,
+    count) through the hash_join fallback as through the broadcast
+    probes."""
+    import headson_ray.pipelines.queries as q
+
+    monkeypatch.setattr(q, "BROADCAST_ROW_LIMIT", 10)
+    got = _norm(_to_frame(q.q_brand_disjunctive_revenue(SF_DIR)))
+    exp = _norm(con.execute(ORACLE_SQL["brand_disjunctive_revenue"]).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_late_ship_exists_rewrite_counts_orders_once():
     """The EXISTS rewrite must count each qualifying ORDER once, however
     many late line items it has: every per-priority count is bounded by
