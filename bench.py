@@ -148,6 +148,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "idle_rich_customers", "small_quantity_part_revenue",
         "customer_balance_ranks", "promo_revenue_share",
         "top_supplier_revenue", "brand_disjunctive_revenue",
+        "lonely_late_suppliers", "cms_user_registers",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)

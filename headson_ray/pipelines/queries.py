@@ -3674,6 +3674,211 @@ WHERE {" OR ".join(_q19_arm_sql(a) for a in Q19_ARMS)}
 """
 
 
+Q21_LATE_LAG_US = 7_776_000_000_000  # 90 days in microseconds
+Q21_TOPK = 20
+
+
+def q_lonely_late_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper in a
+    finished multi-supplier order — the EXISTS(other supplier) +
+    NOT EXISTS(other LATE supplier) double-correlated self-join,
+    re-expressed as per-order counting ("late" = shipped more than 90
+    days after the order date; the synthetic schema has no
+    commit/receipt dates).
+
+    Scale composition: ONE lineitem x orders bucket join; because a
+    bucket co-locates every row of its orderkeys, bucket_post finishes
+    the whole correlated cascade locally — per-(order,supplier) late
+    flags, per-order supplier/late-supplier counts, an in-bucket
+    index_in rejoin, and a per-supplier count partial — so the second
+    exchange is supplier-grain. The final top-k trims per block before
+    the driver folds <= k x #blocks rows, and winner names resolve by
+    an is_in semi-filter scan of supplier (nothing supplier-sized on
+    the driver)."""
+    from ..stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderstatus"])
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "ship_us": pc.cast(b.column("l_shipdate"), pa.int64()),
+            }
+        )
+
+    def orders_proj(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.equal(b.column("o_orderstatus"), pa.scalar("F")))
+        return pa.table(
+            {
+                "l_orderkey": m.column("o_orderkey"),
+                "odate_us": pc.cast(m.column("o_orderdate"), pa.int64()),
+            }
+        )
+
+    def bucket_post(joined: pa.Table) -> pa.Table:
+        late = pc.cast(
+            pc.greater(
+                joined.column("ship_us"),
+                pc.add(joined.column("odate_us"),
+                       pa.scalar(Q21_LATE_LAG_US, pa.int64())),
+            ),
+            pa.int64(),
+        )
+        per_os = (
+            pa.table(
+                {
+                    "ok": joined.column("l_orderkey"),
+                    "sk": joined.column("l_suppkey"),
+                    "late": late,
+                }
+            )
+            .group_by(["ok", "sk"])
+            .aggregate([("late", "max")])
+            .rename_columns(["ok", "sk", "late"])
+        )
+        per_o = (
+            per_os.group_by(["ok"])
+            .aggregate([([], "count_all"), ("late", "sum")])
+            .rename_columns(["ok", "n_supp", "n_late"])
+        )
+        idx = pc.index_in(per_os.column("ok"),
+                          value_set=per_o.column("ok").combine_chunks())
+        n_supp = pc.take(per_o.column("n_supp").combine_chunks(), idx)
+        n_late = pc.take(per_o.column("n_late").combine_chunks(), idx)
+        qual = per_os.filter(
+            pc.and_(
+                pc.equal(per_os.column("late"), pa.scalar(1, pa.int64())),
+                pc.and_(
+                    pc.greater(n_supp, pa.scalar(1, pa.int64())),
+                    pc.equal(n_late, pa.scalar(1, pa.int64())),
+                ),
+            )
+        )
+        g = (
+            pa.table(
+                {
+                    "s_suppkey": qual.column("sk"),
+                    "numwait": pa.array(
+                        np.ones(qual.num_rows, np.int64)
+                    ),
+                }
+            )
+            .group_by(["s_suppkey"])
+            .aggregate([("numwait", "sum")])
+        )
+        return g.rename_columns(["s_suppkey", "numwait"])
+
+    per_bucket = hash_join(
+        li.map_batches(li_proj, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        orders.map_batches(orders_proj, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        key="l_orderkey",
+        how="inner",
+        bucket_post=bucket_post,
+    )
+    totals = per_bucket.groupby("s_suppkey").aggregate(
+        Sum("numwait", alias_name="numwait")
+    )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "s_suppkey": b.column("s_suppkey"),
+                "numwait": pc.cast(b.column("numwait"), pa.int64()),
+            }
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("numwait", "descending"),
+                       ("s_suppkey", "ascending")],
+        )
+        return t.take(idx[:Q21_TOPK])
+
+    parts = list(
+        totals.map_batches(
+            local_topk, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    )
+    empty = pa.table(
+        {
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "numwait": pa.array([], pa.int64()),
+        }
+    )
+    if not parts:
+        return empty
+    folded = pa.concat_tables(parts)  # <= k x #blocks rows
+    idx = pc.sort_indices(
+        folded,
+        sort_keys=[("numwait", "descending"), ("s_suppkey", "ascending")],
+    )
+    top = folded.take(idx[:Q21_TOPK])
+    win_keys = top.column("s_suppkey").combine_chunks()
+
+    def name_filter(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.is_in(b.column("s_suppkey"), value_set=win_keys))
+        return pa.table(
+            {
+                "s_suppkey": m.column("s_suppkey"),
+                "s_name": m.column("s_name"),
+            }
+        )
+
+    name_parts = list(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(name_filter, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    )
+    if not name_parts:
+        return empty
+    names = pa.concat_tables(name_parts)
+    nm = _probe(
+        win_keys,
+        names.column("s_suppkey").combine_chunks(),
+        names.column("s_name").combine_chunks(),
+    )
+    return pa.table(
+        {
+            "s_suppkey": win_keys,
+            "s_name": nm,
+            "numwait": top.column("numwait"),
+        }
+    ).filter(pc.is_valid(nm))
+
+
+SQL_LONELY_LATE_SUPPLIERS = f"""
+WITH f AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN epoch_us(l_shipdate)
+                       > epoch_us(o_orderdate) + {Q21_LATE_LAG_US}
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+), o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+  FROM f GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM f
+JOIN o USING (l_orderkey)
+JOIN supplier ON s_suppkey = f.l_suppkey
+WHERE f.late = 1 AND o.n_supp > 1 AND o.n_late = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT {Q21_TOPK}
+"""
+
+
 QUANTILES_BY_TYPE = [("p25", 0.25), ("p50", 0.50), ("p90", 0.90)]
 
 
@@ -4982,6 +5187,101 @@ FROM bl GROUP BY 1
 SQL_HLL_USER_REGISTERS = _hll_sql()
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+# golden-ratio multiples mod 2^64: large odd row salts, reproducible as
+# HUGEINT literals in the oracle
+CMS_SALTS = [(r * 11400714819323198485) % (1 << 64)
+             for r in range(CMS_DEPTH)]
+
+
+def q_cms_user_registers(sf_dir: str):
+    """Count-Min-Sketch counter construction over user_id — the
+    mergeable FREQUENCY sketch (point queries answer min over rows),
+    built exactly: row r hashes (user + salt_r) mod 2^64 through the
+    same two bijective mix rounds as every other sketch here, and
+    counter (r, h % width) accumulates the event count.
+
+    Scale posture: per-batch partials collapse to <= depth x width rows
+    before the one tiny groupby — the sketch summarizes any corpus size
+    through a fixed 4 x 512 counter exchange, and counters merge by
+    addition across partitions/streams. The deterministic mixer makes
+    the COUNTER STATE itself SQL-reproducible, so the oracle checks the
+    sketch bit-for-bit (not an estimate)."""
+    from ..stages.hashing import mix_rounds
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("user_id")))
+        ids = b.column("user_id").to_numpy(zero_copy_only=False)
+        u = ids.astype(np.uint64)
+        rows, cols = [], []
+        for r, salt in enumerate(CMS_SALTS):
+            h = mix_rounds(u + np.uint64(salt))  # wrapping add
+            cols.append((h % np.uint64(CMS_WIDTH)).astype(np.int64))
+            rows.append(np.full(u.size, r, dtype=np.int64))
+        t = pa.table(
+            {
+                "sketch_row": pa.array(np.concatenate(rows)),
+                "col": pa.array(np.concatenate(cols)),
+                "cnt": pa.array(
+                    np.ones(u.size * CMS_DEPTH, dtype=np.int64)
+                ),
+            }
+        )
+        g = t.group_by(["sketch_row", "col"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["sketch_row", "col", "cnt"])
+
+    out = (
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["sketch_row", "col"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def final_cast(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "sketch_row": b.column("sketch_row"),
+                "col": b.column("col"),
+                "cnt": pc.cast(b.column("cnt"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(
+        final_cast, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _cms_sql() -> str:
+    salt_rows = ", ".join(
+        f"({r}, {s}::HUGEINT)" for r, s in enumerate(CMS_SALTS)
+    )
+    return f"""
+WITH u AS (
+  SELECT CAST(user_id AS HUGEINT) AS uid FROM events
+  WHERE user_id IS NOT NULL
+), v0 AS (
+  SELECT s.r, (uid + s.salt) % {_M64} AS v
+  FROM u, (VALUES {salt_rows}) AS s(r, salt)
+), m1 AS (
+  SELECT r, {_mixr_sql('v')} AS v FROM v0
+), m2 AS (
+  SELECT r, {_mixr_sql('v')} AS v FROM m1
+)
+SELECT CAST(r AS BIGINT) AS sketch_row,
+       CAST(v % {CMS_WIDTH} AS BIGINT) AS col,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM m2
+GROUP BY 1, 2
+"""
+
+
+SQL_CMS_USER_REGISTERS = _cms_sql()
+
+
 FRAME_EVERY_N = 30
 
 
@@ -5740,6 +6040,8 @@ QUERIES = {
     "promo_revenue_share": q_promo_revenue_share,
     "top_supplier_revenue": q_top_supplier_revenue,
     "brand_disjunctive_revenue": q_brand_disjunctive_revenue,
+    "lonely_late_suppliers": q_lonely_late_suppliers,
+    "cms_user_registers": q_cms_user_registers,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -5821,6 +6123,8 @@ ORACLE_SQL = {
     "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
     "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
     "brand_disjunctive_revenue": SQL_BRAND_DISJUNCTIVE_REVENUE,
+    "lonely_late_suppliers": SQL_LONELY_LATE_SUPPLIERS,
+    "cms_user_registers": SQL_CMS_USER_REGISTERS,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,

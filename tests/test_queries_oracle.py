@@ -332,6 +332,46 @@ def test_promo_revenue_hash_join_fallback(con, monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_cms_point_query_guarantee(con):
+    """Count-Min point estimates (min over depth rows) must NEVER
+    under-count: for every user the estimate is >= the true event
+    count, and with depth*width >> #users here it is exact for most."""
+    import numpy as np
+
+    from headson_ray.pipelines.queries import (
+        CMS_SALTS,
+        CMS_WIDTH,
+        QUERIES,
+    )
+    from headson_ray.stages.hashing import mix_rounds
+
+    cms = _to_frame(QUERIES["cms_user_registers"](SF_DIR))
+    counters = {}
+    for r, c, n in zip(cms["sketch_row"], cms["col"], cms["cnt"]):
+        counters[(int(r), int(c))] = int(n)
+    truth = con.execute(
+        "SELECT user_id, count(*) FROM events"
+        " WHERE user_id IS NOT NULL GROUP BY 1"
+    ).fetchall()
+    assert truth
+    exact = 0
+    for uid, true_n in truth:
+        est = min(
+            counters.get(
+                (r,
+                 int(mix_rounds(
+                     np.array([uid], np.uint64) + np.uint64(s)
+                 )[0] % np.uint64(CMS_WIDTH))),
+                0,
+            )
+            for r, s in enumerate(CMS_SALTS)
+        )
+        assert est >= true_n, (uid, est, true_n)
+        exact += est == true_n
+    assert exact / len(truth) > 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_brand_disjunctive_hash_join_fallback(con, monkeypatch):
     """The Q19 disjunctive predicate must produce identical (revenue,
     count) through the hash_join fallback as through the broadcast
