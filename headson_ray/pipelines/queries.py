@@ -2742,6 +2742,7 @@ def q_large_volume_orders(sf_dir: str):
     bucket_post trims each bucket to the global-candidate top Q18_TOPK
     by (price DESC, orderkey ASC), so the driver fold sees at most
     k x #buckets rows regardless of corpus size."""
+    from ..stages.hashing import mix_rounds
     from ..stages.join import hash_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
@@ -2753,32 +2754,41 @@ def q_large_volume_orders(sf_dir: str):
                 "total_qty": _cents(b.column("l_quantity"), 1.0),
             }
         )
-        g = t.group_by(["o_orderkey"]).aggregate([("total_qty", "sum")])
-        return g.rename_columns(["o_orderkey", "total_qty"])
-
-    totals = (
-        li.map_batches(
-            li_partial, batch_format="pyarrow", zero_copy_batch=True
+        g = (
+            t.group_by(["o_orderkey"])
+            .aggregate([("total_qty", "sum")])
+            .rename_columns(["o_orderkey", "total_qty"])
         )
-        .groupby("o_orderkey")
-        .aggregate(Sum("total_qty", alias_name="total_qty"))
-    )
+        ok = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        bucket = (
+            mix_rounds(ok.astype(np.uint64))
+            % np.uint64(Q17_NUM_BUCKETS)
+        ).astype(np.int64)
+        return g.append_column("bucket", pa.array(bucket))
 
-    def heavy_only(b: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "o_orderkey": b.column("o_orderkey"),
-                "total_qty": pc.cast(b.column("total_qty"), pa.int64()),
-            }
+    def heavy_fold(t: pa.Table) -> pa.Table:
+        # an orderkey-hash bucket holds every partial of its orders, so
+        # the sum AND the HAVING cut finish locally — only the rare
+        # heavy rows leave the bucket (a 147k-group sort-aggregate here
+        # measured ~10x slower than this 256-bucket fold)
+        g = (
+            t.select(["o_orderkey", "total_qty"])
+            .group_by(["o_orderkey"])
+            .aggregate([("total_qty", "sum")])
+            .rename_columns(["o_orderkey", "total_qty"])
         )
-        return t.filter(
+        return g.filter(
             pc.greater(
-                t.column("total_qty"), pa.scalar(Q18_MIN_QTY, pa.int64())
+                g.column("total_qty"), pa.scalar(Q18_MIN_QTY, pa.int64())
             )
         )
 
-    heavy = totals.map_batches(
-        heavy_only, batch_format="pyarrow", zero_copy_batch=True
+    heavy = (
+        li.map_batches(
+            li_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bucket")
+        .map_groups(heavy_fold, batch_format="pyarrow")
     )
 
     orders = _read(
@@ -2794,6 +2804,96 @@ def q_large_volume_orders(sf_dir: str):
                 "o_date_us": pc.cast(b.column("o_orderdate"), pa.int64()),
                 "price_cents": _cents(b.column("o_totalprice")),
             }
+        )
+
+    # Fast path: the HAVING threshold makes heavy orders rare (~0.1% of
+    # orders), so while the heavy set fits the broadcast limit the two
+    # enrichment joins collapse into two is_in semi-filter SCANS — no
+    # orders/customer shuffle at all. Each orders block trims to the
+    # global-candidate top-k before the driver folds <= k x #blocks
+    # rows; only the <= k winners' custkeys touch customer.
+    heavy_small = _collect_small_side(
+        heavy, "o_orderkey", "total_qty", BROADCAST_ROW_LIMIT
+    )
+    if heavy_small is not None:
+        import ray as _ray
+
+        empty = pa.table(
+            {
+                "c_name": pa.array([], pa.string()),
+                "c_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_date_us": pa.array([], pa.int64()),
+                "price_cents": pa.array([], pa.int64()),
+                "total_qty": pa.array([], pa.int64()),
+            }
+        )
+        heavy_ref = _ray.put(heavy_small)
+
+        def orders_semi(b: pa.Table) -> pa.Table:
+            hk, hq = _ray.get(heavy_ref)
+            t = orders_proj(b)
+            tq = _probe(t.column("o_orderkey"), hk, hq)
+            m = t.append_column("total_qty", tq).filter(pc.is_valid(tq))
+            idx = pc.sort_indices(
+                m,
+                sort_keys=[("price_cents", "descending"),
+                           ("o_orderkey", "ascending")],
+            )
+            return m.take(idx.slice(0, Q18_TOPK))
+
+        cand_parts = list(
+            orders.map_batches(
+                orders_semi, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow")
+        )
+        if not cand_parts:
+            return empty
+        # resolve names for ALL candidates (<= k x #blocks rows) and
+        # apply the customer inner-join BEFORE the final top-k, so a
+        # custkey absent from customer promotes the next order exactly
+        # like the join path / the oracle
+        cand = pa.concat_tables(cand_parts).combine_chunks()
+        cand_keys = cand.column("c_custkey").combine_chunks()
+
+        def cust_semi(b: pa.Table) -> pa.Table:
+            m = b.filter(
+                pc.is_in(b.column("c_custkey"), value_set=cand_keys)
+            )
+            return pa.table(
+                {
+                    "c_custkey": m.column("c_custkey"),
+                    "c_name": m.column("c_name"),
+                }
+            )
+
+        name_parts = list(
+            _read(sf_dir, "customer", ["c_custkey", "c_name"])
+            .map_batches(
+                cust_semi, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .iter_batches(batch_format="pyarrow")
+        )
+        if not name_parts:
+            return empty
+        names = pa.concat_tables(name_parts)
+        nm = _probe(
+            cand_keys,
+            names.column("c_custkey").combine_chunks(),
+            names.column("c_name").combine_chunks(),
+        )
+        resolved = cand.append_column("c_name", nm).filter(
+            pc.is_valid(nm)
+        )
+        idx = pc.sort_indices(
+            resolved,
+            sort_keys=[("price_cents", "descending"),
+                       ("o_orderkey", "ascending")],
+        )
+        top = resolved.take(idx.slice(0, Q18_TOPK))
+        return top.select(
+            ["c_name", "c_custkey", "o_orderkey", "o_date_us",
+             "price_cents", "total_qty"]
         )
 
     enriched = hash_join(
@@ -3013,97 +3113,91 @@ ORDER BY c_mktsegment
 def q_small_quantity_part_revenue(sf_dir: str):
     """TPC-H Q17 shape: total revenue (and item count) of line items
     whose quantity is below 20% of their part's average quantity — the
-    correlated per-group average rejoined against the fact stream.
+    correlated per-group average applied back to the fact stream.
 
     Exactness: no float average — the predicate qty < 0.2 * avg is the
     integer cross-multiplication 5 * qty * cnt_part < sum_qty_part
     (quantities are integer-valued), bit-reproducible in the oracle.
 
-    Scale composition: per-part (sum_qty, cnt) pre-aggregates inside
-    each batch so the first shuffle moves one row per (part, block);
-    the rejoin is the bucket hash_join and each bucket FINISHES the
-    predicate + revenue partial locally (bucket_post), so the second
-    exchange is one row per bucket and the driver folds #buckets
-    rows into the single-row answer."""
-    from ..stages.join import hash_join
+    Scale composition (single read, single narrow shuffle, NO join):
+    quantities are a tiny discrete domain, so each batch collapses to
+    (partkey, qty) grain carrying (n, price_sum, qty*n) partials —
+    <= 50 rows per part per block — and rows route to partkey-hash
+    buckets. Each bucket holds every surviving grain of its parts, so
+    the per-part totals AND the correlated predicate finish locally in
+    two vectorized kernels; the bucket emits ONE row and the driver
+    folds #buckets rows into the single-row answer. The fact stream is
+    never re-read and no row-grain data crosses the exchange."""
+    from ..stages.hashing import mix_rounds
 
     li = _read(
         sf_dir, "lineitem",
         ["l_partkey", "l_quantity", "l_extendedprice"],
     )
 
-    def part_partial(b: pa.Table) -> pa.Table:
+    def grain_partial(b: pa.Table) -> pa.Table:
+        qty = _cents(b.column("l_quantity"), 1.0)
         t = pa.table(
             {
                 "l_partkey": b.column("l_partkey"),
-                "sum_qty": _cents(b.column("l_quantity"), 1.0),
-                "cnt": pa.array(np.ones(b.num_rows, np.int64)),
-            }
-        )
-        g = t.group_by(["l_partkey"]).aggregate(
-            [("sum_qty", "sum"), ("cnt", "sum")]
-        )
-        return g.rename_columns(["l_partkey", "sum_qty", "cnt"])
-
-    totals = (
-        li.map_batches(
-            part_partial, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("l_partkey")
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("cnt", alias_name="cnt"),
-        )
-    )
-
-    def totals_proj(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_partkey": b.column("l_partkey"),
-                "sum_qty": pc.cast(b.column("sum_qty"), pa.int64()),
-                "cnt": pc.cast(b.column("cnt"), pa.int64()),
-            }
-        )
-
-    def fact_proj(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_partkey": b.column("l_partkey"),
-                "qty": _cents(b.column("l_quantity"), 1.0),
+                "qty": qty,
                 "price_cents": _cents(b.column("l_extendedprice")),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
             }
         )
+        g = t.group_by(["l_partkey", "qty"]).aggregate(
+            [("price_cents", "sum"), ("n", "sum")]
+        ).rename_columns(["l_partkey", "qty", "price_cents", "n"])
+        pk = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        bucket = (
+            mix_rounds(pk.astype(np.uint64))
+            % np.uint64(Q17_NUM_BUCKETS)
+        ).astype(np.int64)
+        return g.append_column("bucket", pa.array(bucket))
 
-    def bucket_post(joined: pa.Table) -> pa.Table:
-        small = joined.filter(
-            pc.less(
-                pc.multiply(
-                    pc.multiply(joined.column("qty"),
-                                pa.scalar(5, pa.int64())),
-                    joined.column("cnt"),
-                ),
-                joined.column("sum_qty"),
+    def bucket_fold(t: pa.Table) -> pa.Table:
+        qn = pc.multiply(t.column("qty"), t.column("n"))
+        per_part = (
+            pa.table(
+                {
+                    "pk": t.column("l_partkey"),
+                    "sum_qty": qn,
+                    "cnt": t.column("n"),
+                }
             )
+            .group_by(["pk"])
+            .aggregate([("sum_qty", "sum"), ("cnt", "sum")])
+            .rename_columns(["pk", "sum_qty", "cnt"])
         )
-        s = pc.sum(small.column("price_cents")).as_py() or 0
+        idx = pc.index_in(
+            t.column("l_partkey"),
+            value_set=per_part.column("pk").combine_chunks(),
+        )
+        cnt = pc.take(per_part.column("cnt").combine_chunks(), idx)
+        sq = pc.take(per_part.column("sum_qty").combine_chunks(), idx)
+        keep = pc.less(
+            pc.multiply(
+                pc.multiply(t.column("qty"), pa.scalar(5, pa.int64())),
+                cnt,
+            ),
+            sq,
+        )
+        m = t.filter(keep)
+        rev = pc.sum(m.column("price_cents")).as_py() or 0
+        n_items = pc.sum(m.column("n")).as_py() or 0
         return pa.table(
             {
-                "b": pa.array([0], pa.int64()),
-                "revenue_cents": pa.array([s], pa.int64()),
-                "n_items": pa.array([small.num_rows], pa.int64()),
+                "revenue_cents": pa.array([rev], pa.int64()),
+                "n_items": pa.array([n_items], pa.int64()),
             }
         )
 
-    per_bucket = hash_join(
+    per_bucket = (
         li.map_batches(
-            fact_proj, batch_format="pyarrow", zero_copy_batch=True
-        ),
-        totals.map_batches(
-            totals_proj, batch_format="pyarrow", zero_copy_batch=True
-        ),
-        key="l_partkey",
-        how="inner",
-        bucket_post=bucket_post,
+            grain_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pyarrow")
     )
     revenue = 0
     n_items = 0
@@ -3116,6 +3210,9 @@ def q_small_quantity_part_revenue(sf_dir: str):
             "n_items": pa.array([n_items], pa.int64()),
         }
     )
+
+
+Q17_NUM_BUCKETS = 256
 
 
 SQL_SMALL_QUANTITY_PART_REVENUE = """
