@@ -149,6 +149,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "customer_balance_ranks", "promo_revenue_share",
         "top_supplier_revenue", "brand_disjunctive_revenue",
         "lonely_late_suppliers", "cms_user_registers",
+        "user_event_type_pivot", "order_growth_by_quarter",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)

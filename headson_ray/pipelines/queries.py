@@ -3215,6 +3215,181 @@ def q_small_quantity_part_revenue(sf_dir: str):
 Q17_NUM_BUCKETS = 256
 
 
+def _keyed_bucket_fold(partials, key_col: str, fold, nbuckets: int =
+                       Q17_NUM_BUCKETS):
+    """Finish a per-key aggregation by routing pre-aggregated partial
+    rows to key-hash buckets and folding each bucket with ONE
+    vectorized arrow kernel call — measured ~10x faster than Ray's
+    sort-based groupby once keys reach ~100k distinct values (see
+    q_large_volume_orders). Queries whose partial map already knows the
+    key can fuse the bucket column there instead (q_small_quantity_
+    part_revenue) and skip this extra map_batches."""
+    from ..stages.hashing import mix_rounds
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        bucket = (
+            mix_rounds(k.astype(np.uint64)) % np.uint64(nbuckets)
+        ).astype(np.int64)
+        return b.append_column("bucket", pa.array(bucket))
+
+    def fold_wo_bucket(t: pa.Table) -> pa.Table:
+        return fold(t.drop_columns(["bucket"]))
+
+    return (
+        partials.map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bucket")
+        .map_groups(fold_wo_bucket, batch_format="pyarrow")
+    )
+
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_user_event_type_pivot(sf_dir: str):
+    """PIVOT shape: one row per user with one count column per event
+    type (SQL count(*) FILTER (WHERE ...)) — the wide conditional
+    aggregate. The pivoted domain is the five fixed event types; an
+    unseen type still yields the user's row with all-zero counts, like
+    the FILTER oracle.
+
+    Scale composition: each batch collapses to per-user partial rows
+    (five vectorized equality kernels + one arrow group_by), then the
+    user-hash bucket fold finishes the sums — user_id is unbounded
+    cardinality, exactly the case where the bucket fold beats a sort
+    groupby."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    ncols = [f"n_{et}" for et in PIVOT_EVENT_TYPES]
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("user_id")))
+        cols = {"user_id": b.column("user_id")}
+        for et, nc in zip(PIVOT_EVENT_TYPES, ncols):
+            cols[nc] = pc.cast(
+                pc.equal(b.column("event_type"), pa.scalar(et)),
+                pa.int64(),
+            )
+        g = pa.table(cols).group_by(["user_id"]).aggregate(
+            [(nc, "sum") for nc in ncols]
+        )
+        return g.rename_columns(["user_id", *ncols])
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id"]).aggregate(
+            [(nc, "sum") for nc in ncols]
+        )
+        return g.rename_columns(["user_id", *ncols])
+
+    return _keyed_bucket_fold(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "user_id",
+        fold,
+    )
+
+
+SQL_USER_EVENT_TYPE_PIVOT = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(count(*) FILTER (WHERE event_type = '{et}')"
+           f" AS BIGINT) AS n_{et}"
+           for et in PIVOT_EVENT_TYPES
+       )}
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def q_order_growth_by_quarter(sf_dir: str):
+    """Calendar rollup + analytic lag: order count and revenue per
+    (year, quarter), with each quarter's revenue delta vs the previous
+    quarter — the time-series reporting shape (window function OVER an
+    aggregate, not over the fact stream).
+
+    Scale composition: per-batch partials collapse to quarter grain, so
+    the one groupby moves O(#quarters) rows per block; the lag runs on
+    the driver over a table bounded by CALENDAR TIME, not data size
+    (first quarter's delta coalesces to 0, like the oracle)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("o_orderdate")
+        qkey = pc.add(
+            pc.multiply(pc.cast(pc.year(ts), pa.int64()),
+                        pa.scalar(10, pa.int64())),
+            pc.cast(pc.quarter(ts), pa.int64()),
+        )
+        t = pa.table(
+            {
+                "qkey": qkey,
+                "n_orders": pa.array(np.ones(b.num_rows, np.int64)),
+                "rev_cents": _cents(b.column("o_totalprice")),
+            }
+        )
+        g = t.group_by(["qkey"]).aggregate(
+            [("n_orders", "sum"), ("rev_cents", "sum")]
+        )
+        return g.rename_columns(["qkey", "n_orders", "rev_cents"])
+
+    agg = (
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("qkey")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("rev_cents", alias_name="rev_cents"),
+        )
+    )
+    parts = list(agg.iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return pa.table(
+            {
+                "qkey": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+                "rev_cents": pa.array([], pa.int64()),
+                "rev_delta_cents": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(parts).combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=[("qkey", "ascending")]))
+    rev = pc.cast(t.column("rev_cents"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    delta = np.empty_like(rev)
+    delta[0] = 0
+    np.subtract(rev[1:], rev[:-1], out=delta[1:])
+    return pa.table(
+        {
+            "qkey": t.column("qkey"),
+            "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+            "rev_cents": pa.array(rev),
+            "rev_delta_cents": pa.array(delta),
+        }
+    )
+
+
+SQL_ORDER_GROWTH_BY_QUARTER = """
+WITH q AS (
+  SELECT CAST(year(o_orderdate) * 10 + quarter(o_orderdate)
+              AS BIGINT) AS qkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT qkey, n_orders, rev_cents,
+       CAST(coalesce(rev_cents - lag(rev_cents) OVER (ORDER BY qkey), 0)
+            AS BIGINT) AS rev_delta_cents
+FROM q
+ORDER BY qkey
+"""
+
+
 SQL_SMALL_QUANTITY_PART_REVENUE = """
 SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)),
                      0) AS BIGINT) AS revenue_cents,
@@ -6139,6 +6314,8 @@ QUERIES = {
     "brand_disjunctive_revenue": q_brand_disjunctive_revenue,
     "lonely_late_suppliers": q_lonely_late_suppliers,
     "cms_user_registers": q_cms_user_registers,
+    "user_event_type_pivot": q_user_event_type_pivot,
+    "order_growth_by_quarter": q_order_growth_by_quarter,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -6222,6 +6399,8 @@ ORACLE_SQL = {
     "brand_disjunctive_revenue": SQL_BRAND_DISJUNCTIVE_REVENUE,
     "lonely_late_suppliers": SQL_LONELY_LATE_SUPPLIERS,
     "cms_user_registers": SQL_CMS_USER_REGISTERS,
+    "user_event_type_pivot": SQL_USER_EVENT_TYPE_PIVOT,
+    "order_growth_by_quarter": SQL_ORDER_GROWTH_BY_QUARTER,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,
