@@ -150,6 +150,8 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "top_supplier_revenue", "brand_disjunctive_revenue",
         "lonely_late_suppliers", "cms_user_registers",
         "user_event_type_pivot", "order_growth_by_quarter",
+        "returned_customer_revenue", "nation_trade_volume",
+        "value_moments_by_type", "repeat_buyer_customers",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)

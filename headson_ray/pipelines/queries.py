@@ -6252,6 +6252,544 @@ FROM sig LEFT JOIN win w USING (lede)
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue per customer, global top 20
+# ---------------------------------------------------------------------------
+Q10_LO_US = 820_454_400_000_000  # 1996-01-01 epoch microseconds
+Q10_HI_US = 828_316_800_000_000  # 1996-04-01
+Q10_TOPK = 20
+
+
+def q_returned_customer_revenue(sf_dir: str):
+    """TPC-H Q10 shape: customers ranked by revenue carried on RETURNED
+    items (l_returnflag = 'R') of orders placed in one quarter — the
+    "who is returning the most" report — global top 20 with each
+    winner's nation name attached.
+
+    Scale composition: both fact sides pre-filter and pre-shape before
+    the ONE lineitem x orders bucket join; bucket_post collapses each
+    join bucket to per-customer partial sums, then a custkey-hash
+    bucket fold finishes the sums AND trims every bucket to its own
+    top-20 (each custkey's rows are complete inside its fold bucket),
+    so the driver merges <= 20 x #buckets candidate rows. Customer
+    names resolve AFTER the trim: the <= 20 winning custkeys filter the
+    customer table in-stream (k-bounded is_in — the fact-sized customer
+    side is never broadcast or shuffled), and nation is dimension-tiny
+    by nature."""
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def li_shape(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), pa.scalar("R")))
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "rev_cents": _cents(rev),
+            }
+        )
+
+    li_proj = li.map_batches(
+        li_shape, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def orders_shape(b: pa.Table) -> pa.Table:
+        t_us = pc.cast(b.column("o_orderdate"), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(t_us, pa.scalar(Q10_LO_US, pa.int64())),
+            pc.less(t_us, pa.scalar(Q10_HI_US, pa.int64())),
+        )
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+            }
+        ).filter(keep)
+
+    orders_w = orders.map_batches(
+        orders_shape, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_post(joined: pa.Table) -> pa.Table:
+        g = joined.group_by(["o_custkey"]).aggregate([("rev_cents", "sum")])
+        return g.rename_columns(["o_custkey", "rev_cents"])
+
+    from ..stages.join import hash_join
+
+    partials = hash_join(
+        li_proj, orders_w, key="o_orderkey", how="inner",
+        bucket_post=bucket_post,
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey"]).aggregate([("rev_cents", "sum")])
+        g = g.rename_columns(["o_custkey", "rev_cents"])
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("rev_cents", "descending"),
+                       ("o_custkey", "ascending")],
+        )
+        return g.take(idx.slice(0, Q10_TOPK))
+
+    trimmed = _keyed_bucket_fold(partials, "o_custkey", fold)
+    parts = list(trimmed.iter_batches(batch_format="pyarrow"))
+    empty = pa.table(
+        {
+            "rnk": pa.array([], pa.int64()),
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "n_name": pa.array([], pa.string()),
+            "rev_cents": pa.array([], pa.int64()),
+        }
+    )
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts).combine_chunks()
+    idx = pc.sort_indices(
+        merged,
+        sort_keys=[("rev_cents", "descending"), ("o_custkey", "ascending")],
+    )
+    top = merged.take(idx.slice(0, Q10_TOPK))
+    if top.num_rows == 0:
+        return empty
+    win_keys = pc.cast(top.column("o_custkey"), pa.int64()).combine_chunks()
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+
+    def cust_trim(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.is_in(pc.cast(b.column("c_custkey"), pa.int64()),
+                     value_set=win_keys)
+        )
+
+    cust_rows = pa.concat_tables(
+        cust.map_batches(
+            cust_trim, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    )
+    nk2name = {}
+    for b in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for nk, nn in zip(b.column("n_nationkey").to_pylist(),
+                          b.column("n_name").to_pylist()):
+            nk2name[nk] = nn
+    name_by_key = dict(
+        zip(cust_rows.column("c_custkey").to_pylist(),
+            cust_rows.column("c_name").to_pylist())
+    )
+    nat_by_key = dict(
+        zip(cust_rows.column("c_custkey").to_pylist(),
+            cust_rows.column("c_nationkey").to_pylist())
+    )
+    keys = win_keys.to_pylist()
+    return pa.table(
+        {
+            "rnk": pa.array(
+                np.arange(1, len(keys) + 1, dtype=np.int64)
+            ),
+            "c_custkey": pa.array(keys, pa.int64()),
+            "c_name": pa.array(
+                [name_by_key[k] for k in keys], pa.string()
+            ),
+            "n_name": pa.array(
+                [nk2name[nat_by_key[k]] for k in keys], pa.string()
+            ),
+            "rev_cents": pc.cast(top.column("rev_cents"), pa.int64()),
+        }
+    )
+
+
+SQL_RETURNED_CUSTOMER_REVENUE = f"""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND epoch_us(o_orderdate) >= {Q10_LO_US}
+    AND epoch_us(o_orderdate) < {Q10_HI_US}
+  GROUP BY o_custkey
+)
+SELECT CAST(row_number() OVER (ORDER BY rev_cents DESC, o_custkey)
+            AS BIGINT) AS rnk,
+       c_custkey, c_name, n_name, rev_cents
+FROM rev
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+ORDER BY rev_cents DESC, c_custkey
+LIMIT {Q10_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: cross-nation trade volume by year
+# ---------------------------------------------------------------------------
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_LO_US = 820_454_400_000_000  # 1996-01-01 epoch microseconds
+Q7_HI_US = 883_612_800_000_000  # 1998-01-01
+
+
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape: shipped revenue flowing BETWEEN two nations
+    (supplier in one, ordering customer in the other, both directions)
+    per (supp_nation, cust_nation, ship year) over a two-year window —
+    the double-dimension-join fact query.
+
+    Scale composition, one all-to-all exchange: nation resolves
+    driver-side (dimension-tiny by nature); supplier broadcasts
+    suppkey -> nationkey once via _broadcast_lookup; customer uses the
+    same broadcast WITH the hash_join fallback past BROADCAST_ROW_LIMIT
+    (it is a fact at high sf). Both fact sides pre-filter to the
+    two-nation set and the ship-date window BEFORE the lineitem x
+    orders bucket join, and bucket_post applies the cross-nation
+    predicate and collapses each bucket to <= 2 pairs x #years rows, so
+    the final groupby moves only O(#buckets) tiny partials."""
+    import ray as _ray
+
+    nk2name = {}
+    for b in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for nk, nn in zip(b.column("n_nationkey").to_pylist(),
+                          b.column("n_name").to_pylist()):
+            nk2name[nk] = nn
+    pair_keys = sorted(
+        nk for nk, nn in nk2name.items() if nn in (Q7_NATION_A, Q7_NATION_B)
+    )
+    pair_set = pa.array(pair_keys, pa.int64())
+
+    supp_ref = _broadcast_lookup(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey", "s_nationkey",
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+         "l_shipdate"],
+    )
+
+    def li_shape(b: pa.Table) -> pa.Table:
+        t_us = pc.cast(b.column("l_shipdate"), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(t_us, pa.scalar(Q7_LO_US, pa.int64())),
+            pc.less(t_us, pa.scalar(Q7_HI_US, pa.int64())),
+        )
+        b = b.filter(keep)
+        keys_arr, vals_arr = _ray.get(supp_ref)
+        sn = pc.cast(
+            _probe(b.column("l_suppkey"), keys_arr, vals_arr), pa.int64()
+        )
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "s_nat": sn,
+                "l_year": pc.cast(pc.year(b.column("l_shipdate")),
+                                  pa.int64()),
+                "rev_cents": _cents(rev),
+            }
+        ).filter(pc.is_in(sn, value_set=pair_set))
+
+    li_proj = li.map_batches(
+        li_shape, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    small = _collect_small_side(
+        cust, "c_custkey", "c_nationkey", BROADCAST_ROW_LIMIT
+    )
+    if small is None:
+        from ..stages.join import hash_join as _hj
+
+        cust_keyed = cust.map_batches(
+            lambda b: pa.table(
+                {
+                    "o_custkey": b.column("c_custkey"),
+                    "c_nat": pc.cast(b.column("c_nationkey"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        orders_nat = _hj(orders, cust_keyed, key="o_custkey", how="inner")
+        orders_nat = orders_nat.map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": b.column("o_orderkey"),
+                    "c_nat": b.column("c_nat"),
+                }
+            ).filter(pc.is_in(b.column("c_nat"), value_set=pair_set)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    else:
+        cust_ref = _ray.put(small)
+
+        def attach_cnat(b: pa.Table) -> pa.Table:
+            keys_arr, vals_arr = _ray.get(cust_ref)
+            cn = pc.cast(
+                _probe(b.column("o_custkey"), keys_arr, vals_arr),
+                pa.int64(),
+            )
+            return pa.table(
+                {
+                    "o_orderkey": b.column("o_orderkey"),
+                    "c_nat": cn,
+                }
+            ).filter(pc.is_in(cn, value_set=pair_set))
+
+        orders_nat = orders.map_batches(
+            attach_cnat, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def bucket_post(joined: pa.Table) -> pa.Table:
+        m = joined.filter(
+            pc.not_equal(joined.column("s_nat"), joined.column("c_nat"))
+        )
+        g = m.group_by(["s_nat", "c_nat", "l_year"]).aggregate(
+            [("rev_cents", "sum")]
+        )
+        return g.rename_columns(["s_nat", "c_nat", "l_year", "rev_cents"])
+
+    from ..stages.join import hash_join
+
+    per_bucket = hash_join(
+        li_proj, orders_nat, key="o_orderkey", how="inner",
+        bucket_post=bucket_post,
+    )
+    totals = per_bucket.groupby(["s_nat", "c_nat", "l_year"]).aggregate(
+        Sum("rev_cents", alias_name="rev_cents")
+    )
+    parts = list(totals.iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return pa.table(
+            {
+                "supp_nation": pa.array([], pa.string()),
+                "cust_nation": pa.array([], pa.string()),
+                "l_year": pa.array([], pa.int64()),
+                "rev_cents": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(parts).combine_chunks()
+    out = pa.table(
+        {
+            "supp_nation": pa.array(
+                [nk2name[k] for k in t.column("s_nat").to_pylist()],
+                pa.string(),
+            ),
+            "cust_nation": pa.array(
+                [nk2name[k] for k in t.column("c_nat").to_pylist()],
+                pa.string(),
+            ),
+            "l_year": pc.cast(t.column("l_year"), pa.int64()),
+            "rev_cents": pc.cast(t.column("rev_cents"), pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("supp_nation", "ascending"),
+                       ("cust_nation", "ascending"),
+                       ("l_year", "ascending")],
+        )
+    )
+
+
+SQL_NATION_TRADE_VOLUME = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+    OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+  AND epoch_us(l_shipdate) >= {Q7_LO_US}
+  AND epoch_us(l_shipdate) < {Q7_HI_US}
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped second moments (the stddev/variance shape, integer-exact)
+# ---------------------------------------------------------------------------
+def q_value_moments_by_type(sf_dir: str):
+    """Grouped dispersion statistics (the VAR/STDDEV shape) in
+    overflow-safe integer math: per event_type, the count, sum and sum
+    of SQUARES of value in cents. Variance and stddev derive exactly
+    from (n, sum, sumsq) downstream; emitting the raw moments keeps
+    every column BIGINT-exact for the value-hash oracle (a float stddev
+    is not bit-reproducible across engines), and (n, sum, sumsq) is
+    precisely the mergeable partial a distributed VAR implementation
+    ships anyway.
+
+    Scale composition: each batch collapses to <= #event_types moment
+    rows with one arrow group_by (cents^2 peaks ~2.4e9 per row and
+    ~5e13 per group at bench volumes — far inside int64), so the one
+    groupby moves O(#types) rows per block — the textbook mergeable-
+    statistic two-phase."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = _cents(b.column("value"))
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+                "sum_cents": c,
+                "sumsq_cents": pc.multiply(c, c),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sum_cents", "sum"), ("sumsq_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["event_type", "n", "sum_cents", "sumsq_cents"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("sumsq_cents", alias_name="sumsq_cents"),
+        )
+    )
+    parts = list(agg.iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sum_cents": pa.array([], pa.int64()),
+                "sumsq_cents": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(parts).combine_chunks()
+    t = pa.table(
+        {
+            "event_type": t.column("event_type"),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "sum_cents": pc.cast(t.column("sum_cents"), pa.int64()),
+            "sumsq_cents": pc.cast(t.column("sumsq_cents"), pa.int64()),
+        }
+    )
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("event_type", "ascending")])
+    )
+
+
+SQL_VALUE_MOMENTS_BY_TYPE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS sum_cents,
+       CAST(sum(c * c) AS BIGINT) AS sumsq_cents
+FROM (SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT shape: customers ordering in BOTH of two years
+# ---------------------------------------------------------------------------
+INTERSECT_YEAR_A = 1996
+INTERSECT_YEAR_B = 1997
+
+
+def q_repeat_buyer_customers(sf_dir: str):
+    """INTERSECT shape: custkeys that placed >= 1 order in BOTH 1996
+    and 1997 — the set-intersection of two filtered key streams,
+    answered WITHOUT running two scans or a join: one pass folds each
+    custkey's per-year presence flags.
+
+    Scale composition: per-batch partials collapse to (custkey, inA,
+    inB) flag maxima, then the custkey-hash bucket fold finishes the OR
+    and keeps both-years keys inside the bucket — the exchange carries
+    at most one row per distinct custkey per block and the driver never
+    sees a key (the result streams out at qualifying-customer
+    grain)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(b.column("o_orderdate")), pa.int64())
+        in_a = pc.cast(
+            pc.equal(yr, pa.scalar(INTERSECT_YEAR_A, pa.int64())),
+            pa.int64(),
+        )
+        in_b = pc.cast(
+            pc.equal(yr, pa.scalar(INTERSECT_YEAR_B, pa.int64())),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "in_a": in_a,
+                "in_b": in_b,
+            }
+        ).filter(
+            pc.or_(pc.equal(in_a, pa.scalar(1, pa.int64())),
+                   pc.equal(in_b, pa.scalar(1, pa.int64())))
+        )
+        g = t.group_by(["o_custkey"]).aggregate(
+            [("in_a", "max"), ("in_b", "max")]
+        )
+        return g.rename_columns(["o_custkey", "in_a", "in_b"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey"]).aggregate(
+            [("in_a", "max"), ("in_b", "max")]
+        )
+        g = g.rename_columns(["o_custkey", "in_a", "in_b"])
+        both = pc.and_(
+            pc.equal(g.column("in_a"), pa.scalar(1, pa.int64())),
+            pc.equal(g.column("in_b"), pa.scalar(1, pa.int64())),
+        )
+        return g.filter(both).select(["o_custkey"])
+
+    return _keyed_bucket_fold(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "o_custkey",
+        fold,
+    )
+
+
+SQL_REPEAT_BUYER_CUSTOMERS = f"""
+SELECT o_custkey FROM orders
+WHERE year(o_orderdate) = {INTERSECT_YEAR_A}
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE year(o_orderdate) = {INTERSECT_YEAR_B}
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -6316,6 +6854,10 @@ QUERIES = {
     "cms_user_registers": q_cms_user_registers,
     "user_event_type_pivot": q_user_event_type_pivot,
     "order_growth_by_quarter": q_order_growth_by_quarter,
+    "returned_customer_revenue": q_returned_customer_revenue,
+    "nation_trade_volume": q_nation_trade_volume,
+    "value_moments_by_type": q_value_moments_by_type,
+    "repeat_buyer_customers": q_repeat_buyer_customers,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -6401,6 +6943,10 @@ ORACLE_SQL = {
     "cms_user_registers": SQL_CMS_USER_REGISTERS,
     "user_event_type_pivot": SQL_USER_EVENT_TYPE_PIVOT,
     "order_growth_by_quarter": SQL_ORDER_GROWTH_BY_QUARTER,
+    "returned_customer_revenue": SQL_RETURNED_CUSTOMER_REVENUE,
+    "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
+    "value_moments_by_type": SQL_VALUE_MOMENTS_BY_TYPE,
+    "repeat_buyer_customers": SQL_REPEAT_BUYER_CUSTOMERS,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,
