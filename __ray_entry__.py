@@ -228,6 +228,18 @@ def _q_host_link_graph(sf_dir: str):
     return host_link_graph(paths, rows)
 
 
+def _q_host_triangles(sf_dir: str):
+    """Triangle census of the undirected host link graph via
+    distributed degree-orientation (compact-forward) wedge closure —
+    webtext.py:host_triangles."""
+    from headson_ray.pipelines.webtext import host_triangles
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return host_triangles(paths, rows)
+
+
 def _q_host_pagerank(sf_dir: str):
     """Integer-exact PageRank over the host link graph —
     webtext.py:host_pagerank."""
@@ -444,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["mirror_alias_clusters"] = _q_mirror_alias_clusters
     q["host_boilerplate_lines"] = _q_host_boilerplate_lines
     q["host_link_graph"] = _q_host_link_graph
+    q["host_triangles"] = _q_host_triangles
     q["host_pagerank"] = _q_host_pagerank
     q["host_anchor_terms"] = _q_host_anchor_terms
     q["host_change_rate"] = _q_host_change_rate
@@ -922,6 +935,30 @@ SELECT src_host, dst_host, CAST(n_links AS BIGINT) AS n_links FROM g
 """
 )
 
+# Triangle census: distinct undirected edges (a < b lexicographically
+# in SQL, by node hash in Ray — set-identical either way), then the
+# canonical a<b<c three-way self-join. Counts are orientation-free so
+# both sides agree exactly.
+SQL_HOST_TRIANGLES = (
+    _SQL_LINK_GRAPH_BASE
+    + """
+, ue AS (
+  SELECT DISTINCT least(src_host, dst_host) AS a,
+                  greatest(src_host, dst_host) AS b
+  FROM g WHERE src_host <> dst_host
+), nodes AS (
+  SELECT a AS h FROM ue UNION SELECT b FROM ue
+)
+SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_hosts,
+       CAST((SELECT count(*) FROM ue) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*)
+             FROM ue e1
+             JOIN ue e2 ON e2.a = e1.a AND e2.b > e1.b
+             JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b)
+            AS BIGINT) AS n_triangles
+"""
+)
+
 
 def _pagerank_sql() -> str:
     """Chained-CTE mirror of webtext.host_pagerank: SCALE=1e9 fixed
@@ -1171,6 +1208,7 @@ def oracle_sql() -> dict[str, str]:
     o["mirror_alias_clusters"] = SQL_MIRROR_ALIAS_CLUSTERS
     o["host_boilerplate_lines"] = SQL_HOST_BOILERPLATE_LINES
     o["host_link_graph"] = SQL_HOST_LINK_GRAPH
+    o["host_triangles"] = SQL_HOST_TRIANGLES
     o["host_pagerank"] = SQL_HOST_PAGERANK
     o["host_anchor_terms"] = SQL_HOST_ANCHOR_TERMS
     o["host_change_rate"] = SQL_HOST_CHANGE_RATE

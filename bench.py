@@ -152,6 +152,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "user_event_type_pivot", "order_growth_by_quarter",
         "returned_customer_revenue", "nation_trade_volume",
         "value_moments_by_type", "repeat_buyer_customers",
+        "forecast_revenue_change", "nation_market_share",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)
@@ -173,6 +174,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
             "host_dup_rate", "frontier_topk", "window_host_coverage",
             "host_crawl_delta", "cep_window_coverage", "cep_crawl_delta",
             "window_host_hll", "cep_sessions", "mirror_alias_clusters",
+            "host_triangles",
         ]:
             t0 = time.time()
             res = eq[name](SF_DIR)

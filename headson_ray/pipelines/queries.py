@@ -6790,6 +6790,325 @@ WHERE year(o_orderdate) = {INTERSECT_YEAR_B}
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecast-revenue filter-sum with scan-level pushdown
+# ---------------------------------------------------------------------------
+Q6_LO_US = 820_454_400_000_000  # 1996-01-01 epoch microseconds
+Q6_HI_US = 852_076_800_000_000  # 1997-01-01
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_MAX_QTY = 24.0
+
+
+def q_forecast_revenue_change(sf_dir: str):
+    """TPC-H Q6 shape: the would-be revenue increase from dropping a
+    discount band — sum(l_extendedprice * l_discount) over one ship
+    year, a discount window and small quantities. The archetypal
+    scan-bound query: no join, no keyed shuffle, ONE global scalar.
+
+    Scale composition: the discount band and quantity cap are pushed
+    into the parquet fragment scanner as a pyarrow dataset expression
+    (row-group statistics prune whole groups; non-matching rows never
+    materialize), the ship-year window applies vectorized per batch,
+    and each block collapses to a single (rev, n) partial row — the
+    driver folds #blocks tiny rows, the distributed plan moves nothing
+    else. Both engines compare the same stored doubles against the same
+    literals, so the float predicate is deterministic across Ray and
+    the oracle."""
+    import pyarrow.dataset as pads
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter_expr=(
+            (pads.field("l_discount") >= Q6_DISC_LO)
+            & (pads.field("l_discount") <= Q6_DISC_HI)
+            & (pads.field("l_quantity") < Q6_MAX_QTY)
+        ),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t_us = pc.cast(b.column("l_shipdate"), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(t_us, pa.scalar(Q6_LO_US, pa.int64())),
+            pc.less(t_us, pa.scalar(Q6_HI_US, pa.int64())),
+        )
+        b = b.filter(keep)
+        rev = _cents(
+            pc.multiply(b.column("l_extendedprice"), b.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "forecast_rev_cents": pa.array(
+                    [int(pc.sum(rev).as_py() or 0)], pa.int64()
+                ),
+                "n_items": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    rev_total = 0
+    n_total = 0
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        rev_total += int(pc.sum(b.column("forecast_rev_cents")).as_py() or 0)
+        n_total += int(pc.sum(b.column("n_items")).as_py() or 0)
+    return pa.table(
+        {
+            "forecast_rev_cents": pa.array([rev_total], pa.int64()),
+            "n_items": pa.array([n_total], pa.int64()),
+        }
+    )
+
+
+SQL_FORECAST_REVENUE_CHANGE = f"""
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * l_discount * 100)
+                              AS BIGINT)), 0) AS BIGINT)
+         AS forecast_rev_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= {Q6_LO_US}
+  AND epoch_us(l_shipdate) < {Q6_HI_US}
+  AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
+  AND l_quantity < {Q6_MAX_QTY}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: a nation's market share inside one region, by year
+# ---------------------------------------------------------------------------
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_3"
+Q8_PART_TYPE = "ECONOMY"
+Q8_LO_US = 820_454_400_000_000  # 1996-01-01 epoch microseconds
+Q8_HI_US = 883_612_800_000_000  # 1998-01-01
+
+
+def q_nation_market_share(sf_dir: str):
+    """TPC-H Q8 shape: one supplier nation's share of the revenue on a
+    part type sold into one region, per order year — numerator and
+    denominator emitted as BIGINT cents plus the integer-ppm share, so
+    the ratio is exact on the reader's side (a float division would not
+    value-hash reproducibly).
+
+    Scale composition, one all-to-all exchange: nation x region resolve
+    driver-side (dimension-tiny by nature); part membership and
+    supplier nation broadcast once via _broadcast_lookup (dimension-
+    sized; guardrail raises past BROADCAST_ROW_LIMIT); customer probes
+    through _collect_small_side WITH the hash_join fallback (it is a
+    fact at high sf). Lineitem pre-filters to the part type before the
+    lineitem x orders bucket join, orders pre-filter to the region and
+    the date window, and bucket_post collapses each bucket to
+    <= #years x 2 partial rows, so the final groupby moves only
+    O(#buckets) tiny partials."""
+    import ray as _ray
+
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    region_keys = set()
+    for b in region.iter_batches(batch_format="pyarrow"):
+        for rk, rn in zip(b.column("r_regionkey").to_pylist(),
+                          b.column("r_name").to_pylist()):
+            if rn == Q8_REGION:
+                region_keys.add(rk)
+    in_region = []
+    target_nk = None
+    for b in nation.iter_batches(batch_format="pyarrow"):
+        for nk, nn, rk in zip(b.column("n_nationkey").to_pylist(),
+                              b.column("n_name").to_pylist(),
+                              b.column("n_regionkey").to_pylist()):
+            if rk in region_keys:
+                in_region.append(nk)
+            if nn == Q8_NATION:
+                target_nk = nk
+    in_region_set = pa.array(sorted(in_region), pa.int64())
+
+    part_ref = _broadcast_lookup(
+        _read(sf_dir, "part", ["p_partkey", "p_type"]),
+        "p_partkey", "p_type",
+    )
+    supp_ref = _broadcast_lookup(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey", "s_nationkey",
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+         "l_discount"],
+    )
+
+    def li_shape(b: pa.Table) -> pa.Table:
+        pk, pv = _ray.get(part_ref)
+        ptype = _probe(b.column("l_partkey"), pk, pv)
+        b = b.filter(pc.equal(ptype, pa.scalar(Q8_PART_TYPE)))
+        sk, sv = _ray.get(supp_ref)
+        sn = pc.cast(_probe(b.column("l_suppkey"), sk, sv), pa.int64())
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        rev_c = _cents(rev)
+        is_target = pc.cast(
+            pc.equal(sn, pa.scalar(int(target_nk), pa.int64())),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "nation_cents": pc.multiply(rev_c, is_target),
+                "rev_cents": rev_c,
+            }
+        )
+
+    li_proj = li.map_batches(
+        li_shape, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    small = _collect_small_side(
+        cust, "c_custkey", "c_nationkey", BROADCAST_ROW_LIMIT
+    )
+
+    def orders_window(b: pa.Table) -> pa.Table:
+        t_us = pc.cast(b.column("o_orderdate"), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(t_us, pa.scalar(Q8_LO_US, pa.int64())),
+            pc.less(t_us, pa.scalar(Q8_HI_US, pa.int64())),
+        )
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "o_year": pc.cast(pc.year(b.column("o_orderdate")),
+                                  pa.int64()),
+            }
+        )
+
+    orders_w = orders.map_batches(
+        orders_window, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if small is None:
+        from ..stages.join import hash_join as _hj
+
+        cust_keyed = cust.map_batches(
+            lambda b: pa.table(
+                {
+                    "o_custkey": b.column("c_custkey"),
+                    "c_nat": pc.cast(b.column("c_nationkey"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        orders_nat = _hj(orders_w, cust_keyed, key="o_custkey",
+                         how="inner")
+        orders_nat = orders_nat.map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": b.column("o_orderkey"),
+                    "o_year": b.column("o_year"),
+                }
+            ).filter(
+                pc.is_in(b.column("c_nat"), value_set=in_region_set)
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    else:
+        cust_ref = _ray.put(small)
+
+        def attach_cnat(b: pa.Table) -> pa.Table:
+            ck, cv = _ray.get(cust_ref)
+            cn = pc.cast(_probe(b.column("o_custkey"), ck, cv), pa.int64())
+            return pa.table(
+                {
+                    "o_orderkey": b.column("o_orderkey"),
+                    "o_year": b.column("o_year"),
+                }
+            ).filter(pc.is_in(cn, value_set=in_region_set))
+
+        orders_nat = orders_w.map_batches(
+            attach_cnat, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def bucket_post(joined: pa.Table) -> pa.Table:
+        g = joined.group_by(["o_year"]).aggregate(
+            [("nation_cents", "sum"), ("rev_cents", "sum")]
+        )
+        return g.rename_columns(["o_year", "nation_cents", "total_cents"])
+
+    from ..stages.join import hash_join
+
+    per_bucket = hash_join(
+        li_proj, orders_nat, key="o_orderkey", how="inner",
+        bucket_post=bucket_post,
+    )
+    totals = per_bucket.groupby("o_year").aggregate(
+        Sum("nation_cents", alias_name="nation_cents"),
+        Sum("total_cents", alias_name="total_cents"),
+    )
+    parts = list(totals.iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return pa.table(
+            {
+                "o_year": pa.array([], pa.int64()),
+                "nation_cents": pa.array([], pa.int64()),
+                "total_cents": pa.array([], pa.int64()),
+                "share_ppm": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(parts).combine_chunks()
+    t = t.take(pc.sort_indices(t, sort_keys=[("o_year", "ascending")]))
+    nc = pc.cast(t.column("nation_cents"), pa.int64()).to_pylist()
+    tc = pc.cast(t.column("total_cents"), pa.int64()).to_pylist()
+    # python ints: nation_cents * 1e6 can exceed int64 at high sf and
+    # numpy would wrap silently where the oracle's HUGEINT does not
+    share = [(n * 1_000_000) // d if d > 0 else 0 for n, d in zip(nc, tc)]
+    return pa.table(
+        {
+            "o_year": pc.cast(t.column("o_year"), pa.int64()),
+            "nation_cents": pa.array(nc, pa.int64()),
+            "total_cents": pa.array(tc, pa.int64()),
+            "share_ppm": pa.array(share, pa.int64()),
+        }
+    )
+
+
+SQL_NATION_MARKET_SHARE = f"""
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS rev_c,
+         CASE WHEN sn.n_name = '{Q8_NATION}' THEN 1 ELSE 0 END AS tgt
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = cn.n_regionkey
+  WHERE p_type = '{Q8_PART_TYPE}'
+    AND r_name = '{Q8_REGION}'
+    AND epoch_us(o_orderdate) >= {Q8_LO_US}
+    AND epoch_us(o_orderdate) < {Q8_HI_US}
+)
+SELECT o_year,
+       CAST(sum(rev_c * tgt) AS BIGINT) AS nation_cents,
+       CAST(sum(rev_c) AS BIGINT) AS total_cents,
+       CAST(CASE WHEN sum(rev_c) > 0
+                 THEN (sum(rev_c * tgt) * 1000000) // sum(rev_c)
+                 ELSE 0 END AS BIGINT) AS share_ppm
+FROM vol
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -6858,6 +7177,8 @@ QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "value_moments_by_type": q_value_moments_by_type,
     "repeat_buyer_customers": q_repeat_buyer_customers,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "nation_market_share": q_nation_market_share,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -6947,6 +7268,8 @@ ORACLE_SQL = {
     "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
     "value_moments_by_type": SQL_VALUE_MOMENTS_BY_TYPE,
     "repeat_buyer_customers": SQL_REPEAT_BUYER_CUSTOMERS,
+    "forecast_revenue_change": SQL_FORECAST_REVENUE_CHANGE,
+    "nation_market_share": SQL_NATION_MARKET_SHARE,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,

@@ -1263,3 +1263,43 @@ def test_delta_bucket_partial_fuzz():
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_triangles_matches_duckdb(pages):
+    from headson_ray.pipelines.webtext import host_triangles
+
+    cur, _ = pages
+    sql = entry.SQL_HOST_TRIANGLES.replace(entry._PAGES_GLOB, _glob(cur))
+    got = _norm(host_triangles(cur, ROWS).to_pandas())
+    exp = _norm(duckdb.connect().execute(sql).df())
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_triangles_matches_brute_force(pages):
+    """The distributed degree-orientation count must equal a driver-side
+    brute-force closure over the same (tiny-at-test-scale) host graph."""
+    from headson_ray.pipelines.webtext import host_link_graph, host_triangles
+
+    cur, _ = pages
+    g = host_link_graph(cur, ROWS).to_pandas()
+    und = set()
+    for s, d in zip(g["src_host"], g["dst_host"]):
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    nodes = sorted({x for e in und for x in e})
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = 0
+    for a, b in und:
+        tri += len(adj[a] & adj[b])
+    tri //= 3  # each triangle counted once per edge
+    got = host_triangles(cur, ROWS).to_pandas().iloc[0]
+    assert int(got["n_hosts"]) == len(nodes)
+    assert int(got["n_edges"]) == len(und)
+    assert int(got["n_triangles"]) == tri
+    assert tri > 0  # the derived graph must actually exercise closure
