@@ -240,6 +240,28 @@ def _q_host_triangles(sf_dir: str):
     return host_triangles(paths, rows)
 
 
+def _q_host_components(sf_dir: str):
+    """Weakly-connected components of the host link graph via
+    distributed min-label propagation — webtext.py:host_components."""
+    from headson_ray.pipelines.webtext import host_components
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return host_components(paths, rows)
+
+
+def _q_host_reciprocity(sf_dir: str):
+    """Mutual-link share of the directed host graph —
+    webtext.py:host_reciprocity."""
+    from headson_ray.pipelines.webtext import host_reciprocity
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return host_reciprocity(paths, rows)
+
+
 def _q_host_pagerank(sf_dir: str):
     """Integer-exact PageRank over the host link graph —
     webtext.py:host_pagerank."""
@@ -457,6 +479,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["host_boilerplate_lines"] = _q_host_boilerplate_lines
     q["host_link_graph"] = _q_host_link_graph
     q["host_triangles"] = _q_host_triangles
+    q["host_components"] = _q_host_components
+    q["host_reciprocity"] = _q_host_reciprocity
     q["host_pagerank"] = _q_host_pagerank
     q["host_anchor_terms"] = _q_host_anchor_terms
     q["host_change_rate"] = _q_host_change_rate
@@ -960,6 +984,54 @@ SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_hosts,
 )
 
 
+# Weakly-connected components: recursive closure over the symmetric
+# edge set; canonical = component's lexicographic-min host (hosts are
+# ASCII, so DuckDB byte-wise VARCHAR min == the Ray side's string min —
+# the mirror_alias_clusters contract). WITH RECURSIVE must govern the
+# whole CTE list, so the shared base is rewritten in place.
+SQL_HOST_COMPONENTS = (
+    _SQL_LINK_GRAPH_BASE.replace("WITH src", "WITH RECURSIVE src")
+    + """
+, ue AS (
+  SELECT DISTINCT least(src_host, dst_host) AS a,
+                  greatest(src_host, dst_host) AS b
+  FROM g WHERE src_host <> dst_host
+), edges AS (
+  SELECT a, b FROM ue UNION SELECT b, a FROM ue
+), nodes AS (
+  SELECT DISTINCT a AS host FROM edges
+), reach(host, r) AS (
+  SELECT host, host FROM nodes
+  UNION
+  SELECT reach.host, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT host, min(r) AS component_host FROM reach GROUP BY host
+"""
+)
+
+# Reciprocity: distinct directed edges (g is already per-pair grain),
+# self-loops excluded; an edge is reciprocal when its reverse exists.
+SQL_HOST_RECIPROCITY = (
+    _SQL_LINK_GRAPH_BASE
+    + """
+, de AS (
+  SELECT src_host, dst_host FROM g WHERE src_host <> dst_host
+), r AS (
+  SELECT CAST((SELECT count(*) FROM de) AS BIGINT) AS n_edges,
+         CAST((SELECT count(*)
+               FROM de e1 JOIN de e2
+                 ON e2.src_host = e1.dst_host
+                AND e2.dst_host = e1.src_host) AS BIGINT) AS n_reciprocal
+)
+SELECT n_edges, n_reciprocal,
+       CAST(CASE WHEN n_edges > 0
+                 THEN n_reciprocal * 1000000 // n_edges
+                 ELSE 0 END AS BIGINT) AS reciprocity_ppm
+FROM r
+"""
+)
+
+
 def _pagerank_sql() -> str:
     """Chained-CTE mirror of webtext.host_pagerank: SCALE=1e9 fixed
     point, floor division per edge, then 85%-damp floor + teleport —
@@ -1209,6 +1281,8 @@ def oracle_sql() -> dict[str, str]:
     o["host_boilerplate_lines"] = SQL_HOST_BOILERPLATE_LINES
     o["host_link_graph"] = SQL_HOST_LINK_GRAPH
     o["host_triangles"] = SQL_HOST_TRIANGLES
+    o["host_components"] = SQL_HOST_COMPONENTS
+    o["host_reciprocity"] = SQL_HOST_RECIPROCITY
     o["host_pagerank"] = SQL_HOST_PAGERANK
     o["host_anchor_terms"] = SQL_HOST_ANCHOR_TERMS
     o["host_change_rate"] = SQL_HOST_CHANGE_RATE

@@ -153,6 +153,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "returned_customer_revenue", "nation_trade_volume",
         "value_moments_by_type", "repeat_buyer_customers",
         "forecast_revenue_change", "nation_market_share",
+        "term_search_topk",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)
@@ -174,7 +175,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
             "host_dup_rate", "frontier_topk", "window_host_coverage",
             "host_crawl_delta", "cep_window_coverage", "cep_crawl_delta",
             "window_host_hll", "cep_sessions", "mirror_alias_clusters",
-            "host_triangles",
+            "host_triangles", "host_components", "host_reciprocity",
         ]:
             t0 = time.time()
             res = eq[name](SF_DIR)

@@ -7109,6 +7109,94 @@ ORDER BY o_year
 """
 
 
+# ---------------------------------------------------------------------------
+# term-match retrieval: top-k documents for a bag-of-words query
+# ---------------------------------------------------------------------------
+SEARCH_TERMS = ("spark", "merge", "window", "sort")
+SEARCH_TOPK = 15
+
+
+def q_term_search_topk(sf_dir: str):
+    """Bag-of-words retrieval: score every document by its total term
+    frequency over a fixed query-term set and return the global top-k
+    as (rnk, doc_id, score) — the keyword-search primitive a corpus
+    triage stack runs before semantic rerank. Tiebreak doc_id ASC so
+    ranks are total-order deterministic.
+
+    Scale composition: embarrassingly parallel scoring (the measured
+    str.split kernel shared with add_token_stats; the query set is a
+    per-task frozenset constant — nothing broadcasts), zero-score docs
+    drop in-batch, each block trims to its OWN top-k, and the driver
+    merges <= k x #blocks candidate rows — no shuffle anywhere,
+    independent of corpus size."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = frozenset(SEARCH_TERMS)
+
+    def score_trim(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        scores = np.fromiter(
+            (
+                sum(1 for x in (t or "").split() if x in terms)
+                for t in b.column("text").to_pylist()
+            ),
+            dtype=np.int64,
+            count=b.num_rows,
+        )
+        keep = scores > 0
+        ids, scores = ids[keep], scores[keep]
+        order = np.lexsort((ids, -scores))[:SEARCH_TOPK]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "score": pa.array(scores[order]),
+            }
+        )
+
+    cands = []
+    for b in ds.map_batches(
+        score_trim, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        cands.append(b)
+    if not cands:
+        return pa.table(
+            {
+                "rnk": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(cands).combine_chunks()
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    scores = t.column("score").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -scores))[:SEARCH_TOPK]
+    return pa.table(
+        {
+            "rnk": pa.array(
+                np.arange(1, order.size + 1, dtype=np.int64)
+            ),
+            "doc_id": pa.array(ids[order]),
+            "score": pa.array(scores[order]),
+        }
+    )
+
+
+_SEARCH_IN = ", ".join(f"'{w}'" for w in SEARCH_TERMS)
+SQL_TERM_SEARCH_TOPK = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         x -> x IN ({_SEARCH_IN}))) AS score
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+         AS rnk,
+       doc_id, CAST(score AS BIGINT) AS score
+FROM s WHERE score > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {SEARCH_TOPK}
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -7179,6 +7267,7 @@ QUERIES = {
     "repeat_buyer_customers": q_repeat_buyer_customers,
     "forecast_revenue_change": q_forecast_revenue_change,
     "nation_market_share": q_nation_market_share,
+    "term_search_topk": q_term_search_topk,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -7270,6 +7359,7 @@ ORACLE_SQL = {
     "repeat_buyer_customers": SQL_REPEAT_BUYER_CUSTOMERS,
     "forecast_revenue_change": SQL_FORECAST_REVENUE_CHANGE,
     "nation_market_share": SQL_NATION_MARKET_SHARE,
+    "term_search_topk": SQL_TERM_SEARCH_TOPK,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,

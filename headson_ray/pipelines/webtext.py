@@ -2588,3 +2588,133 @@ def host_triangles(paths: list[str], n_pages: int) -> pa.Table:
             "n_triangles": pa.array([tri], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# 14. host-graph connected components + reciprocity
+# ---------------------------------------------------------------------------
+# The remaining two classic crawl-graph diagnostics: weakly-connected
+# components (which hosts form one navigable web — the unit a crawl
+# scheduler shards by) and edge reciprocity (what fraction of host
+# links are mutual — link-exchange / mirror-ring signal).
+
+
+def _comp_undirect_names(b: pa.Table) -> pa.Table:
+    """(src_host, dst_host) -> lexicographically ordered host-NAME
+    pairs, self-loops dropped. Names (not hashes) ride the component
+    loop so the canonical label is the component's min host string —
+    directly comparable to the oracle's recursive closure."""
+    s = b.column("src_host")
+    d = b.column("dst_host")
+    keep = pc.invert(pc.equal(s, d))
+    s, d = s.filter(keep), d.filter(keep)
+    lo = pc.min_element_wise(s, d)
+    hi = pc.max_element_wise(s, d)
+    return pa.table({"a": lo, "b": hi})
+
+
+def host_components(paths: list[str], n_pages: int) -> "ray.data.Dataset":
+    """Weakly-connected components of the host link graph: every host
+    that links (or is linked) maps to its component's canonical
+    (lexicographic-min) host. The crawl-scheduler sharding unit: hosts
+    in one component share frontier state; separate components crawl
+    independently.
+
+    Scale posture: the page stream collapses to host-pair grain in
+    host_link_graph (one bucket shuffle); components resolve via
+    components_min_label (stages/dedup.py) — iterative hash-partitioned
+    min-label propagation whose per-iteration exchange is one host-grain
+    join + min-groupby, the 10^12-edge path with NO driver union-find
+    (tiny graphs take the single-worker-task fast path). The driver
+    never holds an edge or label table."""
+    from ..stages.dedup import components_min_label
+
+    und = host_link_graph(paths, n_pages).map_batches(
+        _comp_undirect_names, batch_format="pyarrow", zero_copy_batch=True
+    )
+    labels = components_min_label(und)
+    return labels.map_batches(
+        lambda t: pa.table(
+            {
+                "host": t.column("node"),
+                "component_host": t.column("lbl"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _recip_route(b: pa.Table) -> pa.Table:
+    """Directed (src, dst) host pairs -> unordered-pair rows routed by
+    pair-hash bucket, carrying which direction was observed. host_link_
+    graph rows are already distinct per directed pair, so per-pair
+    direction sums are 0/1 flags, not counts."""
+    s = b.column("src_host")
+    d = b.column("dst_host")
+    keep = pc.invert(pc.equal(s, d))
+    s, d = s.filter(keep), d.filter(keep)
+    sh = hash_strings(s.to_pylist()).view(np.int64)
+    dh = hash_strings(d.to_pylist()).view(np.int64)
+    a = np.minimum(sh, dh)
+    bb = np.maximum(sh, dh)
+    fwd = (sh < dh).astype(np.int64)
+    return pa.table(
+        {
+            "a": pa.array(a),
+            "b": pa.array(bb),
+            "n_fwd": pa.array(fwd),
+            "n_rev": pa.array(1 - fwd),
+            "bucket": pa.array(_tri_pair_bucket(a, bb)),
+        }
+    )
+
+
+def _recip_bucket_fold(g: pa.Table) -> pa.Table:
+    """Per unordered pair: does the graph hold both directions? Emit
+    ONE (n_edges, n_reciprocal) partial row per bucket."""
+    agg = g.select(["a", "b", "n_fwd", "n_rev"]).group_by(
+        ["a", "b"]
+    ).aggregate([("n_fwd", "sum"), ("n_rev", "sum")])
+    nf = agg.column("n_fwd_sum").to_numpy(zero_copy_only=False)
+    nr = agg.column("n_rev_sum").to_numpy(zero_copy_only=False)
+    both = (nf > 0) & (nr > 0)
+    return pa.table(
+        {
+            "n_edges": pa.array([int((nf + nr).sum())], pa.int64()),
+            "n_reciprocal": pa.array([int(2 * both.sum())], pa.int64()),
+        }
+    )
+
+
+def host_reciprocity(paths: list[str], n_pages: int) -> pa.Table:
+    """Reciprocity of the directed host link graph — of all distinct
+    directed host->host edges (self-loops excluded), how many have
+    their reverse edge present, as a count and an integer-ppm ratio.
+    Mutual-linking density is the link-exchange / mirror-ring signal
+    crawl-quality dashboards track.
+
+    Scale posture: directed edges leave host_link_graph at host-pair
+    grain; each routes once to an unordered-pair hash bucket where the
+    direction flags fold locally, so the only exchange after the link
+    graph's own shuffle is pair-grain, and the driver folds
+    <= NUM_TRI_BUCKETS two-scalar partials."""
+    routed = host_link_graph(paths, n_pages).map_batches(
+        _recip_route, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = routed.groupby("bucket").map_groups(
+        _recip_bucket_fold, batch_format="pyarrow"
+    )
+    n_edges = 0
+    n_recip = 0
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        n_edges += int(pc.sum(b.column("n_edges")).as_py() or 0)
+        n_recip += int(pc.sum(b.column("n_reciprocal")).as_py() or 0)
+    ppm = (n_recip * 1_000_000) // n_edges if n_edges > 0 else 0
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_reciprocal": pa.array([n_recip], pa.int64()),
+            "reciprocity_ppm": pa.array([ppm], pa.int64()),
+        }
+    )

@@ -1303,3 +1303,88 @@ def test_host_triangles_matches_brute_force(pages):
     assert int(got["n_edges"]) == len(und)
     assert int(got["n_triangles"]) == tri
     assert tri > 0  # the derived graph must actually exercise closure
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_components_matches_duckdb(pages):
+    from headson_ray.pipelines.webtext import host_components
+
+    cur, _ = pages
+    sql = entry.SQL_HOST_COMPONENTS.replace(entry._PAGES_GLOB, _glob(cur))
+    _compare(host_components(cur, ROWS), sql)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_components_multi_component(monkeypatch):
+    """The derived link graph is one giant WCC (realistic for a web
+    graph), so multi-component propagation is proven on a crafted graph:
+    patch the link-graph stage with three disjoint clusters (one a
+    multi-hop PATH, so closure cannot be read off any single edge) and
+    check labels against driver union-find."""
+    import ray as _ray
+
+    from headson_ray.pipelines import webtext as wt
+
+    edges = [
+        # path component: d -> a via b, c (multi-hop)
+        ("b.com", "a.com"), ("c.com", "b.com"), ("d.com", "c.com"),
+        # 2-cycle component
+        ("x.org", "y.org"), ("y.org", "x.org"),
+        # triangle component with a self-loop row (must be ignored)
+        ("q.net", "p.net"), ("p.net", "r.net"), ("r.net", "q.net"),
+        ("q.net", "q.net"),
+    ]
+    tbl = pa.table(
+        {
+            "src_host": pa.array([e[0] for e in edges]),
+            "dst_host": pa.array([e[1] for e in edges]),
+            "n_links": pa.array([1] * len(edges), pa.int64()),
+        }
+    )
+    monkeypatch.setattr(
+        wt, "host_link_graph", lambda paths, n: _ray.data.from_arrow(tbl)
+    )
+    got = (
+        wt.host_components([], 0)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    exp = {
+        "a.com": "a.com", "b.com": "a.com", "c.com": "a.com",
+        "d.com": "a.com",
+        "x.org": "x.org", "y.org": "x.org",
+        "p.net": "p.net", "q.net": "p.net", "r.net": "p.net",
+    }
+    assert dict(zip(got["host"], got["component_host"])) == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_reciprocity_matches_duckdb(pages):
+    from headson_ray.pipelines.webtext import host_reciprocity
+
+    cur, _ = pages
+    sql = entry.SQL_HOST_RECIPROCITY.replace(entry._PAGES_GLOB, _glob(cur))
+    got = _norm(host_reciprocity(cur, ROWS).to_pandas())
+    exp = _norm(duckdb.connect().execute(sql).df())
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_reciprocity_matches_brute_force(pages):
+    from headson_ray.pipelines.webtext import host_link_graph, host_reciprocity
+
+    cur, _ = pages
+    g = host_link_graph(cur, ROWS).to_pandas()
+    directed = {
+        (s, d) for s, d in zip(g["src_host"], g["dst_host"]) if s != d
+    }
+    n_recip = sum(1 for s, d in directed if (d, s) in directed)
+    got = host_reciprocity(cur, ROWS).to_pandas().iloc[0]
+    assert int(got["n_edges"]) == len(directed)
+    assert int(got["n_reciprocal"]) == n_recip
+    assert int(got["reciprocity_ppm"]) == (
+        n_recip * 1_000_000 // len(directed)
+    )
+    assert 0 < n_recip < len(directed)  # both directions exercised
