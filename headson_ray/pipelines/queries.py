@@ -7197,6 +7197,422 @@ LIMIT {SEARCH_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: part-filtered revenue by supplier nation x order year
+# ---------------------------------------------------------------------------
+Q9_PART_TOKEN = "widget"
+
+
+def q_part_nation_revenue(sf_dir: str):
+    """TPC-H Q9 shape (the profit rollup, sans partsupp which the test
+    corpus does not carry): revenue of line items whose PART NAME
+    contains a token, grouped by the supplier's nation and the order
+    year — part-filter x supplier-dimension x order-date rollup.
+
+    Scale composition, one all-to-all exchange: nation resolves
+    driver-side (tiny by nature); the FILTERED part keyset broadcasts
+    once under BROADCAST_ROW_LIMIT (a name-token filter keeps a
+    dimension-sized slice; partitioned hash_join fallback beyond the
+    limit); supplier broadcasts suppkey -> nationkey via
+    _broadcast_lookup. lineitem pre-filters to matching parts and
+    attaches s_nat BEFORE the lineitem x orders bucket join, and
+    bucket_post collapses every bucket to <= #nations x #years
+    partials, so the final groupby shuffles only O(#buckets) tiny
+    rows."""
+    import ray as _ray
+
+    from ..stages.join import hash_join
+
+    nk2name = {}
+    for b in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for nk, nn in zip(b.column("n_nationkey").to_pylist(),
+                          b.column("n_name").to_pylist()):
+            nk2name[nk] = nn
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        lambda b: pa.table({"p_partkey": b.column("p_partkey")}).filter(
+            pc.match_substring(b.column("p_name"), Q9_PART_TOKEN)
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    small = _collect_small_side(
+        part, "p_partkey", "p_partkey", BROADCAST_ROW_LIMIT
+    )
+    supp_ref = _broadcast_lookup(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey", "s_nationkey",
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+         "l_discount"],
+    )
+    if small is None:
+        # filtered part slice too big to broadcast: partitioned
+        # semi-join on the part key first (narrow projections only)
+        part_marked = part.map_batches(
+            lambda b: b.append_column(
+                "p_hit", pa.array(np.ones(b.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        li_keyed = li.map_batches(
+            lambda b: pa.table(
+                {
+                    "p_partkey": b.column("l_partkey"),
+                    "l_orderkey": b.column("l_orderkey"),
+                    "l_suppkey": b.column("l_suppkey"),
+                    "l_extendedprice": b.column("l_extendedprice"),
+                    "l_discount": b.column("l_discount"),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        li = hash_join(li_keyed, part_marked, key="p_partkey", how="inner")
+    else:
+        keys_ref = _ray.put(small[0])
+
+        def part_filter(b: pa.Table) -> pa.Table:
+            keys_arr = _ray.get(keys_ref)
+            return b.filter(
+                pc.is_in(b.column("l_partkey"), value_set=keys_arr)
+            )
+
+        li = li.map_batches(
+            part_filter, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def li_shape(b: pa.Table) -> pa.Table:
+        keys_arr, vals_arr = _ray.get(supp_ref)
+        sn = pc.cast(
+            _probe(b.column("l_suppkey"), keys_arr, vals_arr), pa.int64()
+        )
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "s_nat": sn,
+                "rev_cents": _cents(rev),
+            }
+        ).filter(pc.is_valid(sn))
+
+    li_proj = li.map_batches(
+        li_shape, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_year": pc.cast(
+                    pc.year(b.column("o_orderdate")), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def bucket_post(joined: pa.Table) -> pa.Table:
+        g = joined.group_by(["s_nat", "o_year"]).aggregate(
+            [("rev_cents", "sum")]
+        )
+        return g.rename_columns(["s_nat", "o_year", "rev_cents"])
+
+    partials = hash_join(
+        li_proj, orders, key="o_orderkey", how="inner",
+        bucket_post=bucket_post,
+    )
+    agg = partials.groupby(["s_nat", "o_year"]).aggregate(
+        Sum("rev_cents", alias_name="rev_cents")
+    )
+
+    def name_rows(b: pa.Table) -> pa.Table:
+        # #nations x #years rows by construction — the python map over
+        # the tiny driver-resolved nation dimension is bounded
+        nk = b.column("s_nat").to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [nk2name.get(int(k)) for k in nk], pa.string()
+                ),
+                "o_year": b.column("o_year"),
+                "rev_cents": b.column("rev_cents"),
+            }
+        )
+
+    return agg.map_batches(
+        name_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_PART_NATION_REVENUE = f"""
+SELECT n_name,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%{Q9_PART_TOKEN}%'
+GROUP BY n_name, o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# CEP negation pattern: clicks NOT followed by a purchase within a window
+# ---------------------------------------------------------------------------
+ABANDON_WINDOW_US = HOUR_US
+
+
+def q_click_abandonment(sf_dir: str):
+    """CEP negation pattern (the anti-funnel): per user, how many click
+    events were NOT followed by a purchase within one hour — the
+    absence-of-event shape that windowed pair joins and strict
+    contiguity both cannot express (a match is defined by NO row
+    existing in the interval).
+
+    Scale design: groupby(user).map_groups; per key the state is two
+    sorted timestamp arrays and the negation resolves as a vectorized
+    searchsorted interval-emptiness test over (c, c + W] — never a
+    cross join, never driver state. Same bounded-per-user-partition
+    assumption as the other per-key CEP sweeps."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def count_abandoned(group: pa.Table) -> pa.Table:
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        clicks = np.sort(ts[et == "click"])
+        if clicks.size == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_abandoned": pa.array([], pa.int64()),
+                }
+            )
+        uid = group.column("user_id")[0].as_py()
+        purchases = np.sort(ts[et == "purchase"])
+        # strictly-after start, inclusive end: purchases in (c, c + W]
+        lo = np.searchsorted(purchases, clicks, side="right")
+        hi = np.searchsorted(
+            purchases, clicks + ABANDON_WINDOW_US, side="right"
+        )
+        n = int((hi == lo).sum())
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_abandoned": pa.array([n], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(
+        count_abandoned, batch_format="pyarrow"
+    )
+
+
+SQL_CLICK_ABANDONMENT = f"""
+WITH c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'click'),
+     p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'purchase')
+SELECT user_id,
+       CAST(sum(CASE WHEN NOT EXISTS (
+                  SELECT 1 FROM p
+                  WHERE p.user_id = c.user_id
+                    AND p.t > c.t AND p.t - c.t <= {ABANDON_WINDOW_US})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+FROM c GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global top-k adjacent-token bigrams (collocation mining)
+# ---------------------------------------------------------------------------
+BIGRAM_TOPK = 50
+
+
+def _bigram_partial(b: pa.Table) -> pa.Table:
+    """Per-batch vectorized bigram partial: split once per batch (RE2),
+    adjacency straight from the flattened list offsets via a doc-id
+    shift — zero per-row python — pre-counted so the exchange carries
+    at most one row per distinct bigram per block."""
+    toks = pc.split_pattern_regex(b.column("text"), pattern=r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    did = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    did = did[keep]
+    empty = pa.table(
+        {
+            "bigram": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+    if did.size < 2:
+        return empty
+    adj = did[1:] == did[:-1]
+    left = flat.slice(0, len(flat) - 1).filter(pa.array(adj))
+    right = flat.slice(1).filter(pa.array(adj))
+    bg = pc.binary_join_element_wise(left, right, " ")
+    t = pa.table(
+        {
+            "bigram": bg,
+            "cnt": pa.array(np.ones(len(bg), dtype=np.int64)),
+        }
+    )
+    agg = t.group_by(["bigram"]).aggregate([("cnt", "sum")])
+    return agg.rename_columns(["bigram", "cnt"])
+
+
+def q_bigram_topk(sf_dir: str):
+    """Global top-k adjacent-token bigrams over the document corpus
+    (count DESC, bigram ASC) — the collocation-mining primitive behind
+    phrase vocabularies and BPE-merge seeding.
+
+    Scale design: _bigram_partial pre-counts per batch, the single
+    all-to-all is the native groupby-sum over (bigram) partials, then
+    each output block trims to its OWN top-k so the driver merges at
+    most k x #blocks candidate rows — never the distinct-bigram
+    table."""
+    ds = _read(sf_dir, "documents", ["text"], heavy=True)
+    agg = (
+        ds.map_batches(
+            _bigram_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def trim(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("cnt", "descending"), ("bigram", "ascending")]
+        )
+        return b.take(idx.slice(0, BIGRAM_TOPK))
+
+    parts = list(
+        agg.map_batches(
+            trim, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    )
+    if not parts:
+        return pa.table(
+            {
+                "bigram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    merged = pa.concat_tables(parts).combine_chunks()
+    idx = pc.sort_indices(
+        merged, sort_keys=[("cnt", "descending"), ("bigram", "ascending")]
+    )
+    return merged.select(["bigram", "cnt"]).take(idx.slice(0, BIGRAM_TOPK))
+
+
+SQL_BIGRAM_TOPK = f"""
+WITH d AS (
+  SELECT list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+b AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM d)
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM b
+GROUP BY bigram
+ORDER BY cnt DESC, bigram ASC
+LIMIT {BIGRAM_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# NTILE quartile rollup per nation (windowed bucket assignment)
+# ---------------------------------------------------------------------------
+NTILE_BUCKETS = 4
+
+
+def q_customer_balance_ntiles(sf_dir: str):
+    """NTILE(4) quartile rollup: split each nation's customers into 4
+    balance quartiles (acctbal DESC, custkey tiebreak; SQL NTILE's
+    front-loaded bucket sizes) and report per-(nation, tile) customer
+    count and total balance in integer cents.
+
+    Scale design: groupby(nation).map_groups with a vectorized lexsort
+    + np.repeat tile assignment; each group COLLAPSES to <= 4 rows
+    inside the task, so the shuffle output is 4 x #nations tiny rows
+    and the only exchange is the groupby itself."""
+    ds = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def tiles(group: pa.Table) -> pa.Table:
+        nk = int(group.column("c_nationkey")[0].as_py())
+        bal = group.column("c_acctbal").to_numpy(zero_copy_only=False)
+        ck = group.column("c_custkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -bal))
+        cents = _cents(group.column("c_acctbal")).to_numpy(
+            zero_copy_only=False
+        )[order]
+        n = order.size
+        base, rem = divmod(n, NTILE_BUCKETS)
+        sizes = np.array(
+            [base + (1 if i < rem else 0) for i in range(NTILE_BUCKETS)],
+            dtype=np.int64,
+        )
+        sizes = sizes[sizes > 0]
+        starts = np.concatenate(
+            ([0], np.cumsum(sizes)[:-1])
+        ).astype(np.int64)
+        sums = np.add.reduceat(cents, starts)
+        return pa.table(
+            {
+                "nationkey": pa.array([nk] * sizes.size, pa.int64()),
+                "tile": pa.array(
+                    np.arange(1, sizes.size + 1, dtype=np.int64)
+                ),
+                "n_cust": pa.array(sizes),
+                "bal_cents": pa.array(sums),
+            }
+        )
+
+    return ds.groupby("c_nationkey").map_groups(
+        tiles, batch_format="pyarrow"
+    )
+
+
+SQL_CUSTOMER_BALANCE_NTILES = f"""
+WITH t AS (
+  SELECT c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+         ntile({NTILE_BUCKETS}) OVER (
+           PARTITION BY c_nationkey
+           ORDER BY c_acctbal DESC, c_custkey ASC) AS tile
+  FROM customer
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(tile AS BIGINT) AS tile,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(cents) AS BIGINT) AS bal_cents
+FROM t GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -7268,6 +7684,10 @@ QUERIES = {
     "forecast_revenue_change": q_forecast_revenue_change,
     "nation_market_share": q_nation_market_share,
     "term_search_topk": q_term_search_topk,
+    "part_nation_revenue": q_part_nation_revenue,
+    "click_abandonment": q_click_abandonment,
+    "bigram_topk": q_bigram_topk,
+    "customer_balance_ntiles": q_customer_balance_ntiles,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -7360,6 +7780,10 @@ ORACLE_SQL = {
     "forecast_revenue_change": SQL_FORECAST_REVENUE_CHANGE,
     "nation_market_share": SQL_NATION_MARKET_SHARE,
     "term_search_topk": SQL_TERM_SEARCH_TOPK,
+    "part_nation_revenue": SQL_PART_NATION_REVENUE,
+    "click_abandonment": SQL_CLICK_ABANDONMENT,
+    "bigram_topk": SQL_BIGRAM_TOPK,
+    "customer_balance_ntiles": SQL_CUSTOMER_BALANCE_NTILES,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,
