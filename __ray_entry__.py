@@ -228,6 +228,17 @@ def _q_host_link_graph(sf_dir: str):
     return host_link_graph(paths, rows)
 
 
+def _q_host_outdegree_hist(sf_dir: str):
+    """Out-degree distribution of the host link graph —
+    webtext.py:host_outdegree_hist."""
+    from headson_ray.pipelines.webtext import host_outdegree_hist
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return host_outdegree_hist(paths, rows)
+
+
 def _q_host_triangles(sf_dir: str):
     """Triangle census of the undirected host link graph via
     distributed degree-orientation (compact-forward) wedge closure —
@@ -478,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["mirror_alias_clusters"] = _q_mirror_alias_clusters
     q["host_boilerplate_lines"] = _q_host_boilerplate_lines
     q["host_link_graph"] = _q_host_link_graph
+    q["host_outdegree_hist"] = _q_host_outdegree_hist
     q["host_triangles"] = _q_host_triangles
     q["host_components"] = _q_host_components
     q["host_reciprocity"] = _q_host_reciprocity
@@ -963,6 +975,18 @@ SELECT src_host, dst_host, CAST(n_links AS BIGINT) AS n_links FROM g
 # in SQL, by node hash in Ray — set-identical either way), then the
 # canonical a<b<c three-way self-join. Counts are orientation-free so
 # both sides agree exactly.
+# Degree histogram: g is already unique (src, dst) pair grain, so the
+# per-host out-degree is a plain row count — then the histogram over it.
+SQL_HOST_OUTDEGREE_HIST = (
+    _SQL_LINK_GRAPH_BASE
+    + """
+, od AS (SELECT src_host, count(*) AS outdeg FROM g GROUP BY src_host)
+SELECT CAST(outdeg AS BIGINT) AS outdeg,
+       CAST(count(*) AS BIGINT) AS n_hosts
+FROM od GROUP BY outdeg
+"""
+)
+
 SQL_HOST_TRIANGLES = (
     _SQL_LINK_GRAPH_BASE
     + """
@@ -1280,6 +1304,7 @@ def oracle_sql() -> dict[str, str]:
     o["mirror_alias_clusters"] = SQL_MIRROR_ALIAS_CLUSTERS
     o["host_boilerplate_lines"] = SQL_HOST_BOILERPLATE_LINES
     o["host_link_graph"] = SQL_HOST_LINK_GRAPH
+    o["host_outdegree_hist"] = SQL_HOST_OUTDEGREE_HIST
     o["host_triangles"] = SQL_HOST_TRIANGLES
     o["host_components"] = SQL_HOST_COMPONENTS
     o["host_reciprocity"] = SQL_HOST_RECIPROCITY

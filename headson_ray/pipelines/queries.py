@@ -7613,6 +7613,138 @@ FROM t GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Pareto concentration: revenue share of the top decile of customers
+# ---------------------------------------------------------------------------
+
+
+def q_top_decile_revenue_share(sf_dir: str):
+    """Pareto concentration: what share of total order revenue the top
+    decile of customers by lifetime spend carries (k = ceil(n/10)) —
+    the global-order-statistic rollup behind "top X% of users drive Y%
+    of revenue" dashboards.
+
+    Scale design: per-customer spend folds in custkey-hash buckets (the
+    Q18 pattern — no high-cardinality Ray groupby); the decile
+    THRESHOLD resolves via exact histogram rank-select
+    (stages/sketch.py:rank_select — a few shuffle-free refinement
+    passes); the top-decile mass then folds in ONE pass as
+    (sum-above, count-above, total) partials with the tie mass at the
+    threshold reconstructed arithmetically (tied spends contribute
+    identical amounts, so the sum is deterministic without choosing
+    which tied customers are "in"). Nothing sorts and the driver never
+    sees a customer row."""
+    from ..stages.hashing import mix_rounds
+    from ..stages.sketch import rank_select
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def spend_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c": b.column("o_custkey"),
+                "spend": _cents(b.column("o_totalprice")),
+            }
+        )
+        g = (
+            t.group_by(["c"])
+            .aggregate([("spend", "sum")])
+            .rename_columns(["c", "spend"])
+        )
+        ck = g.column("c").to_numpy(zero_copy_only=False)
+        bucket = (
+            mix_rounds(ck.astype(np.uint64)) % np.uint64(Q17_NUM_BUCKETS)
+        ).astype(np.int64)
+        return g.append_column("bucket", pa.array(bucket))
+
+    def spend_fold(t: pa.Table) -> pa.Table:
+        # a custkey-hash bucket holds every partial of its customers,
+        # so the lifetime sum COMPLETES locally
+        return (
+            t.select(["c", "spend"])
+            .group_by(["c"])
+            .aggregate([("spend", "sum")])
+            .rename_columns(["c", "spend"])
+        )
+
+    spends = (
+        orders.map_batches(
+            spend_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bucket")
+        .map_groups(spend_fold, batch_format="pyarrow")
+        .materialize()  # customer grain; consumed by 3+ passes below
+    )
+    n = spends.count()
+    if n == 0:
+        return pa.table(
+            {
+                "n_cust": pa.array([], pa.int64()),
+                "k_top": pa.array([], pa.int64()),
+                "top_cents": pa.array([], pa.int64()),
+                "total_cents": pa.array([], pa.int64()),
+                "share_ppm": pa.array([], pa.int64()),
+            }
+        )
+    k = (n + 9) // 10
+    # k-th largest spend == ascending 0-based rank (n - k)
+    thr = int(round(rank_select(spends, "spend", [n - k])[0]))
+
+    def above_partial(b: pa.Table) -> pa.Table:
+        s = b.column("spend").to_numpy(zero_copy_only=False)
+        gt = s[s > thr]
+        return pa.table(
+            {
+                "sum_gt": pa.array([int(gt.sum())], pa.int64()),
+                "n_gt": pa.array([gt.size], pa.int64()),
+                "total": pa.array([int(s.sum())], pa.int64()),
+            }
+        )
+
+    sum_gt = n_gt = total = 0
+    for b in spends.map_batches(
+        above_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        sum_gt += int(pc.sum(b.column("sum_gt")).as_py() or 0)
+        n_gt += int(pc.sum(b.column("n_gt")).as_py() or 0)
+        total += int(pc.sum(b.column("total")).as_py() or 0)
+    top_cents = sum_gt + (k - n_gt) * thr
+    return pa.table(
+        {
+            "n_cust": pa.array([n], pa.int64()),
+            "k_top": pa.array([k], pa.int64()),
+            "top_cents": pa.array([top_cents], pa.int64()),
+            "total_cents": pa.array([total], pa.int64()),
+            "share_ppm": pa.array(
+                [top_cents * 1_000_000 // total], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_TOP_DECILE_REVENUE_SHARE = """
+WITH s AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT spend,
+         row_number() OVER (ORDER BY spend DESC, o_custkey ASC) AS rn,
+         count(*) OVER () AS n_cust
+  FROM s
+)
+SELECT CAST(n_cust AS BIGINT) AS n_cust,
+       CAST((n_cust + 9) // 10 AS BIGINT) AS k_top,
+       CAST(sum(CASE WHEN rn <= (n_cust + 9) // 10
+                     THEN spend ELSE 0 END) AS BIGINT) AS top_cents,
+       CAST(sum(spend) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN rn <= (n_cust + 9) // 10
+                     THEN spend ELSE 0 END) * 1000000
+            // sum(spend) AS BIGINT) AS share_ppm
+FROM r GROUP BY n_cust
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -7688,6 +7820,7 @@ QUERIES = {
     "click_abandonment": q_click_abandonment,
     "bigram_topk": q_bigram_topk,
     "customer_balance_ntiles": q_customer_balance_ntiles,
+    "top_decile_revenue_share": q_top_decile_revenue_share,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -7784,6 +7917,7 @@ ORACLE_SQL = {
     "click_abandonment": SQL_CLICK_ABANDONMENT,
     "bigram_topk": SQL_BIGRAM_TOPK,
     "customer_balance_ntiles": SQL_CUSTOMER_BALANCE_NTILES,
+    "top_decile_revenue_share": SQL_TOP_DECILE_REVENUE_SHARE,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,

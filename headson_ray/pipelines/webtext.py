@@ -2718,3 +2718,68 @@ def host_reciprocity(paths: list[str], n_pages: int) -> pa.Table:
             "reciprocity_ppm": pa.array([ppm], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# 18. host out-degree histogram (link-graph degree distribution)
+# ---------------------------------------------------------------------------
+# The power-law sanity check every crawl-graph study runs first: how many
+# hosts link out to exactly d distinct hosts. An aggregation OVER an
+# aggregation — per-host degree from the pair-grain link graph, then the
+# degree histogram — both stages shuffle only pre-collapsed partials.
+
+
+def _outdeg_partial(b: pa.Table) -> pa.Table:
+    """Per-batch collapse of unique (src_host, dst_host) link-graph rows
+    to (src_host, outdeg) partials: the exchange carries at most one row
+    per host per block."""
+    t = pa.table(
+        {
+            "src_host": b.column("src_host"),
+            "outdeg": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }
+    )
+    g = t.group_by(["src_host"]).aggregate([("outdeg", "sum")])
+    return g.rename_columns(["src_host", "outdeg"])
+
+
+def _outdeg_hist_partial(b: pa.Table) -> pa.Table:
+    """Per-batch collapse of (host, outdeg) rows to (outdeg, n_hosts)
+    histogram partials — degree values are few by nature (power-law
+    support), so the final shuffle is tiny."""
+    t = pa.table(
+        {
+            "outdeg": b.column("outdeg"),
+            "n_hosts": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }
+    )
+    g = t.group_by(["outdeg"]).aggregate([("n_hosts", "sum")])
+    return g.rename_columns(["outdeg", "n_hosts"])
+
+
+def host_outdegree_hist(paths: list[str], n_pages: int) -> "ray.data.Dataset":
+    """Out-degree distribution of the host link graph: (outdeg, n_hosts)
+    where outdeg counts DISTINCT destination hosts per source host.
+
+    Scale posture: the input is host_link_graph's already-unique
+    (src, dst) pair grain, so degree = row count per src — a two-phase
+    sum of per-batch partials; the histogram is a second two-phase sum
+    at degree grain (bounded by the distinct-degree support, not by
+    #hosts). The driver never sees a host row."""
+    g = host_link_graph(paths, n_pages)
+    od = (
+        g.map_batches(
+            _outdeg_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("src_host")
+        .aggregate(Sum("outdeg", alias_name="outdeg"))
+    )
+    return (
+        od.map_batches(
+            _outdeg_hist_partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("outdeg")
+        .aggregate(Sum("n_hosts", alias_name="n_hosts"))
+    )

@@ -1388,3 +1388,33 @@ def test_host_reciprocity_matches_brute_force(pages):
         n_recip * 1_000_000 // len(directed)
     )
     assert 0 < n_recip < len(directed)  # both directions exercised
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_outdegree_hist_matches_duckdb(pages):
+    from headson_ray.pipelines.webtext import host_outdegree_hist
+
+    cur, _ = pages
+    sql = entry.SQL_HOST_OUTDEGREE_HIST.replace(
+        entry._PAGES_GLOB, _glob(cur)
+    )
+    _compare(host_outdegree_hist(cur, ROWS), sql)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_outdegree_hist_matches_brute_force(pages):
+    from collections import Counter
+
+    from headson_ray.pipelines.webtext import (
+        host_link_graph,
+        host_outdegree_hist,
+    )
+
+    cur, _ = pages
+    g = host_link_graph(cur, ROWS).to_pandas()
+    outdeg = Counter(g["src_host"])  # g is unique (src, dst) grain
+    hist = Counter(outdeg.values())
+    got = host_outdegree_hist(cur, ROWS).to_pandas()
+    assert dict(zip(got["outdeg"], got["n_hosts"])) == dict(hist)
+    assert int(got["n_hosts"].sum()) == len(outdeg)
+    assert len(hist) > 1  # non-trivial degree support
