@@ -251,6 +251,17 @@ def _q_host_triangles(sf_dir: str):
     return host_triangles(paths, rows)
 
 
+def _q_host_transitivity(sf_dir: str):
+    """Global clustering coefficient (3 x triangles / wedges, ppm) of
+    the undirected host link graph — webtext.py:host_transitivity."""
+    from headson_ray.pipelines.webtext import host_transitivity
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    return host_transitivity(paths, rows)
+
+
 def _q_host_components(sf_dir: str):
     """Weakly-connected components of the host link graph via
     distributed min-label propagation — webtext.py:host_components."""
@@ -491,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["host_link_graph"] = _q_host_link_graph
     q["host_outdegree_hist"] = _q_host_outdegree_hist
     q["host_triangles"] = _q_host_triangles
+    q["host_transitivity"] = _q_host_transitivity
     q["host_components"] = _q_host_components
     q["host_reciprocity"] = _q_host_reciprocity
     q["host_pagerank"] = _q_host_pagerank
@@ -1007,6 +1019,37 @@ SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_hosts,
 """
 )
 
+# Transitivity: wedges = sum over nodes of C(deg, 2) on the undirected
+# deduped edge set; triangles as above; 3T/W in integer ppm (floor
+# division on both sides, so the ratio is bit-exact).
+SQL_HOST_TRANSITIVITY = (
+    _SQL_LINK_GRAPH_BASE
+    + """
+, ue AS (
+  SELECT DISTINCT least(src_host, dst_host) AS a,
+                  greatest(src_host, dst_host) AS b
+  FROM g WHERE src_host <> dst_host
+), degs AS (
+  SELECT h, count(*) AS deg
+  FROM (SELECT a AS h FROM ue UNION ALL SELECT b FROM ue)
+  GROUP BY h
+), w AS (
+  SELECT COALESCE(sum(deg * (deg - 1) // 2), 0) AS n_wedges FROM degs
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM ue e1
+  JOIN ue e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN n_wedges > 0
+                 THEN 3 * n_triangles * 1000000 // n_wedges
+                 ELSE 0 END AS BIGINT) AS transitivity_ppm
+FROM w, tri
+"""
+)
+
 
 # Weakly-connected components: recursive closure over the symmetric
 # edge set; canonical = component's lexicographic-min host (hosts are
@@ -1306,6 +1349,7 @@ def oracle_sql() -> dict[str, str]:
     o["host_link_graph"] = SQL_HOST_LINK_GRAPH
     o["host_outdegree_hist"] = SQL_HOST_OUTDEGREE_HIST
     o["host_triangles"] = SQL_HOST_TRIANGLES
+    o["host_transitivity"] = SQL_HOST_TRANSITIVITY
     o["host_components"] = SQL_HOST_COMPONENTS
     o["host_reciprocity"] = SQL_HOST_RECIPROCITY
     o["host_pagerank"] = SQL_HOST_PAGERANK

@@ -943,6 +943,76 @@ FROM reach GROUP BY doc
 """
 
 
+def q_dup_cluster_size_hist(sf_dir: str):
+    """Dedup audit histogram: how many near-dup clusters have exactly
+    s members (size-1 clusters = unique documents). The number every
+    dedup run reports before anyone trusts its output.
+
+    Scale design: cluster labels come from near_dup_canonical (the
+    distributed min-label closure); sizes and the histogram are two
+    stacked two-phase sums — per-batch partials collapse before each
+    groupby, so the first exchange is cluster-grain and the second is
+    bounded by the distinct-size support, not by #documents."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
+    labels = near_dup_canonical(ds, threshold=0.5)
+
+    def size_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "canonical_id": b.column("canonical_id"),
+                "cluster_size": pa.array(
+                    np.ones(b.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+        g = t.group_by(["canonical_id"]).aggregate([("cluster_size", "sum")])
+        return g.rename_columns(["canonical_id", "cluster_size"])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "cluster_size": b.column("cluster_size"),
+                "n_clusters": pa.array(
+                    np.ones(b.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+        g = t.group_by(["cluster_size"]).aggregate([("n_clusters", "sum")])
+        return g.rename_columns(["cluster_size", "n_clusters"])
+
+    sizes = (
+        labels.map_batches(
+            size_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("canonical_id")
+        .aggregate(Sum("cluster_size", alias_name="cluster_size"))
+    )
+    return (
+        sizes.map_batches(
+            hist_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+    )
+
+
+# Histogram over the canonical labels: extend the closure's CTE list
+# with cluster sizes, then count clusters per size.
+SQL_DUP_CLUSTER_SIZE_HIST = SQL_NEAR_DUP_CANONICAL.replace(
+    "SELECT doc AS doc_id, min(r) AS canonical_id\nFROM reach GROUP BY doc",
+    """, lbl AS (
+  SELECT doc AS doc_id, min(r) AS canonical_id FROM reach GROUP BY doc
+), cs AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM lbl
+  GROUP BY canonical_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM cs GROUP BY cluster_size""",
+)
+assert "lbl" in SQL_DUP_CLUSTER_SIZE_HIST  # replace() must have matched
+
+
 def q_heavy_hitter_tokens(sf_dir: str):
     """Exact top-20 tokens via the two-pass Misra-Gries sketch."""
     from ..stages.sketch import heavy_hitter_tokens
@@ -7745,6 +7815,365 @@ FROM r GROUP BY n_cust
 """
 
 
+# ---------------------------------------------------------------------------
+# Customer reorder-gap histogram (per-key lag over the orders fact)
+# ---------------------------------------------------------------------------
+
+
+def q_customer_reorder_gaps(sf_dir: str):
+    """Reorder-cadence histogram: for every consecutive pair of orders
+    by the same customer (ordered by orderdate, orderkey), the gap in
+    whole days — rolled up to (gap_days, n_gaps). The
+    repeat-purchase-cadence curve behind retention dashboards.
+
+    Scale design: the per-key LAG resolves inside custkey-hash buckets
+    (every order of a customer lands in ONE bucket, so the lag is
+    complete locally — the Q18 bucket-fold pattern, no high-cardinality
+    Ray groupby and no global sort); each bucket emits a pre-counted
+    histogram partial, so the final exchange is bounded by the
+    distinct-gap support (~10^3 days), not by #orders."""
+    from ..stages.hashing import mix_rounds
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+
+    def route(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        bucket = (
+            mix_rounds(ck.astype(np.uint64)) % np.uint64(Q17_NUM_BUCKETS)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c": b.column("o_custkey"),
+                "k": b.column("o_orderkey"),
+                "t": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def bucket_lag_hist(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, ts, c))
+        c, ts = c[order], ts[order]
+        same = c[1:] == c[:-1]
+        gaps = (ts[1:] - ts[:-1])[same] // DAY_US
+        vals, cnt = np.unique(gaps, return_counts=True)
+        return pa.table(
+            {
+                "gap_days": pa.array(vals.astype(np.int64)),
+                "n_gaps": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        orders.map_batches(
+            route, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bucket")
+        .map_groups(bucket_lag_hist, batch_format="pyarrow")
+        .groupby("gap_days")
+        .aggregate(Sum("n_gaps", alias_name="n_gaps"))
+    )
+
+
+SQL_CUSTOMER_REORDER_GAPS = """
+WITH g AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) AS t,
+         lag(epoch_us(o_orderdate)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS pt
+  FROM orders
+)
+SELECT CAST((t - pt) // 86400000000 AS BIGINT) AS gap_days,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM g WHERE pt IS NOT NULL
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# DAU / trailing-7-day WAU stickiness over the events stream
+# ---------------------------------------------------------------------------
+
+
+def q_dau_wau_stickiness(sf_dir: str):
+    """Product-analytics stickiness: per active day, distinct daily
+    users (DAU), distinct users over the trailing 7 days (WAU), and
+    DAU/WAU in integer ppm.
+
+    Scale design: (day, user) pairs dedup in (day, user)-hash buckets
+    with per-batch local dedup partials (pair-grain exchange, one row
+    per pair per block); DAU is a two-phase count over the deduped
+    pairs; WAU replicates each pair to its 7 covering target days and
+    dedups (target_day, user) the same way — a bounded 7x fan-out
+    instead of a range self-join. Day-grain DAU and WAU then join in
+    one tiny day-grain exchange (days are bounded by the calendar, not
+    by event volume)."""
+    from ..stages.hashing import mix_rounds
+    from ..stages.join import hash_join
+
+    events = _read(sf_dir, "events", ["ts", "user_id"])
+    nb = np.uint64(Q17_NUM_BUCKETS)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b.column("ts"), pa.int64()), DAY_US)
+        t = pa.table({"day": day, "u": b.column("user_id")})
+        g = t.group_by(["day", "u"]).aggregate([])
+        d = g.column("day").to_numpy(zero_copy_only=False)
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        h = mix_rounds(
+            d.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ mix_rounds(u.astype(np.uint64))
+        )
+        return g.append_column(
+            "bucket", pa.array((h % nb).astype(np.int64))
+        )
+
+    def pair_distinct(t: pa.Table) -> pa.Table:
+        return t.select(["day", "u"]).group_by(["day", "u"]).aggregate([])
+
+    pairs = (
+        events.map_batches(
+            pair_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bucket")
+        .map_groups(pair_distinct, batch_format="pyarrow")
+        .materialize()  # consumed by both the DAU and WAU branches
+    )
+
+    def dau_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day": b.column("day"),
+                "dau": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["day"]).aggregate([("dau", "sum")])
+        return g.rename_columns(["day", "dau"])
+
+    dau = (
+        pairs.map_batches(
+            dau_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("day")
+        .aggregate(Sum("dau", alias_name="dau"))
+    )
+
+    def wau_explode(b: pa.Table) -> pa.Table:
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        td = (d[:, None] + np.arange(7)[None, :]).ravel()
+        uu = np.repeat(u, 7)
+        h = mix_rounds(
+            td.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ mix_rounds(uu.astype(np.uint64))
+        )
+        return pa.table(
+            {
+                "day": pa.array(td.astype(np.int64)),
+                "u": pa.array(uu),
+                "bucket": pa.array((h % nb).astype(np.int64)),
+            }
+        )
+
+    def wau_fold(t: pa.Table) -> pa.Table:
+        g = t.select(["day", "u"]).group_by(["day", "u"]).aggregate([])
+        h = pa.table(
+            {
+                "day": g.column("day"),
+                "wau": pa.array(np.ones(g.num_rows, dtype=np.int64)),
+            }
+        )
+        out = h.group_by(["day"]).aggregate([("wau", "sum")])
+        return out.rename_columns(["day", "wau"])
+
+    wau = (
+        pairs.map_batches(
+            wau_explode, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bucket")
+        .map_groups(wau_fold, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("wau", alias_name="wau"))
+    )
+
+    joined = hash_join(dau, wau, key="day", how="inner")
+
+    def finish(b: pa.Table) -> pa.Table:
+        dd = b.column("dau").to_numpy(zero_copy_only=False)
+        ww = b.column("wau").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": b.column("day"),
+                "dau": b.column("dau"),
+                "wau": b.column("wau"),
+                "stickiness_ppm": pa.array(
+                    (dd * 1_000_000 // ww).astype(np.int64)
+                ),
+            }
+        )
+
+    return joined.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_DAU_WAU_STICKINESS = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+), dau AS (
+  SELECT day, count(*) AS dau FROM du GROUP BY day
+), wau AS (
+  SELECT d.day, count(DISTINCT u.user_id) AS wau
+  FROM dau d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+)
+SELECT CAST(dau.day AS BIGINT) AS day,
+       CAST(dau AS BIGINT) AS dau,
+       CAST(wau AS BIGINT) AS wau,
+       CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau ON wau.day = dau.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-group: each nation's share of its region's order revenue
+# ---------------------------------------------------------------------------
+
+
+def q_nation_revenue_share_in_region(sf_dir: str):
+    """Percent-of-group rollup: every customer nation's share of its
+    REGION's total order revenue, integer ppm — the SUM() OVER
+    (PARTITION BY region) window shape on top of a fact-table fold.
+
+    Scale design: orders fold to nationkey grain (<= 25 rows survive)
+    via a broadcast custkey -> nationkey probe (hash_join fallback past
+    BROADCAST_ROW_LIMIT); the nation/region attach and the
+    percent-of-group window resolve driver-side on the nation-grain
+    result, which is tiny by nature."""
+    import ray as _ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    small = _collect_small_side(
+        cust, "c_custkey", "c_nationkey", BROADCAST_ROW_LIMIT
+    )
+    if small is None:
+        from ..stages.join import hash_join
+
+        proj = orders.map_batches(
+            lambda b: pa.table(
+                {
+                    "c_custkey": b.column("o_custkey"),
+                    "cents": _cents(b.column("o_totalprice")),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        cust_keyed = cust.map_batches(
+            lambda b: pa.table(
+                {
+                    "c_custkey": b.column("c_custkey"),
+                    "nk": pc.cast(b.column("c_nationkey"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        with_nat = hash_join(proj, cust_keyed, key="c_custkey",
+                             how="inner")
+
+        def nat_partial(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {"nk": b.column("nk"), "rev": b.column("cents")}
+            )
+            g = t.group_by(["nk"]).aggregate([("rev", "sum")])
+            return g.rename_columns(["nk", "rev"])
+
+        nat_rev = with_nat.map_batches(
+            nat_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        cust_ref = _ray.put(small)
+
+        def nat_partial_bcast(b: pa.Table) -> pa.Table:
+            keys, vals = _ray.get(cust_ref)
+            nk = _probe(b.column("o_custkey"), keys, vals)
+            t = pa.table(
+                {
+                    "nk": pc.cast(nk, pa.int64()),
+                    "rev": _cents(b.column("o_totalprice")),
+                }
+            ).filter(pc.is_valid(nk))
+            g = t.group_by(["nk"]).aggregate([("rev", "sum")])
+            return g.rename_columns(["nk", "rev"])
+
+        nat_rev = orders.map_batches(
+            nat_partial_bcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+    folded = nat_rev.groupby("nk").aggregate(Sum("rev", alias_name="rev"))
+
+    # nation-grain result: attach names + the percent-of-group window
+    # driver-side (<= 25 rows by construction of the schema)
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name",
+                                      "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    r2name = {}
+    for b in region.iter_batches(batch_format="pyarrow"):
+        r2name.update(zip(b.column("r_regionkey").to_pylist(),
+                          b.column("r_name").to_pylist()))
+    nk2 = {}
+    for b in nation.iter_batches(batch_format="pyarrow"):
+        for nk, nn, rk in zip(b.column("n_nationkey").to_pylist(),
+                              b.column("n_name").to_pylist(),
+                              b.column("n_regionkey").to_pylist()):
+            nk2[nk] = (nn, r2name[rk])
+    rows = []
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        for nk, rev in zip(b.column("nk").to_pylist(),
+                           b.column("rev").to_pylist()):
+            nn, rn = nk2[nk]
+            rows.append((rn, nn, int(rev)))
+    region_total: dict[str, int] = {}
+    for rn, _, rev in rows:
+        region_total[rn] = region_total.get(rn, 0) + rev
+    rows.sort()
+    return pa.table(
+        {
+            "r_name": pa.array([r[0] for r in rows]),
+            "n_name": pa.array([r[1] for r in rows]),
+            "revenue_cents": pa.array(
+                [r[2] for r in rows], pa.int64()
+            ),
+            "share_ppm": pa.array(
+                [r[2] * 1_000_000 // region_total[r[0]] for r in rows],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+SQL_NATION_REVENUE_SHARE_IN_REGION = """
+WITH rev AS (
+  SELECT c_nationkey AS nk,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT r_name, n_name,
+       CAST(rev AS BIGINT) AS revenue_cents,
+       CAST(rev * 1000000
+            // sum(rev) OVER (PARTITION BY r_name) AS BIGINT)
+         AS share_ppm
+FROM rev
+JOIN nation ON n_nationkey = nk
+JOIN region ON r_regionkey = n_regionkey
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -7821,6 +8250,10 @@ QUERIES = {
     "bigram_topk": q_bigram_topk,
     "customer_balance_ntiles": q_customer_balance_ntiles,
     "top_decile_revenue_share": q_top_decile_revenue_share,
+    "dup_cluster_size_hist": q_dup_cluster_size_hist,
+    "customer_reorder_gaps": q_customer_reorder_gaps,
+    "dau_wau_stickiness": q_dau_wau_stickiness,
+    "nation_revenue_share_in_region": q_nation_revenue_share_in_region,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -7918,6 +8351,10 @@ ORACLE_SQL = {
     "bigram_topk": SQL_BIGRAM_TOPK,
     "customer_balance_ntiles": SQL_CUSTOMER_BALANCE_NTILES,
     "top_decile_revenue_share": SQL_TOP_DECILE_REVENUE_SHARE,
+    "dup_cluster_size_hist": SQL_DUP_CLUSTER_SIZE_HIST,
+    "customer_reorder_gaps": SQL_CUSTOMER_REORDER_GAPS,
+    "dau_wau_stickiness": SQL_DAU_WAU_STICKINESS,
+    "nation_revenue_share_in_region": SQL_NATION_REVENUE_SHARE_IN_REGION,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,

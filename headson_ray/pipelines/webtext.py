@@ -2509,12 +2509,18 @@ def _tri_bucket_close(g: pa.Table) -> pa.Table:
     return pa.table({"n_triangles": pa.array([tri], pa.int64())})
 
 
-def host_triangles(paths: list[str], n_pages: int) -> pa.Table:
-    """Triangle census of the undirected host link graph: how many
-    host triples all link to each other — the graph-clustering signal
-    (mirror farms, link rings, tightly-knit site networks light up as
-    triangle-dense neighborhoods). One row: (n_hosts, n_edges,
-    n_triangles).
+def _deg_wedge_partial(t: pa.Table) -> pa.Table:
+    """Per-batch fold of the degree table to a single wedge-count
+    partial: sum over nodes of C(deg, 2)."""
+    d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+    w = int((d * (d - 1) // 2).sum())
+    return pa.table({"n_wedges": pa.array([w], pa.int64())})
+
+
+def _triangle_census(paths: list[str], n_pages: int) -> dict[str, int]:
+    """Shared census of the undirected host link graph: node, edge,
+    wedge (open two-paths, C(deg,2) summed over nodes) and triangle
+    counts. host_triangles and host_transitivity both wrap this.
 
     Scale posture: the page-level stream collapses to host-pair grain
     in host_link_graph (one bucket shuffle); undirected dedup, degree
@@ -2535,13 +2541,9 @@ def host_triangles(paths: list[str], n_pages: int) -> pa.Table:
     ).materialize()
     n_edges = edges.count()
     if n_edges == 0:
-        return pa.table(
-            {
-                "n_hosts": pa.array([0], pa.int64()),
-                "n_edges": pa.array([0], pa.int64()),
-                "n_triangles": pa.array([0], pa.int64()),
-            }
-        )
+        return {
+            "n_hosts": 0, "n_edges": 0, "n_wedges": 0, "n_triangles": 0,
+        }
     deg = (
         edges.map_batches(
             _tri_degree_explode, batch_format="pyarrow",
@@ -2552,6 +2554,11 @@ def host_triangles(paths: list[str], n_pages: int) -> pa.Table:
         .materialize()
     )
     n_hosts = deg.count()
+    n_wedges = 0
+    for b in deg.map_batches(
+        _deg_wedge_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        n_wedges += int(pc.sum(b.column("n_wedges")).as_py() or 0)
     deg_a = deg.map_batches(
         lambda t: pa.table(
             {"a": t.column("node"), "deg_a": t.column("deg")}
@@ -2581,11 +2588,51 @@ def host_triangles(paths: list[str], n_pages: int) -> pa.Table:
     tri = 0
     for b in closed.iter_batches(batch_format="pyarrow"):
         tri += int(pc.sum(b.column("n_triangles")).as_py() or 0)
+    return {
+        "n_hosts": int(n_hosts),
+        "n_edges": int(n_edges),
+        "n_wedges": n_wedges,
+        "n_triangles": tri,
+    }
+
+
+def host_triangles(paths: list[str], n_pages: int) -> pa.Table:
+    """Triangle census of the undirected host link graph: how many
+    host triples all link to each other — the graph-clustering signal
+    (mirror farms, link rings, tightly-knit site networks light up as
+    triangle-dense neighborhoods). One row: (n_hosts, n_edges,
+    n_triangles). Scale posture: see _triangle_census."""
+    c = _triangle_census(paths, n_pages)
     return pa.table(
         {
-            "n_hosts": pa.array([int(n_hosts)], pa.int64()),
-            "n_edges": pa.array([int(n_edges)], pa.int64()),
-            "n_triangles": pa.array([tri], pa.int64()),
+            "n_hosts": pa.array([c["n_hosts"]], pa.int64()),
+            "n_edges": pa.array([c["n_edges"]], pa.int64()),
+            "n_triangles": pa.array([c["n_triangles"]], pa.int64()),
+        }
+    )
+
+
+def host_transitivity(paths: list[str], n_pages: int) -> pa.Table:
+    """Global clustering coefficient (transitivity) of the undirected
+    host link graph: 3 x triangles / wedges as an integer-ppm ratio,
+    alongside the raw wedge and triangle counts. THE one-number
+    density-of-closure signal — link farms and mirror rings push it
+    up, a healthy broad crawl stays low.
+
+    Scale posture: shares _triangle_census with host_triangles (all
+    host- or host-pair-grain exchanges; the wedge count folds from the
+    already-materialized degree table as one-scalar partials)."""
+    c = _triangle_census(paths, n_pages)
+    ppm = (
+        3 * c["n_triangles"] * 1_000_000 // c["n_wedges"]
+        if c["n_wedges"] > 0
+        else 0
+    )
+    return pa.table(
+        {
+            "n_wedges": pa.array([c["n_wedges"]], pa.int64()),
+            "n_triangles": pa.array([c["n_triangles"]], pa.int64()),
+            "transitivity_ppm": pa.array([ppm], pa.int64()),
         }
     )
 

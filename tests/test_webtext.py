@@ -1418,3 +1418,47 @@ def test_host_outdegree_hist_matches_brute_force(pages):
     assert dict(zip(got["outdeg"], got["n_hosts"])) == dict(hist)
     assert int(got["n_hosts"].sum()) == len(outdeg)
     assert len(hist) > 1  # non-trivial degree support
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_transitivity_matches_duckdb(pages):
+    from headson_ray.pipelines.webtext import host_transitivity
+
+    cur, _ = pages
+    sql = entry.SQL_HOST_TRANSITIVITY.replace(
+        entry._PAGES_GLOB, _glob(cur)
+    )
+    got = _norm(host_transitivity(cur, ROWS).to_pandas())
+    exp = _norm(duckdb.connect().execute(sql).df())
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_transitivity_consistent_with_triangles(pages):
+    from headson_ray.pipelines.webtext import (
+        host_link_graph,
+        host_transitivity,
+        host_triangles,
+    )
+
+    cur, _ = pages
+    tri = host_triangles(cur, ROWS).to_pandas().iloc[0]
+    got = host_transitivity(cur, ROWS).to_pandas().iloc[0]
+    assert int(got["n_triangles"]) == int(tri["n_triangles"])
+    # wedges from brute-force degrees of the undirected deduped graph
+    g = host_link_graph(cur, ROWS).to_pandas()
+    und = {
+        tuple(sorted((s, d)))
+        for s, d in zip(g["src_host"], g["dst_host"])
+        if s != d
+    }
+    deg: dict[str, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    assert int(got["n_wedges"]) == wedges
+    assert int(got["transitivity_ppm"]) == (
+        3 * int(tri["n_triangles"]) * 1_000_000 // wedges
+    )
