@@ -8174,6 +8174,271 @@ JOIN region ON r_regionkey = n_regionkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Cohort retention matrix over the events stream
+# ---------------------------------------------------------------------------
+
+
+def q_user_retention_cohorts(sf_dir: str):
+    """Classic cohort retention: users grouped by their FIRST active
+    day (the cohort), counted on each later active day as an offset —
+    the (cohort_day, day_offset, n_users) triangle behind every
+    retention curve.
+
+    Scale design: (user, day) pairs dedup inside user-hash buckets
+    (per-batch local dedup partials first), and because every row of a
+    user lands in ONE bucket, the cohort anchor (min day) and the
+    offsets resolve locally in the same fold — no user-grain shuffle
+    ever happens. Buckets emit pre-counted (cohort_day, day_offset)
+    partials; the final exchange is bounded by #days^2/2, not by
+    events or users."""
+    from ..stages.hashing import mix_rounds
+
+    events = _read(sf_dir, "events", ["ts", "user_id"])
+    nb = np.uint64(Q17_NUM_BUCKETS)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b.column("ts"), pa.int64()), DAY_US)
+        t = pa.table({"u": b.column("user_id"), "day": day})
+        g = t.group_by(["u", "day"]).aggregate([])
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "bucket",
+            pa.array(
+                (mix_rounds(u.astype(np.uint64)) % nb).astype(np.int64)
+            ),
+        )
+
+    def cohort_fold(t: pa.Table) -> pa.Table:
+        g = t.select(["u", "day"]).group_by(["u", "day"]).aggregate([])
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        d = g.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], u[1:] != u[:-1]))
+        )
+        # first active day per user, repeated across the user's rows
+        counts = np.diff(np.append(starts, u.size))
+        first = np.repeat(d[starts], counts)
+        off = d - first
+        h = pa.table(
+            {
+                "cohort_day": pa.array(first.astype(np.int64)),
+                "day_offset": pa.array(off.astype(np.int64)),
+                "n_users": pa.array(np.ones(u.size, dtype=np.int64)),
+            }
+        )
+        agg = h.group_by(["cohort_day", "day_offset"]).aggregate(
+            [("n_users", "sum")]
+        )
+        return agg.rename_columns(
+            ["cohort_day", "day_offset", "n_users"]
+        )
+
+    return (
+        events.map_batches(
+            pair_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bucket")
+        .map_groups(cohort_fold, batch_format="pyarrow")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+SQL_USER_RETENTION_COHORTS = """
+WITH du AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+), f AS (
+  SELECT user_id, min(day) AS cohort_day FROM du GROUP BY user_id
+)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST(day - cohort_day AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM du JOIN f ON f.user_id = du.user_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps-law type/token ratio) per document source
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_growth_by_source(sf_dir: str):
+    """Heaps-law corpus profile: per source, total whitespace tokens,
+    distinct tokens, and the type/token ratio in integer ppm — the
+    vocabulary-saturation signal that separates natural text from
+    template spam in a training corpus.
+
+    Scale design: per-batch (source, token) counts collapse first (one
+    row per distinct pair per block), route by TOKEN hash — every
+    occurrence of a token lands in one bucket, so global per-(source,
+    token) distinctness resolves locally — and each bucket emits ONE
+    (source, n_tokens, n_distinct) partial; the final exchange is
+    #buckets x #sources tiny rows. Token STRINGS ride the shuffle only
+    pre-deduped per batch. Same str.split kernel as add_token_stats
+    (bit-compatible with the oracle's string_split_regex)."""
+    from ..stages.hashing import hash_strings
+
+    ds = _read(sf_dir, "documents", ["source", "text"], heavy=True)
+    nb = np.uint64(Q17_NUM_BUCKETS)
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for s, t in zip(
+            b.column("source").to_pylist(), b.column("text").to_pylist()
+        ):
+            for tok in (t or "").split():
+                counts[(s, tok)] = counts.get((s, tok), 0) + 1
+        if not counts:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "tok": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        srcs = [k[0] for k in counts]
+        toks = [k[1] for k in counts]
+        bucket = (hash_strings(toks) % nb).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "tok": pa.array(toks, pa.string()),
+                "cnt": pa.array(list(counts.values()), pa.int64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def bucket_fold(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["source", "tok", "cnt"])
+            .group_by(["source", "tok"])
+            .aggregate([("cnt", "sum")])
+        )
+        h = pa.table(
+            {
+                "source": g.column("source"),
+                "n_tokens": g.column("cnt_sum"),
+                "n_distinct_tokens": pa.array(
+                    np.ones(g.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+        agg = h.group_by(["source"]).aggregate(
+            [("n_tokens", "sum"), ("n_distinct_tokens", "sum")]
+        )
+        return agg.rename_columns(
+            ["source", "n_tokens", "n_distinct_tokens"]
+        )
+
+    folded = (
+        ds.map_batches(
+            tok_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_distinct_tokens", alias_name="n_distinct_tokens"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nt = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        nd = b.column("n_distinct_tokens").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "n_tokens": b.column("n_tokens"),
+                "n_distinct_tokens": b.column("n_distinct_tokens"),
+                "ttr_ppm": pa.array(
+                    (nd * 1_000_000 // nt).astype(np.int64)
+                ),
+            }
+        )
+
+    return folded.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_VOCAB_GROWTH_BY_SOURCE = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+       CAST(count(DISTINCT tok) * 1000000 // count(*) AS BIGINT)
+         AS ttr_ppm
+FROM toks GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonality profile of the events stream
+# ---------------------------------------------------------------------------
+
+
+def q_hourly_seasonality(sf_dir: str):
+    """Diurnal load profile: events per (hour-of-day, event_type) —
+    the seasonality heatmap capacity planning reads first. Pure
+    two-phase count: per-batch partials collapse to <= 24 x #types
+    rows per block before the (tiny, bounded-domain) exchange."""
+    events = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hod = pc.subtract(
+            pc.divide(pc.cast(b.column("ts"), pa.int64()), HOUR_US),
+            pc.multiply(
+                pc.divide(
+                    pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                              HOUR_US),
+                    24,
+                ),
+                24,
+            ),
+        )
+        t = pa.table(
+            {
+                "hour_of_day": hod,
+                "event_type": b.column("event_type"),
+                "n_events": pa.array(
+                    np.ones(b.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+        g = t.group_by(["hour_of_day", "event_type"]).aggregate(
+            [("n_events", "sum")]
+        )
+        return g.rename_columns(["hour_of_day", "event_type", "n_events"])
+
+    return (
+        events.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["hour_of_day", "event_type"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+
+SQL_HOURLY_SEASONALITY = """
+SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour_of_day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -8254,6 +8519,9 @@ QUERIES = {
     "customer_reorder_gaps": q_customer_reorder_gaps,
     "dau_wau_stickiness": q_dau_wau_stickiness,
     "nation_revenue_share_in_region": q_nation_revenue_share_in_region,
+    "user_retention_cohorts": q_user_retention_cohorts,
+    "vocab_growth_by_source": q_vocab_growth_by_source,
+    "hourly_seasonality": q_hourly_seasonality,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -8355,6 +8623,9 @@ ORACLE_SQL = {
     "customer_reorder_gaps": SQL_CUSTOMER_REORDER_GAPS,
     "dau_wau_stickiness": SQL_DAU_WAU_STICKINESS,
     "nation_revenue_share_in_region": SQL_NATION_REVENUE_SHARE_IN_REGION,
+    "user_retention_cohorts": SQL_USER_RETENTION_COHORTS,
+    "vocab_growth_by_source": SQL_VOCAB_GROWTH_BY_SOURCE,
+    "hourly_seasonality": SQL_HOURLY_SEASONALITY,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,
