@@ -8439,6 +8439,190 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: distinct suppliers per part attribute group
+# ---------------------------------------------------------------------------
+
+
+def q_part_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape (via lineitem, sans partsupp which the corpus
+    does not carry): how many DISTINCT suppliers have shipped each
+    (p_brand, p_type, p_size) part class — the supplier-diversity
+    rollup behind sourcing-risk dashboards.
+
+    Scale design: part attributes broadcast once as three
+    dimension-sized probe refs (guardrailed by _broadcast_lookup);
+    lineitem collapses per batch to distinct (brand, type, size,
+    suppkey) quadruples routed by quadruple hash, so global
+    distinctness resolves locally in each bucket and every bucket
+    emits pre-counted (class, supplier_cnt) partials; the final
+    exchange is class-grain (bounded by the attribute domain), never
+    supplier- or lineitem-grain."""
+    import ray as _ray
+
+    from ..stages.hashing import hash_strings, mix_rounds
+
+    brand_ref = _broadcast_lookup(
+        _read(sf_dir, "part", ["p_partkey", "p_brand"]),
+        "p_partkey", "p_brand",
+    )
+    type_ref = _broadcast_lookup(
+        _read(sf_dir, "part", ["p_partkey", "p_type"]),
+        "p_partkey", "p_type",
+    )
+    size_ref = _broadcast_lookup(
+        _read(sf_dir, "part", ["p_partkey", "p_size"]),
+        "p_partkey", "p_size",
+    )
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    nb = np.uint64(Q17_NUM_BUCKETS)
+
+    def quad_partial(b: pa.Table) -> pa.Table:
+        bk, bv = _ray.get(brand_ref)
+        tk, tv = _ray.get(type_ref)
+        sk, sv = _ray.get(size_ref)
+        pkeys = b.column("l_partkey")
+        brand = _probe(pkeys, bk, bv)
+        t = pa.table(
+            {
+                "p_brand": brand,
+                "p_type": _probe(pkeys, tk, tv),
+                "p_size": pc.cast(_probe(pkeys, sk, sv), pa.int64()),
+                "supp": b.column("l_suppkey"),
+            }
+        ).filter(pc.is_valid(brand))  # inner-join semantics
+        g = t.group_by(
+            ["p_brand", "p_type", "p_size", "supp"]
+        ).aggregate([])
+        h = hash_strings(
+            [
+                f"{br}|{ty}|{sz}"
+                for br, ty, sz in zip(
+                    g.column("p_brand").to_pylist(),
+                    g.column("p_type").to_pylist(),
+                    g.column("p_size").to_pylist(),
+                )
+            ]
+        ) ^ mix_rounds(
+            g.column("supp").to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+        )
+        return g.append_column(
+            "bucket", pa.array((h % nb).astype(np.int64))
+        )
+
+    def bucket_fold(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["p_brand", "p_type", "p_size", "supp"])
+            .group_by(["p_brand", "p_type", "p_size", "supp"])
+            .aggregate([])
+        )
+        h = pa.table(
+            {
+                "p_brand": g.column("p_brand"),
+                "p_type": g.column("p_type"),
+                "p_size": g.column("p_size"),
+                "supplier_cnt": pa.array(
+                    np.ones(g.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+        agg = h.group_by(["p_brand", "p_type", "p_size"]).aggregate(
+            [("supplier_cnt", "sum")]
+        )
+        return agg.rename_columns(
+            ["p_brand", "p_type", "p_size", "supplier_cnt"]
+        )
+
+    return (
+        li.map_batches(
+            quad_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+    )
+
+
+SQL_PART_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Order-fulfillment latency histogram (order date -> line-item ship date)
+# ---------------------------------------------------------------------------
+
+
+def q_ship_latency_hist(sf_dir: str):
+    """Fulfillment-latency distribution: whole days between an order's
+    placement and each of its line items' ship dates, rolled up to
+    (latency_days, n_items) — the SLA curve a logistics dashboard
+    draws.
+
+    Scale design: ONE orderkey-hash bucket join (stages/join.py
+    hash_join) whose bucket_post collapses each bucket straight to a
+    pre-counted latency histogram partial, so nothing wider than the
+    bounded latency support ever reaches the final exchange."""
+    from ..stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    li_proj = li.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "ship_us": pc.cast(b.column("l_shipdate"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    ord_proj = orders.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_date_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def bucket_post(joined: pa.Table) -> pa.Table:
+        ship = joined.column("ship_us").to_numpy(zero_copy_only=False)
+        od = joined.column("o_date_us").to_numpy(zero_copy_only=False)
+        lat = (ship - od) // DAY_US
+        vals, cnt = np.unique(lat, return_counts=True)
+        return pa.table(
+            {
+                "latency_days": pa.array(vals.astype(np.int64)),
+                "n_items": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    joined = hash_join(
+        li_proj, ord_proj, key="o_orderkey", how="inner",
+        bucket_post=bucket_post,
+    )
+    return joined.groupby("latency_days").aggregate(
+        Sum("n_items", alias_name="n_items")
+    )
+
+
+SQL_SHIP_LATENCY_HIST = """
+SELECT CAST((epoch_us(l_shipdate) - epoch_us(o_orderdate))
+            // 86400000000 AS BIGINT) AS latency_days,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -8522,6 +8706,8 @@ QUERIES = {
     "user_retention_cohorts": q_user_retention_cohorts,
     "vocab_growth_by_source": q_vocab_growth_by_source,
     "hourly_seasonality": q_hourly_seasonality,
+    "part_supplier_counts": q_part_supplier_counts,
+    "ship_latency_hist": q_ship_latency_hist,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -8626,6 +8812,8 @@ ORACLE_SQL = {
     "user_retention_cohorts": SQL_USER_RETENTION_COHORTS,
     "vocab_growth_by_source": SQL_VOCAB_GROWTH_BY_SOURCE,
     "hourly_seasonality": SQL_HOURLY_SEASONALITY,
+    "part_supplier_counts": SQL_PART_SUPPLIER_COUNTS,
+    "ship_latency_hist": SQL_SHIP_LATENCY_HIST,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,
