@@ -153,7 +153,12 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "returned_customer_revenue", "nation_trade_volume",
         "value_moments_by_type", "repeat_buyer_customers",
         "forecast_revenue_change", "nation_market_share",
-        "term_search_topk",
+        "term_search_topk", "top_decile_revenue_share",
+        "dup_cluster_size_hist", "customer_reorder_gaps",
+        "dau_wau_stickiness", "nation_revenue_share_in_region",
+        "user_retention_cohorts", "vocab_growth_by_source",
+        "hourly_seasonality", "part_supplier_counts",
+        "ship_latency_hist", "doc_len_quantiles_by_lang",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)
@@ -176,6 +181,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
             "host_crawl_delta", "cep_window_coverage", "cep_crawl_delta",
             "window_host_hll", "cep_sessions", "mirror_alias_clusters",
             "host_triangles", "host_components", "host_reciprocity",
+            "host_outdegree_hist", "host_transitivity",
         ]:
             t0 = time.time()
             res = eq[name](SF_DIR)

@@ -8623,6 +8623,50 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Document-length quantiles per language (corpus balance audit)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_len_quantiles_by_lang(sf_dir: str):
+    """Corpus-balance audit: exact p10/p50/p99 document lengths
+    (n_chars) per language — the length-distribution check a training
+    mix is balanced against. Same grouped histogram-refinement
+    rank-select as value_quantiles_by_type (stages/sketch.py): every
+    pass is a shuffle-free map_batches partial count + tiny driver
+    merge, no per-group sort and no one-group-fits-in-memory
+    assumption. Lengths are integers, so the resolved order statistics
+    cast back to int64 losslessly."""
+    from ..stages.sketch import grouped_rank_select
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    t = grouped_rank_select(
+        ds, "lang", "n_chars",
+        [("p10", 0.10), ("p50", 0.50), ("p99", 0.99)],
+    )
+    return pa.table(
+        {
+            "lang": t.column("lang"),
+            "q": t.column("q"),
+            "n_chars": pc.cast(t.column("value"), pa.int64()),
+        }
+    )
+
+
+SQL_DOC_LEN_QUANTILES_BY_LANG = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         count(*)    OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, q, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked
+JOIN (VALUES ('p10', 0.10), ('p50', 0.50), ('p99', 0.99)) AS quants(q, f)
+  ON rn = greatest(CAST(ceil(f * n) AS BIGINT), 1)
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -8708,6 +8752,7 @@ QUERIES = {
     "hourly_seasonality": q_hourly_seasonality,
     "part_supplier_counts": q_part_supplier_counts,
     "ship_latency_hist": q_ship_latency_hist,
+    "doc_len_quantiles_by_lang": q_doc_len_quantiles_by_lang,
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
@@ -8814,6 +8859,7 @@ ORACLE_SQL = {
     "hourly_seasonality": SQL_HOURLY_SEASONALITY,
     "part_supplier_counts": SQL_PART_SUPPLIER_COUNTS,
     "ship_latency_hist": SQL_SHIP_LATENCY_HIST,
+    "doc_len_quantiles_by_lang": SQL_DOC_LEN_QUANTILES_BY_LANG,
     "union_distinct_orderkeys": SQL_UNION_DISTINCT_ORDERKEYS,
     "click_events_filtered": SQL_CLICK_EVENTS_FILTERED,
     "props_extract": SQL_PROPS_EXTRACT,
