@@ -2517,6 +2517,64 @@ def _deg_wedge_partial(t: pa.Table) -> pa.Table:
     return pa.table({"n_wedges": pa.array([w], pa.int64())})
 
 
+SMALL_TRIANGLE_GRAPH_ROWS = 1 << 18
+
+
+def _census_small_fold(*blocks) -> pa.Table:
+    """Whole-census fold for graphs at or under
+    SMALL_TRIANGLE_GRAPH_ROWS unique edges: one worker task computes
+    degrees, (deg, id)-rank orientation, wedges and closure in numpy —
+    the adaptive-parallelism counterpart of components_min_label's
+    union-find fast path, because per-exchange shuffle constants (5
+    all-to-alls), not data, dominate tiny graphs. Bit-identical to the
+    distributed path (tested equal)."""
+    t = pa.concat_tables(blocks)
+    a = t.column("a").to_numpy(zero_copy_only=False)
+    b = t.column("b").to_numpy(zero_copy_only=False)
+    uniq, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ca, cb = codes[: a.size], codes[a.size:]
+    n = int(uniq.size)
+    deg = (
+        np.bincount(ca, minlength=n) + np.bincount(cb, minlength=n)
+    ).astype(np.int64)
+    n_wedges = int((deg * (deg - 1) // 2).sum())
+    # orientation rank = position under (deg, node id) ordering — the
+    # same tie-break as _tri_orient
+    rank = np.lexsort((uniq, deg))
+    pos = np.empty(n, dtype=np.int64)
+    pos[rank] = np.arange(n)
+    low_first = pos[ca] < pos[cb]
+    s = np.where(low_first, ca, cb)
+    d = np.where(low_first, cb, ca)
+    # oriented-edge membership keys (n <= 2^19 on this path, so
+    # s*n + d fits int64 with room)
+    edge_set = np.sort(s.astype(np.int64) * n + d)
+    order = np.lexsort((pos[d], s))
+    ss, dd = s[order], d[order]
+    starts = np.flatnonzero(np.concatenate(([True], ss[1:] != ss[:-1])))
+    ends = np.append(starts[1:], ss.size)
+    tri = 0
+    for st, en in zip(starts, ends):
+        k = en - st
+        if k < 2:
+            continue
+        nbrs = dd[st:en]  # sorted by orientation rank
+        i, j = np.triu_indices(k, k=1)
+        keys = nbrs[i].astype(np.int64) * n + nbrs[j]
+        idx = np.minimum(
+            np.searchsorted(edge_set, keys), edge_set.size - 1
+        )
+        tri += int((edge_set[idx] == keys).sum())
+    return pa.table(
+        {
+            "n_hosts": pa.array([n], pa.int64()),
+            "n_edges": pa.array([a.size], pa.int64()),
+            "n_wedges": pa.array([n_wedges], pa.int64()),
+            "n_triangles": pa.array([tri], pa.int64()),
+        }
+    )
+
+
 def _triangle_census(paths: list[str], n_pages: int) -> dict[str, int]:
     """Shared census of the undirected host link graph: node, edge,
     wedge (open two-paths, C(deg,2) summed over nodes) and triangle
@@ -2530,7 +2588,10 @@ def _triangle_census(paths: list[str], n_pages: int) -> dict[str, int]:
     the wedge stream — the only super-linear term — is O(m^1.5) worst
     case with tiny constants on power-law crawl graphs. The driver
     folds NUM_TRI_BUCKETS scalar partials plus two dataset counts;
-    no edge, wedge or degree table ever materializes on it."""
+    no edge, wedge or degree table ever materializes on it. Graphs at
+    or under SMALL_TRIANGLE_GRAPH_ROWS unique edges skip the five
+    remaining exchanges: one worker task closes them in numpy
+    (_census_small_fold, tested equal to the distributed path)."""
     from ..stages.join import hash_join
 
     raw = host_link_graph(paths, n_pages).map_batches(
@@ -2544,6 +2605,12 @@ def _triangle_census(paths: list[str], n_pages: int) -> dict[str, int]:
         return {
             "n_hosts": 0, "n_edges": 0, "n_wedges": 0, "n_triangles": 0,
         }
+    if n_edges <= SMALL_TRIANGLE_GRAPH_ROWS:
+        import ray as _ray
+
+        fold = _ray.remote(_census_small_fold)
+        out = _ray.get(fold.remote(*edges.to_arrow_refs()))
+        return {c: int(out.column(c)[0].as_py()) for c in out.column_names}
     deg = (
         edges.map_batches(
             _tri_degree_explode, batch_format="pyarrow",

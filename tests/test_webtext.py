@@ -1462,3 +1462,19 @@ def test_host_transitivity_consistent_with_triangles(pages):
     assert int(got["transitivity_ppm"]) == (
         3 * int(tri["n_triangles"]) * 1_000_000 // wedges
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_census_fast_path_equals_distributed(pages, monkeypatch):
+    """The small-graph single-task census fold must be bit-identical to
+    the five-exchange distributed path on the same input."""
+    import headson_ray.pipelines.webtext as wt
+
+    cur, _ = pages
+    fast = wt.host_transitivity(cur, ROWS).to_pandas()
+    tri_fast = wt.host_triangles(cur, ROWS).to_pandas()
+    monkeypatch.setattr(wt, "SMALL_TRIANGLE_GRAPH_ROWS", 0)
+    dist = wt.host_transitivity(cur, ROWS).to_pandas()
+    tri_dist = wt.host_triangles(cur, ROWS).to_pandas()
+    pd.testing.assert_frame_equal(fast, dist)
+    pd.testing.assert_frame_equal(tri_fast, tri_dist)
