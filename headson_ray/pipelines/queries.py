@@ -8667,6 +8667,474 @@ JOIN (VALUES ('p10', 0.10), ('p50', 0.50), ('p99', 0.99)) AS quants(q, f)
 """
 
 
+MOVING_WINDOW_ROWS = 3
+
+
+def q_user_value_moving_sum(sf_dir: str):
+    """Per-user trailing moving sum of value in cents over the last
+    MOVING_WINDOW_ROWS events ordered by (ts, event_id) — SUM() OVER
+    (ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW), the bounded-frame
+    window that user_running_value's unbounded frame doesn't cover.
+
+    Scale design: one groupby(user) shuffle for sequence locality (the
+    standard per-key CEP partitioning), then the whole frame resolves
+    as TWO vectorized ops per group — a cumsum and a shifted
+    subtraction — no per-row loop, no second pass."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def moving(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+        )
+        t = group.take(idx)
+        cents = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        cum = np.cumsum(cents)
+        mov = cum.copy()
+        w = MOVING_WINDOW_ROWS
+        mov[w:] = cum[w:] - cum[:-w]
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "mov_cents": pa.array(mov, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(moving, batch_format="pyarrow")
+
+
+SQL_USER_VALUE_MOVING_SUM = f"""
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {MOVING_WINDOW_ROWS - 1} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS mov_cents
+FROM events
+"""
+
+
+def q_user_first_last_value(sf_dir: str):
+    """FIRST_VALUE/LAST_VALUE per partition: each user's earliest and
+    latest event value (cents) by (ts, event_id), plus their event
+    count — the boundary-row window shape.
+
+    Scale design: NO row-grain shuffle. Each batch collapses to one
+    (user, first, last, n) partial via a single batch-local sort and
+    run-boundary gather, so the exchange moves at most one row per
+    (user, block); the user-hash bucket fold finishes first/last with
+    two lexsorts. The event stream itself never crosses the wire."""
+    from ..stages.hashing import mix_rounds
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "f_ts": pa.array([], pa.int64()),
+                    "f_eid": pa.array([], pa.int64()),
+                    "first_cents": pa.array([], pa.int64()),
+                    "l_ts": pa.array([], pa.int64()),
+                    "l_eid": pa.array([], pa.int64()),
+                    "last_cents": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            b,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = b.take(idx)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        cents = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        new = np.empty(uid.size, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], uid.size) - 1
+        u = uid[starts]
+        bucket = (
+            mix_rounds(u.astype(np.uint64)) % np.uint64(Q17_NUM_BUCKETS)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "user_id": pa.array(u),
+                "f_ts": pa.array(ts[starts]),
+                "f_eid": pa.array(eid[starts]),
+                "first_cents": pa.array(cents[starts]),
+                "l_ts": pa.array(ts[ends]),
+                "l_eid": pa.array(eid[ends]),
+                "last_cents": pa.array(cents[ends]),
+                "n_events": pa.array(ends - starts + 1),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        f_ts = g.column("f_ts").to_numpy(zero_copy_only=False)
+        f_eid = g.column("f_eid").to_numpy(zero_copy_only=False)
+        fc = g.column("first_cents").to_numpy(zero_copy_only=False)
+        l_ts = g.column("l_ts").to_numpy(zero_copy_only=False)
+        l_eid = g.column("l_eid").to_numpy(zero_copy_only=False)
+        lc = g.column("last_cents").to_numpy(zero_copy_only=False)
+        n = g.column("n_events").to_numpy(zero_copy_only=False)
+        fo = np.lexsort((f_eid, f_ts, uid))
+        new = np.empty(fo.size, dtype=bool)
+        new[0] = True
+        new[1:] = uid[fo][1:] != uid[fo][:-1]
+        fsel = fo[np.flatnonzero(new)]
+        lo = np.lexsort((-l_eid, -l_ts, uid))
+        new[1:] = uid[lo][1:] != uid[lo][:-1]
+        lsel = lo[np.flatnonzero(new)]
+        order = np.argsort(uid[fsel])
+        fsel, lsel = fsel[order], lsel[np.argsort(uid[lsel])]
+        u_out, inv = np.unique(uid, return_inverse=True)
+        n_out = np.bincount(inv, weights=n, minlength=u_out.size)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[fsel]),
+                "first_cents": pa.array(fc[fsel]),
+                "last_cents": pa.array(lc[lsel]),
+                "n_events": pa.array(n_out.astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("bucket").map_groups(
+        fold, batch_format="pyarrow"
+    )
+
+
+SQL_USER_FIRST_LAST_VALUE = """
+WITH o AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS rn_a,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn_d
+  FROM events
+)
+SELECT user_id,
+       max(CASE WHEN rn_a = 1 THEN c END) AS first_cents,
+       max(CASE WHEN rn_d = 1 THEN c END) AS last_cents,
+       count(*) AS n_events
+FROM o GROUP BY user_id
+"""
+
+
+def q_part_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20 shape: suppliers who shipped MORE THAN A TENTH of a
+    part's all-time quantity during 1997 alone — the nested
+    (per-part-threshold from an inner aggregate) semi-join cascade,
+    re-expressed without the partsupp table (the synthetic schema has
+    none): availqty becomes the part's total shipped quantity, and the
+    half-of-one-year threshold scales to the schema's ~7-year span.
+    Output: (s_suppkey, n_parts) — how many parts each such supplier
+    dominated.
+
+    Scale composition: quantities collapse to (partkey, suppkey)
+    grain with (qty_all, qty_1997) sums INSIDE each batch, so the one
+    partkey-hash bucket shuffle moves at most one row per (part,
+    supplier, block). Each bucket owns every grain of its parts: the
+    per-part total, the 2*q97 > total dominance predicate, AND a
+    per-supplier count partial all finish locally — the final
+    exchange is supplier-grain tiny rows."""
+    from ..stages.hashing import mix_rounds
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+
+    def grain_partial(b: pa.Table) -> pa.Table:
+        qty = _cents(b.column("l_quantity"), 1.0)
+        ship = pc.cast(b.column("l_shipdate"), pa.int64())
+        in97 = pc.and_(
+            pc.greater_equal(ship, pa.scalar(Q5_LO_US, pa.int64())),
+            pc.less(ship, pa.scalar(Q5_HI_US, pa.int64())),
+        )
+        q97 = pc.if_else(in97, qty, pa.scalar(0, pa.int64()))
+        t = pa.table(
+            {
+                "pk": b.column("l_partkey"),
+                "sk": b.column("l_suppkey"),
+                "qall": qty,
+                "q97": q97,
+            }
+        )
+        g = t.group_by(["pk", "sk"]).aggregate(
+            [("qall", "sum"), ("q97", "sum")]
+        ).rename_columns(["pk", "sk", "qall", "q97"])
+        pkv = g.column("pk").to_numpy(zero_copy_only=False)
+        bucket = (
+            mix_rounds(pkv.astype(np.uint64))
+            % np.uint64(Q17_NUM_BUCKETS)
+        ).astype(np.int64)
+        return g.append_column("bucket", pa.array(bucket))
+
+    def bucket_fold(t: pa.Table) -> pa.Table:
+        g = t.group_by(["pk", "sk"]).aggregate(
+            [("qall", "sum"), ("q97", "sum")]
+        ).rename_columns(["pk", "sk", "qall", "q97"])
+        per_part = g.group_by(["pk"]).aggregate(
+            [("qall", "sum")]
+        ).rename_columns(["pk", "total"])
+        idx = pc.index_in(
+            g.column("pk"), value_set=per_part.column("pk").combine_chunks()
+        )
+        total = pc.take(per_part.column("total").combine_chunks(), idx)
+        keep = pc.and_(
+            pc.greater(
+                pc.multiply(
+                    g.column("q97"), pa.scalar(Q20_DOM_FACTOR, pa.int64())
+                ),
+                total,
+            ),
+            pc.greater(g.column("q97"), pa.scalar(0, pa.int64())),
+        )
+        m = g.filter(keep)
+        out = (
+            pa.table(
+                {
+                    "s_suppkey": m.column("sk"),
+                    "n_parts": pa.array(np.ones(m.num_rows, np.int64)),
+                }
+            )
+            .group_by(["s_suppkey"])
+            .aggregate([("n_parts", "sum")])
+        )
+        return out.rename_columns(["s_suppkey", "n_parts"])
+
+    per_bucket = (
+        li.map_batches(
+            grain_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+    )
+    return per_bucket.groupby("s_suppkey").aggregate(
+        Sum("n_parts", alias_name="n_parts")
+    )
+
+
+Q20_DOM_FACTOR = 10
+
+SQL_PART_DOMINANT_SUPPLIERS = f"""
+WITH pq AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         SUM(CAST(round(l_quantity) AS BIGINT)) AS qall,
+         SUM(CASE WHEN epoch_us(l_shipdate) >= {Q5_LO_US}
+                   AND epoch_us(l_shipdate) < {Q5_HI_US}
+                  THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END
+         ) AS q97
+  FROM lineitem GROUP BY 1, 2
+), pt AS (
+  SELECT pk, SUM(qall) AS total FROM pq GROUP BY 1
+)
+SELECT pq.sk AS s_suppkey, count(*) AS n_parts
+FROM pq JOIN pt USING (pk)
+WHERE {Q20_DOM_FACTOR} * pq.q97 > pt.total AND pq.q97 > 0
+GROUP BY 1
+"""
+
+
+Q2_SIZE_MIN = 40
+Q2_REGION = "EUROPE"
+
+
+def q_min_cost_part_supplier(sf_dir: str):
+    """TPC-H Q2 shape: for every large part (p_size >=
+    {Q2_SIZE_MIN}), the in-region supplier(s) offering the minimum
+    unit cost — the correlated MIN subquery joined back to its fact,
+    with ties preserved. Unit cost is integer-exact micro-cents:
+    floor(price_cents * 1e6 / qty), bit-reproducible in BIGINT SQL.
+
+    Scale composition: supplier->nationkey broadcasts once under
+    _broadcast_lookup's guardrail (dimension-sized) and nation/region
+    resolve driver-side (fixed ~30 rows at every sf); lineitem then
+    pre-filters to in-region suppliers and collapses to (part,
+    supplier, min-cost) grain per batch. The part-size semi-join needs
+    NO broadcast of the part table: filtered part rows ride the SAME
+    partkey-hash bucket shuffle as marker rows (kind=0), so each
+    bucket filters, finishes the per-part min, and re-joins the ties
+    locally."""
+    import ray as _ray
+
+    from ..stages.hashing import mix_rounds
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    region_keys = set()
+    for b in region.iter_batches(batch_format="pyarrow"):
+        for rk, rn in zip(b.column("r_regionkey").to_pylist(),
+                          b.column("r_name").to_pylist()):
+            if rn == Q2_REGION:
+                region_keys.add(rk)
+    nat_keys = []
+    for b in nation.iter_batches(batch_format="pyarrow"):
+        for nk, rk in zip(b.column("n_nationkey").to_pylist(),
+                          b.column("n_regionkey").to_pylist()):
+            if rk in region_keys:
+                nat_keys.append(nk)
+    in_region = pa.array(sorted(nat_keys), pa.int64())
+
+    supp_ref = _broadcast_lookup(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey", "s_nationkey",
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        keys_arr, vals_arr = _ray.get(supp_ref)
+        sn = pc.cast(
+            _probe(b.column("l_suppkey"), keys_arr, vals_arr), pa.int64()
+        )
+        m = b.filter(pc.is_in(sn, value_set=in_region))
+        price = _cents(m.column("l_extendedprice")).to_numpy(
+            zero_copy_only=False
+        )
+        qty = _cents(m.column("l_quantity"), 1.0).to_numpy(
+            zero_copy_only=False
+        )
+        cost = price * 1_000_000 // qty
+        t = pa.table(
+            {
+                "pk": m.column("l_partkey"),
+                "sk": m.column("l_suppkey"),
+                "cost": pa.array(cost, pa.int64()),
+            }
+        )
+        g = t.group_by(["pk", "sk"]).aggregate(
+            [("cost", "min")]
+        ).rename_columns(["pk", "sk", "cost"])
+        pkv = g.column("pk").to_numpy(zero_copy_only=False)
+        bucket = (
+            mix_rounds(pkv.astype(np.uint64))
+            % np.uint64(Q17_NUM_BUCKETS)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "kind": pa.array(np.ones(g.num_rows, np.int64)),
+                "pk": g.column("pk"),
+                "sk": g.column("sk"),
+                "cost": g.column("cost"),
+            }
+        )
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_size"])
+
+    def part_markers(b: pa.Table) -> pa.Table:
+        m = b.filter(
+            pc.greater_equal(
+                pc.cast(b.column("p_size"), pa.int64()),
+                pa.scalar(Q2_SIZE_MIN, pa.int64()),
+            )
+        )
+        pkv = m.column("p_partkey").to_numpy(zero_copy_only=False)
+        bucket = (
+            mix_rounds(pkv.astype(np.uint64))
+            % np.uint64(Q17_NUM_BUCKETS)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "kind": pa.array(np.zeros(m.num_rows, np.int64)),
+                "pk": m.column("p_partkey"),
+                "sk": pa.array(np.zeros(m.num_rows, np.int64)),
+                "cost": pa.array(np.zeros(m.num_rows, np.int64)),
+            }
+        )
+
+    def bucket_fold(t: pa.Table) -> pa.Table:
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        marker_pks = np.unique(pk[kind == 0])
+        rows = t.filter(pa.array(kind == 1))
+        g = rows.group_by(["pk", "sk"]).aggregate(
+            [("cost", "min")]
+        ).rename_columns(["pk", "sk", "cost"])
+        gpk = g.column("pk").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(marker_pks, gpk)
+        pos[pos >= marker_pks.size] = 0
+        inset = (
+            (marker_pks[pos] == gpk)
+            if marker_pks.size
+            else np.zeros(gpk.size, dtype=bool)
+        )
+        g = g.filter(pa.array(inset))
+        per_part = g.group_by(["pk"]).aggregate(
+            [("cost", "min")]
+        ).rename_columns(["pk", "mc"])
+        idx = pc.index_in(
+            g.column("pk"), value_set=per_part.column("pk").combine_chunks()
+        )
+        mc = pc.take(per_part.column("mc").combine_chunks(), idx)
+        m = g.filter(pc.equal(g.column("cost"), mc))
+        return pa.table(
+            {
+                "p_partkey": m.column("pk"),
+                "s_suppkey": m.column("sk"),
+                "cost_micro": m.column("cost"),
+            }
+        )
+
+    partials = li.map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    markers = part.map_batches(
+        part_markers, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.union(markers).groupby("bucket").map_groups(
+        bucket_fold, batch_format="pyarrow"
+    )
+
+
+SQL_MIN_COST_PART_SUPPLIER = f"""
+WITH eu AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'
+), pp AS (
+  SELECT p_partkey FROM part WHERE p_size >= {Q2_SIZE_MIN}
+), lc AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         MIN(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000000
+             // CAST(round(l_quantity) AS BIGINT)) AS cost
+  FROM lineitem
+  JOIN eu ON l_suppkey = eu.s_suppkey
+  JOIN pp ON l_partkey = pp.p_partkey
+  GROUP BY 1, 2
+), pm AS (
+  SELECT pk, MIN(cost) AS mc FROM lc GROUP BY 1
+)
+SELECT lc.pk AS p_partkey, lc.sk AS s_suppkey,
+       CAST(lc.cost AS BIGINT) AS cost_micro
+FROM lc JOIN pm ON lc.pk = pm.pk AND lc.cost = pm.mc
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -8776,6 +9244,10 @@ QUERIES = {
     "text_scrub": q_text_scrub,
     "decontam_flags": q_decontam_flags,
     "curation_pipeline": q_curation_pipeline,
+    "user_value_moving_sum": q_user_value_moving_sum,
+    "user_first_last_value": q_user_first_last_value,
+    "part_dominant_suppliers": q_part_dominant_suppliers,
+    "min_cost_part_supplier": q_min_cost_part_supplier,
 }
 
 # Preview parity as a hashable oracle (round-4 verdict task 8): previews
@@ -8899,4 +9371,8 @@ ORACLE_SQL = {
     "decontam_flags": SQL_DECONTAM_FLAGS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "summarize_documents": SQL_SUMMARIZE_DOCUMENTS,
+    "user_value_moving_sum": SQL_USER_VALUE_MOVING_SUM,
+    "user_first_last_value": SQL_USER_FIRST_LAST_VALUE,
+    "part_dominant_suppliers": SQL_PART_DOMINANT_SUPPLIERS,
+    "min_cost_part_supplier": SQL_MIN_COST_PART_SUPPLIER,
 }
