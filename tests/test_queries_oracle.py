@@ -1320,3 +1320,83 @@ def test_hll_registers_estimate_close_to_exact_distinct(con):
         "SELECT count(DISTINCT user_id) FROM events"
     ).fetchone()[0]
     assert abs(est - exact) / exact < 0.2, (est, exact)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_user_first_last_fold_merges_cross_block_partials(tmp_path):
+    """Every user's events span many parquet row groups (hence many Ray
+    blocks), so each user produces MULTIPLE (first,last,n) partials and
+    the bucket fold must pick the true global boundary rows — including
+    a same-timestamp tie broken by event_id across blocks."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from headson_ray.pipelines.queries import (
+        SQL_USER_FIRST_LAST_VALUE,
+        q_user_first_last_value,
+    )
+
+    n = 4000
+    rng = np.random.RandomState(11)
+    t0 = 1_700_000_000_000_000
+    users = rng.randint(0, 8, size=n)
+    ts = t0 + rng.randint(0, 1_000_000, size=n)
+    # same-ts tie for user 3: ids 0 and n-1 sit in the first and last
+    # row group; the smaller event_id must win FIRST_VALUE
+    users[0] = users[n - 1] = 3
+    ts[0] = ts[n - 1] = t0 - 5
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array(rng.uniform(0, 300, size=n), pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet", row_group_size=100)
+    got = _norm(_to_frame(q_user_first_last_value(str(tmp_path))))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}')"
+    )
+    exp = _norm(c.execute(SQL_USER_FIRST_LAST_VALUE).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_moving_sum_short_users_and_exact_frame(tmp_path):
+    """Users with fewer rows than the frame get the plain running sum;
+    at exactly the frame width the oldest row falls out of the sum."""
+    import pyarrow.parquet as pq
+
+    from headson_ray.pipelines.queries import q_user_value_moving_sum
+
+    t0 = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "ts": pa.array(
+                [t0, t0 + 1, t0 + 2, t0 + 3, t0, t0 + 1],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["click"] * 6),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0, 0.5, 0.25]),
+            "props": pa.array(["{}"] * 6),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = _to_frame(q_user_value_moving_sum(str(tmp_path)))
+    by_id = dict(zip(got["event_id"], got["mov_cents"]))
+    assert by_id == {
+        1: 100,        # 1.00
+        2: 300,        # 1.00 + 2.00
+        3: 700,        # 1.00 + 2.00 + 4.00
+        4: 1400,       # 2.00 + 4.00 + 8.00 (1.00 fell out)
+        5: 50,
+        6: 75,
+    }
