@@ -159,6 +159,8 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "user_retention_cohorts", "vocab_growth_by_source",
         "hourly_seasonality", "part_supplier_counts",
         "ship_latency_hist", "doc_len_quantiles_by_lang",
+        "user_value_moving_sum", "user_first_last_value",
+        "part_dominant_suppliers", "min_cost_part_supplier",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)
