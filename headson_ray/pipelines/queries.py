@@ -8954,6 +8954,52 @@ GROUP BY 1
 """
 
 
+def q_user_event_path(sf_dir: str):
+    """Ordered string aggregation: each user's full event-type path
+    ('view>click>purchase>...') by (ts, event_id), plus its length —
+    string_agg(... ORDER BY ...) as a Ray pipeline, the order-sensitive
+    aggregate the other grouped queries don't exercise.
+
+    Scale design: paths need full sequence locality, so this is the
+    standard ONE groupby(user) shuffle; inside each group a single
+    arrow sort + one join builds the path (no per-row python in the
+    sort or gather; the join itself is O(len) per user, the output
+    grain). Paths grow with a user's event count by nature — the same
+    bound the SQL aggregate has."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def path(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+        )
+        et = group.column("event_type").take(idx).combine_chunks()
+        lst = pa.ListArray.from_arrays(
+            pa.array([0, len(et)], pa.int32()), et
+        )
+        joined = pc.binary_join(lst, pa.scalar(">"))
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [group.column("user_id")[0].as_py()], pa.int64()
+                ),
+                "path": joined,
+                "n_events": pa.array([len(et)], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(path, batch_format="pyarrow")
+
+
+SQL_USER_EVENT_PATH = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 Q2_SIZE_MIN = 40
 Q2_REGION = "EUROPE"
 
@@ -9248,6 +9294,7 @@ QUERIES = {
     "user_first_last_value": q_user_first_last_value,
     "part_dominant_suppliers": q_part_dominant_suppliers,
     "min_cost_part_supplier": q_min_cost_part_supplier,
+    "user_event_path": q_user_event_path,
 }
 
 # Preview parity as a hashable oracle (round-4 verdict task 8): previews
@@ -9375,4 +9422,5 @@ ORACLE_SQL = {
     "user_first_last_value": SQL_USER_FIRST_LAST_VALUE,
     "part_dominant_suppliers": SQL_PART_DOMINANT_SUPPLIERS,
     "min_cost_part_supplier": SQL_MIN_COST_PART_SUPPLIER,
+    "user_event_path": SQL_USER_EVENT_PATH,
 }
