@@ -281,14 +281,18 @@ def _emit(payload: dict) -> None:
 
     Headline-only legs are --scaling subprocesses; they must not
     clobber BENCH_LOCAL.json (the parent --scaling emit, or a full
-    catalog run, owns that record)."""
+    catalog run, owns that record). The parent --scaling record goes
+    to BENCH_SCALING.json so the catalog-timings record and the
+    scaling record never overwrite each other."""
     if "--headline-only" in sys.argv:
         print(json.dumps(_round_floats(payload, 2),
                          separators=(",", ":")), flush=True)
         return
+    fname = ("BENCH_SCALING.json" if "--scaling" in sys.argv
+             else "BENCH_LOCAL.json")
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_LOCAL.json")
+                            fname)
         with open(path, "w") as fh:
             json.dump(payload, fh, indent=1)
     except OSError:
