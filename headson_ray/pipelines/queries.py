@@ -8494,17 +8494,25 @@ def q_part_supplier_counts(sf_dir: str):
         g = t.group_by(
             ["p_brand", "p_type", "p_size", "supp"]
         ).aggregate([])
-        h = hash_strings(
-            [
-                f"{br}|{ty}|{sz}"
-                for br, ty, sz in zip(
-                    g.column("p_brand").to_pylist(),
-                    g.column("p_type").to_pylist(),
-                    g.column("p_size").to_pylist(),
-                )
-            ]
-        ) ^ mix_rounds(
-            g.column("supp").to_numpy(zero_copy_only=False).astype(
+
+        # routing hash only (the fold re-groups on actual values):
+        # hash each string column's DICTIONARY (tens of values) and
+        # gather per row — no per-row python, no row-count to_pylist
+        def dict_hash(col) -> np.ndarray:
+            enc = pc.dictionary_encode(col).combine_chunks()
+            dh = hash_strings(enc.dictionary.to_pylist())
+            return dh[enc.indices.to_numpy(zero_copy_only=False)]
+
+        h = mix_rounds(
+            dict_hash(g.column("p_brand"))
+            * np.uint64(0x9E3779B97F4A7C15)
+            + dict_hash(g.column("p_type"))
+            * np.uint64(0xC2B2AE3D27D4EB4F)
+            + g.column("p_size").to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+            * np.uint64(0x165667B19E3779F9)
+            + g.column("supp").to_numpy(zero_copy_only=False).astype(
                 np.uint64
             )
         )
