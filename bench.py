@@ -161,7 +161,8 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "ship_latency_hist", "doc_len_quantiles_by_lang",
         "user_value_moving_sum", "user_first_last_value",
         "part_dominant_suppliers", "min_cost_part_supplier",
-        "user_event_path",
+        "user_event_path", "part_value_threshold",
+        "returnflag_priority_counts",
     ]:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)

@@ -9189,6 +9189,277 @@ FROM lc JOIN pm ON lc.pk = pm.pk AND lc.cost = pm.mc
 """
 
 
+Q11_NATION = "NATION_8"
+Q11_THRESHOLD_PCT_OF_MEAN = 150
+
+
+def q_part_value_threshold(sf_dir: str):
+    """TPC-H Q11 shape (sans partsupp, which the test corpus does not
+    carry): value of each part supplied by one nation's suppliers, kept
+    only when it exceeds a GLOBAL-AGGREGATE-derived threshold (150% of
+    the mean per-part value) — the global-scalar-subquery HAVING, the
+    one TPC-H idiom the catalog did not yet exercise. Mean-relative
+    rather than total-relative so the predicate keeps the same
+    selectivity at every scale factor (Q11's 0.0001/SF adjustment,
+    folded into the threshold's own definition).
+
+    Scale composition: supplier broadcasts suppkey -> nationkey once
+    (_broadcast_lookup; dimension-sized by nature); lineitem filters to
+    the nation's suppliers and pre-aggregates value per partkey INSIDE
+    each batch, so the single part-grain exchange moves one row per
+    (part, block). The grand total and part count fold off the SAME
+    materialized part-grain aggregate (no second corpus pass) as TWO
+    driver scalars — bounded by construction — and the threshold filter
+    is a vectorized integer compare against the exact integer cutoff
+    (v > 150t/(100n) <=> v >= 150t//(100n) + 1; the division happens
+    once on the driver in arbitrary-precision Python ints, so the
+    worker-side compare never overflows)."""
+    import ray as _ray
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nk = None
+    for b in nation.iter_batches(batch_format="pyarrow"):
+        names = b.column("n_name").to_pylist()
+        if Q11_NATION in names:
+            nk = b.column("n_nationkey").to_pylist()[
+                names.index(Q11_NATION)
+            ]
+    if nk is None:
+        return pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "value_cents": pa.array([], pa.int64()),
+            }
+        )
+    supp_ref = _broadcast_lookup(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey", "s_nationkey",
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    nk_scalar = int(nk)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        keys_arr, vals_arr = _ray.get(supp_ref)
+        sn = pc.cast(
+            _probe(b.column("l_suppkey"), keys_arr, vals_arr), pa.int64()
+        )
+        b = b.filter(pc.equal(sn, pa.scalar(nk_scalar, pa.int64())))
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        t = pa.table(
+            {"p_partkey": b.column("l_partkey"), "value_cents": _cents(rev)}
+        )
+        g = t.group_by(["p_partkey"]).aggregate([("value_cents", "sum")])
+        return g.rename_columns(["p_partkey", "value_cents"])
+
+    partials = li.map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_part = partials.groupby("p_partkey").aggregate(
+        Sum("value_cents", alias_name="value_cents")
+    ).materialize()
+    n_parts = per_part.count()
+    if n_parts == 0:
+        return pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "value_cents": pa.array([], pa.int64()),
+            }
+        )
+    tot = int(per_part.aggregate(Sum("value_cents", alias_name="t"))["t"])
+    cut = (Q11_THRESHOLD_PCT_OF_MEAN * tot) // (100 * n_parts)
+
+    def keep(b: pa.Table) -> pa.Table:
+        v = b.column("value_cents").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_partkey": pc.cast(b.column("p_partkey"), pa.int64()),
+                "value_cents": pc.cast(b.column("value_cents"), pa.int64()),
+            }
+        ).filter(pa.array(v.astype(np.int64) > cut))
+
+    parts = list(
+        per_part.map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    )
+    if not parts:
+        return pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "value_cents": pa.array([], pa.int64()),
+            }
+        )
+    out = pa.concat_tables(parts)
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("value_cents", "descending"),
+                       ("p_partkey", "ascending")],
+        )
+    )
+
+
+SQL_PART_VALUE_THRESHOLD = f"""
+WITH sn AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{Q11_NATION}'
+), pv AS (
+  SELECT l_partkey AS p_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) AS value_cents
+  FROM lineitem JOIN sn ON l_suppkey = sn.s_suppkey
+  GROUP BY 1
+), tot AS (SELECT sum(value_cents) AS t, count(*) AS n FROM pv)
+SELECT p_partkey, CAST(value_cents AS BIGINT) AS value_cents
+FROM pv, tot
+WHERE CAST(value_cents AS HUGEINT) * n * 100
+      > CAST(t AS HUGEINT) * {Q11_THRESHOLD_PCT_OF_MEAN}
+ORDER BY value_cents DESC, p_partkey
+"""
+
+
+Q12_LATE_US = 60 * DAY_US
+Q12_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q_returnflag_priority_counts(sf_dir: str):
+    """TPC-H Q12 shape (shipmode column absent, l_returnflag stands in
+    as the line-grain group): per return flag, how many 1997-order line
+    items shipped more than 60 days after their order date, split into
+    high-priority (URGENT/HIGH) vs low-priority order counts — the
+    two-branch CASE aggregation over a line-grain fact-fact join.
+
+    Scale composition: both sides project narrow BEFORE the single
+    orderkey bucket exchange (orders additionally window-filtered and
+    its priority pre-collapsed to one int64 flag); bucket_post applies
+    the lateness predicate and collapses each bucket to <= #flags rows,
+    so the final exchange is #buckets x #flags tiny rows."""
+    from ..stages.join import hash_join
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def orders_proj(b: pa.Table) -> pa.Table:
+        t_us = pc.cast(b.column("o_orderdate"), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(t_us, pa.scalar(Q5_LO_US, pa.int64())),
+            pc.less(t_us, pa.scalar(Q5_HI_US, pa.int64())),
+        )
+        hi = pc.cast(
+            pc.is_in(
+                b.column("o_orderpriority"),
+                value_set=pa.array(list(Q12_HIGH_PRIORITIES)),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_date_us": t_us,
+                "prio_high": hi,
+            }
+        ).filter(keep)
+
+    orders_w = orders.map_batches(
+        orders_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag",
+                                    "l_shipdate"])
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "l_returnflag": b.column("l_returnflag"),
+                "ship_us": pc.cast(b.column("l_shipdate"), pa.int64()),
+            }
+        )
+
+    li_keyed = li.map_batches(
+        li_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_post(joined: pa.Table) -> pa.Table:
+        late = joined.filter(
+            pc.greater(
+                joined.column("ship_us"),
+                pc.add(joined.column("o_date_us"),
+                       pa.scalar(Q12_LATE_US, pa.int64())),
+            )
+        )
+        g = late.group_by(["l_returnflag"]).aggregate(
+            [("prio_high", "sum"), ([], "count_all")]
+        ).rename_columns(["l_returnflag", "high", "n"])
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "high_line_count": pc.cast(g.column("high"), pa.int64()),
+                "low_line_count": pc.cast(
+                    pc.subtract(g.column("n"), g.column("high")), pa.int64()
+                ),
+            }
+        )
+
+    per_bucket = hash_join(
+        li_keyed, orders_w, key="o_orderkey", how="inner",
+        bucket_post=bucket_post,
+    )
+    totals = per_bucket.groupby("l_returnflag").aggregate(
+        Sum("high_line_count", alias_name="high_line_count"),
+        Sum("low_line_count", alias_name="low_line_count"),
+    )
+    parts = list(totals.iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return pa.table(
+            {
+                "l_returnflag": pa.array([], pa.string()),
+                "high_line_count": pa.array([], pa.int64()),
+                "low_line_count": pa.array([], pa.int64()),
+            }
+        )
+    merged = pa.concat_tables(parts)
+    out = pa.table(
+        {
+            "l_returnflag": merged.column("l_returnflag"),
+            "high_line_count": pc.cast(
+                merged.column("high_line_count"), pa.int64()
+            ),
+            "low_line_count": pc.cast(
+                merged.column("low_line_count"), pa.int64()
+            ),
+        }
+    )
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("l_returnflag", "ascending")])
+    )
+
+
+SQL_RETURNFLAG_PRIORITY_COUNTS = f"""
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN
+       ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN
+       ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE epoch_us(o_orderdate) >= {Q5_LO_US}
+  AND epoch_us(o_orderdate) < {Q5_HI_US}
+  AND epoch_us(l_shipdate) > epoch_us(o_orderdate) + {Q12_LATE_US}
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "tumbling_events": q_tumbling_events,
     "sliding_events": q_sliding_events,
@@ -9302,6 +9573,8 @@ QUERIES = {
     "user_first_last_value": q_user_first_last_value,
     "part_dominant_suppliers": q_part_dominant_suppliers,
     "min_cost_part_supplier": q_min_cost_part_supplier,
+    "part_value_threshold": q_part_value_threshold,
+    "returnflag_priority_counts": q_returnflag_priority_counts,
     "user_event_path": q_user_event_path,
 }
 
@@ -9430,5 +9703,7 @@ ORACLE_SQL = {
     "user_first_last_value": SQL_USER_FIRST_LAST_VALUE,
     "part_dominant_suppliers": SQL_PART_DOMINANT_SUPPLIERS,
     "min_cost_part_supplier": SQL_MIN_COST_PART_SUPPLIER,
+    "part_value_threshold": SQL_PART_VALUE_THRESHOLD,
+    "returnflag_priority_counts": SQL_RETURNFLAG_PRIORITY_COUNTS,
     "user_event_path": SQL_USER_EVENT_PATH,
 }

@@ -1400,3 +1400,98 @@ def test_moving_sum_short_users_and_exact_frame(tmp_path):
         5: 50,
         6: 75,
     }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_part_value_threshold_strict_boundary(tmp_path):
+    """A part whose value lands EXACTLY on the 150%-of-mean cutoff is
+    excluded (strict >), and the cutoff derives from the filtered
+    nation's parts only. Values 100/200/600/700 cents: mean 400, cutoff
+    600 — part 3 sits exactly on it and must not survive."""
+    import pyarrow.parquet as pq
+
+    from headson_ray.pipelines.queries import q_part_value_threshold
+
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([7, 8], pa.int64()),
+                "n_name": pa.array(["NATION_7", "NATION_8"]),
+            }
+        ),
+        tmp_path / "nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2], pa.int64()),
+                "s_nationkey": pa.array([8, 7], pa.int64()),
+            }
+        ),
+        tmp_path / "supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 2, 3, 4, 9], pa.int64()),
+                "l_suppkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "l_extendedprice": pa.array([1.0, 2.0, 6.0, 7.0, 99.0]),
+                "l_discount": pa.array([0.0] * 5),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    got = _to_frame(q_part_value_threshold(str(tmp_path)))
+    # part 9 belongs to the other nation's supplier: neither in the
+    # output nor in the mean; part 3 == cutoff: excluded.
+    assert list(got["p_partkey"]) == [4]
+    assert list(got["value_cents"]) == [700]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_returnflag_priority_lateness_is_strict(tmp_path):
+    """A line shipped exactly 60 days after its order date is NOT late
+    (strict >); one microsecond later is. Priority splits into the high
+    branch for URGENT/HIGH and the low branch otherwise."""
+    import pyarrow.parquet as pq
+
+    from headson_ray.pipelines.queries import (
+        Q12_LATE_US,
+        q_returnflag_priority_counts,
+    )
+
+    base = pa.scalar(
+        pd.Timestamp("1997-03-01").value // 1000, pa.timestamp("us")
+    )
+    b_us = base.value
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_orderdate": pa.array([b_us, b_us], pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT", "5-LOW"]),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                "l_returnflag": pa.array(["A", "A", "A"]),
+                "l_shipdate": pa.array(
+                    [
+                        b_us + Q12_LATE_US,      # exactly 60d: not late
+                        b_us + Q12_LATE_US + 1,  # late, high branch
+                        b_us + Q12_LATE_US + 1,  # late, low branch
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    got = _to_frame(q_returnflag_priority_counts(str(tmp_path)))
+    assert list(got["l_returnflag"]) == ["A"]
+    assert list(got["high_line_count"]) == [1]
+    assert list(got["low_line_count"]) == [1]
