@@ -1138,6 +1138,105 @@ FROM m2
 """
 
 
+MIXTURE_PPM_DEN = 1_000_000
+
+
+def q_mixture_sample(sf_dir: str):
+    """Language-balancing data-mixture sampler — the 'rebalance the
+    training mix' staple: every language may contribute at most
+    cap = ceil(total_docs / #langs) documents IN EXPECTATION, so
+    the over-represented language (en, ~42% of the corpus) is rate-downsampled (keep-rate
+    ppm_l = cap * 10^6 // n_l) while under-represented ones pass whole.
+    A document keeps iff mix_rounds(doc_id) % 10^6 < ppm of its language —
+    deterministic across runs, machines and partitionings, and
+    reproducible in SQL (same HUGEINT mix as doc_split_assign).
+
+    Scale composition: phase 1 is a two-phase count at LANGUAGE grain
+    (languages are a curated dimension, bounded by nature — the same
+    driver-smallness contract as nation/region resolution); the
+    (lang, ppm) rate table broadcasts once via ray.put and phase 2 is
+    one vectorized hash-gate map over the corpus — zero shuffle of
+    document rows."""
+    import ray as _ray
+
+    from ..stages.hashing import mix_rounds
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"lang": b.column("lang")}).group_by(
+            ["lang"]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n"])
+
+    counts = docs.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("lang").aggregate(Sum("n", alias_name="n"))
+    srcs: list = []
+    ns: list = []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        srcs.extend(b.column("lang").to_pylist())
+        ns.extend(b.column("n").to_pylist())
+    if not srcs:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+            }
+        )
+    tot = sum(ns)
+    cap = -(-tot // len(srcs))  # ceil
+    ppm = [
+        MIXTURE_PPM_DEN if n <= cap else cap * MIXTURE_PPM_DEN // n
+        for n in ns
+    ]
+    ref = _ray.put(
+        (pa.array(srcs, pa.string()), pa.array(ppm, pa.int64()))
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        keys_arr, ppm_arr = _ray.get(ref)
+        p = pc.take(
+            ppm_arr, pc.index_in(b.column("lang"), value_set=keys_arr)
+        ).to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h = mix_rounds(ids.astype(np.uint64)) % np.uint64(MIXTURE_PPM_DEN)
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "lang": b.column("lang"),
+            }
+        ).filter(pa.array(h.astype(np.int64) < p))
+
+    return docs.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH m1 AS (
+  SELECT doc_id, lang,
+         {_mixr_sql('CAST(doc_id AS HUGEINT)')} AS v
+  FROM documents
+), m2 AS (
+  SELECT doc_id, lang, {_mixr_sql('v')} AS v FROM m1
+), c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+), cap AS (
+  SELECT (sum(n) + count(*) - 1) // count(*) AS cap FROM c
+), r AS (
+  SELECT lang,
+         CASE WHEN n <= cap THEN {MIXTURE_PPM_DEN}
+              ELSE CAST(cap AS HUGEINT) * {MIXTURE_PPM_DEN} // n
+         END AS ppm
+  FROM c, cap
+)
+SELECT CAST(m2.doc_id AS BIGINT) AS doc_id, m2.lang
+FROM m2 JOIN r ON m2.lang = r.lang
+WHERE m2.v % {MIXTURE_PPM_DEN} < r.ppm
+"""
+
+
 def q_domain_fileset_previews(sf_dir: str):
     """Per-domain FILESET summarization: all of a domain's pages compete
     for one character budget, rendered as `==> url <==` sections — the
@@ -8289,14 +8388,14 @@ def q_vocab_growth_by_source(sf_dir: str):
     def tok_partial(b: pa.Table) -> pa.Table:
         counts: dict[tuple[str, str], int] = {}
         for s, t in zip(
-            b.column("source").to_pylist(), b.column("text").to_pylist()
+            b.column("lang").to_pylist(), b.column("text").to_pylist()
         ):
             for tok in (t or "").split():
                 counts[(s, tok)] = counts.get((s, tok), 0) + 1
         if not counts:
             return pa.table(
                 {
-                    "source": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string()),
                     "tok": pa.array([], pa.string()),
                     "cnt": pa.array([], pa.int64()),
                     "bucket": pa.array([], pa.int64()),
@@ -8342,7 +8441,7 @@ def q_vocab_growth_by_source(sf_dir: str):
         )
         .groupby("bucket")
         .map_groups(bucket_fold, batch_format="pyarrow")
-        .groupby("source")
+        .groupby("lang")
         .aggregate(
             Sum("n_tokens", alias_name="n_tokens"),
             Sum("n_distinct_tokens", alias_name="n_distinct_tokens"),
@@ -8354,7 +8453,7 @@ def q_vocab_growth_by_source(sf_dir: str):
         nd = b.column("n_distinct_tokens").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "source": b.column("source"),
+                "lang": b.column("lang"),
                 "n_tokens": b.column("n_tokens"),
                 "n_distinct_tokens": b.column("n_distinct_tokens"),
                 "ttr_ppm": pa.array(
@@ -8370,12 +8469,12 @@ def q_vocab_growth_by_source(sf_dir: str):
 
 SQL_VOCAB_GROWTH_BY_SOURCE = r"""
 WITH toks AS (
-  SELECT source,
+  SELECT lang,
          unnest(list_filter(string_split_regex(text, '\s+'),
                             x -> x <> '')) AS tok
   FROM documents
 )
-SELECT source,
+SELECT lang,
        CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
        CAST(count(DISTINCT tok) * 1000000 // count(*) AS BIGINT)
@@ -9483,6 +9582,7 @@ QUERIES = {
     "domain_fileset_previews": q_domain_fileset_previews,
     "click_purchase_pairs": q_click_purchase_pairs,
     "doc_split_assign": q_doc_split_assign,
+    "mixture_sample": q_mixture_sample,
     "props_extract": q_props_extract,
     "summarize_documents": q_summarize_documents,
     "image_features": q_image_features,
@@ -9677,6 +9777,7 @@ ORACLE_SQL = {
     "value_rank_select": SQL_VALUE_RANK_SELECT,
     "click_purchase_pairs": SQL_CLICK_PURCHASE_PAIRS,
     "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
     "repetition_scores": SQL_REPETITION_SCORES,
     "dup_shingle_stats": SQL_DUP_SHINGLE_STATS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,

@@ -1495,3 +1495,41 @@ def test_returnflag_priority_lateness_is_strict(tmp_path):
     assert list(got["l_returnflag"]) == ["A"]
     assert list(got["high_line_count"]) == [1]
     assert list(got["low_line_count"]) == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mixture_sample_downsamples_only_over_cap_langs(tmp_path):
+    """With 4 'en' and 2 'fr' docs, cap = ceil(6/2) = 3: fr passes whole
+    while en gates at ppm = 750000 — the per-doc keep decision must
+    equal the python-int reference of the same mix hash."""
+    import pyarrow.parquet as pq
+
+    from headson_ray.pipelines.queries import (
+        MIXTURE_PPM_DEN,
+        q_mixture_sample,
+    )
+    from headson_ray.stages.hashing import mix_rounds_int
+
+    ids = [11, 22, 33, 44, 55, 66]
+    langs = ["en", "en", "en", "en", "fr", "fr"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs),
+                "text": pa.array(["x"] * 6),
+                "source": pa.array(["s"] * 6),
+                "n_chars": pa.array([1] * 6, pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = _to_frame(q_mixture_sample(str(tmp_path)))
+    kept = set(got["doc_id"])
+    en_ppm = 3 * MIXTURE_PPM_DEN // 4
+    expected = {
+        i for i, l in zip(ids, langs)
+        if l == "fr" or mix_rounds_int(i) % MIXTURE_PPM_DEN < en_ppm
+    }
+    assert kept == expected
+    assert {55, 66} <= kept  # under-cap lang never loses a doc
