@@ -1237,6 +1237,124 @@ WHERE m2.v % {MIXTURE_PPM_DEN} < r.ppm
 """
 
 
+def q_mixture_upsample(sf_dir: str):
+    """Epoch-style upsampler, the mixture_sample complement: bring every
+    language up to the DOMINANT language's document count in expectation
+    by repeating its documents — whole epochs (reps = target // n_l for
+    everyone) plus a deterministic hash-gated fractional epoch (one
+    extra copy iff mix_rounds(doc_id) % 10^6 < (target mod n_l scaled to
+    ppm)) — the 'repeat rare data k.x times' staple of training-mix
+    construction. The dominant language gets base 1 + gate 0, i.e.
+    passes through unchanged. Emits one (doc_id, lang, copy) row per
+    repetition, copy in [0, reps).
+
+    Scale composition: same two phases as mixture_sample — a
+    language-grain count (curated dimension, bounded by nature), one
+    ray.put of the (lang, base, gate_ppm) table, then a single
+    vectorized expansion map over the corpus (np.repeat gather, no
+    Python loop; output grows by the mix's design factor, never
+    materialized on the driver)."""
+    import ray as _ray
+
+    from ..stages.hashing import mix_rounds
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"lang": b.column("lang")}).group_by(
+            ["lang"]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n"])
+
+    counts = docs.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("lang").aggregate(Sum("n", alias_name="n"))
+    langs: list = []
+    ns: list = []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        langs.extend(b.column("lang").to_pylist())
+        ns.extend(b.column("n").to_pylist())
+    if not langs:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "copy": pa.array([], pa.int64()),
+            }
+        )
+    target = max(ns)
+    base = [target // n for n in ns]
+    gppm = [
+        (target - (target // n) * n) * MIXTURE_PPM_DEN // n for n in ns
+    ]
+    ref = _ray.put(
+        (
+            pa.array(langs, pa.string()),
+            pa.array(base, pa.int64()),
+            pa.array(gppm, pa.int64()),
+        )
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        keys_arr, base_arr, gppm_arr = _ray.get(ref)
+        pos = pc.index_in(b.column("lang"), value_set=keys_arr)
+        bs = pc.take(base_arr, pos).to_numpy(zero_copy_only=False)
+        gp = pc.take(gppm_arr, pos).to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (
+            mix_rounds(ids.astype(np.uint64))
+            % np.uint64(MIXTURE_PPM_DEN)
+        ).astype(np.int64)
+        reps = bs + (h < gp)
+        idx = np.repeat(np.arange(b.num_rows, dtype=np.int64), reps)
+        offsets = np.cumsum(reps) - reps
+        copy = np.arange(idx.size, dtype=np.int64) - np.repeat(
+            offsets, reps
+        )
+        out = pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "lang": b.column("lang"),
+            }
+        ).take(pa.array(idx))
+        return out.append_column("copy", pa.array(copy))
+
+    return docs.map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_MIXTURE_UPSAMPLE = f"""
+WITH m1 AS (
+  SELECT doc_id, lang,
+         {{MIXR1}} AS v
+  FROM documents
+), m2 AS (
+  SELECT doc_id, lang, {{MIXR2}} AS v FROM m1
+), c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+), t AS (
+  SELECT max(n) AS target FROM c
+), r AS (
+  SELECT lang,
+         target // n AS base,
+         (target - (target // n) * n) * {MIXTURE_PPM_DEN} // n AS gppm
+  FROM c, t
+), reps AS (
+  SELECT m2.doc_id, m2.lang,
+         r.base + CASE WHEN m2.v % {MIXTURE_PPM_DEN} < r.gppm
+                       THEN 1 ELSE 0 END AS reps
+  FROM m2 JOIN r ON m2.lang = r.lang
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(unnest(range(reps)) AS BIGINT) AS copy
+FROM reps
+"""
+SQL_MIXTURE_UPSAMPLE = SQL_MIXTURE_UPSAMPLE.replace(
+    "{MIXR1}", _mixr_sql("CAST(doc_id AS HUGEINT)")
+).replace("{MIXR2}", _mixr_sql("v"))
+
+
 def q_domain_fileset_previews(sf_dir: str):
     """Per-domain FILESET summarization: all of a domain's pages compete
     for one character budget, rendered as `==> url <==` sections — the
@@ -9583,6 +9701,7 @@ QUERIES = {
     "click_purchase_pairs": q_click_purchase_pairs,
     "doc_split_assign": q_doc_split_assign,
     "mixture_sample": q_mixture_sample,
+    "mixture_upsample": q_mixture_upsample,
     "props_extract": q_props_extract,
     "summarize_documents": q_summarize_documents,
     "image_features": q_image_features,
@@ -9778,6 +9897,7 @@ ORACLE_SQL = {
     "click_purchase_pairs": SQL_CLICK_PURCHASE_PAIRS,
     "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "mixture_upsample": SQL_MIXTURE_UPSAMPLE,
     "repetition_scores": SQL_REPETITION_SCORES,
     "dup_shingle_stats": SQL_DUP_SHINGLE_STATS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,

@@ -1533,3 +1533,43 @@ def test_mixture_sample_downsamples_only_over_cap_langs(tmp_path):
     }
     assert kept == expected
     assert {55, 66} <= kept  # under-cap lang never loses a doc
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mixture_upsample_whole_and_fractional_epochs(tmp_path):
+    """4 'en' (dominant, passes through once) + 3 'fr' (base epoch 1,
+    fractional gate ppm = 333333): per-doc totals must equal the
+    python-int mix reference, and copy indices must be dense [0, reps)."""
+    import pyarrow.parquet as pq
+
+    from headson_ray.pipelines.queries import (
+        MIXTURE_PPM_DEN,
+        q_mixture_upsample,
+    )
+    from headson_ray.stages.hashing import mix_rounds_int
+
+    ids = [1, 2, 3, 4, 10, 20, 30]
+    langs = ["en"] * 4 + ["fr"] * 3
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs),
+                "text": pa.array(["x"] * 7),
+                "source": pa.array(["s"] * 7),
+                "n_chars": pa.array([1] * 7, pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = _to_frame(q_mixture_upsample(str(tmp_path)))
+    per_doc = got.groupby("doc_id")["copy"].agg(["count", "min", "max"])
+    gppm = (4 - 3) * MIXTURE_PPM_DEN // 3
+    for i, l in zip(ids, langs):
+        if l == "en":
+            reps = 1
+        else:
+            reps = 1 + (mix_rounds_int(i) % MIXTURE_PPM_DEN < gppm)
+        assert per_doc.loc[i, "count"] == reps, (i, reps)
+        assert per_doc.loc[i, "min"] == 0
+        assert per_doc.loc[i, "max"] == reps - 1
