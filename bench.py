@@ -162,7 +162,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "user_value_moving_sum", "user_first_last_value",
         "part_dominant_suppliers", "min_cost_part_supplier",
         "user_event_path", "part_value_threshold", "mixture_sample",
-        "mixture_upsample",
+        "mixture_upsample", "lm_quality_scores",
         "returnflag_priority_counts",
     ]:
         t0 = time.time()

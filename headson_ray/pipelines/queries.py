@@ -4618,6 +4618,166 @@ FROM b2 LEFT JOIN m USING (doc_id)
 """
 
 
+LM_VOCAB_MIN_PPM = 1000  # bigram joins the LM vocab at >= 1000 ppm of mass
+
+
+def _doc_bigram_hashes(texts: list) -> tuple:
+    """(doc_idx, bigram_hash) for every adjacent word pair in a batch of
+    texts — whitespace-split tokens (matching the oracles' \\s+ split),
+    hash_strings per token, odd-multiplier uint64 combine per pair
+    (bijective in each argument), document boundaries masked. Shared by
+    pass 1 (global counts) and pass 2 (membership scoring) of
+    lm_quality_scores so both passes see identical keys."""
+    from ..stages.hashing import hash_strings
+
+    tok_lists = [(t or "").split() for t in texts]
+    nd = len(tok_lists)
+    ntok = np.fromiter(
+        (len(t) for t in tok_lists), dtype=np.int64, count=nd
+    )
+    nbig = np.maximum(ntok - 1, 0)
+    total = int(ntok.sum())
+    if total < 2 or int(nbig.sum()) == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.uint64),
+            nbig,
+        )
+    flat = [w for toks in tok_lists for w in toks]
+    h = hash_strings(flat)
+    big = h[:-1] * np.uint64(0x9E3779B97F4A7C15) + h[1:]
+    ends = np.cumsum(ntok)
+    valid = np.ones(total - 1, dtype=bool)
+    cut = ends[:-1] - 1
+    cut = cut[(cut >= 0) & (cut < total - 1)]
+    valid[cut] = False
+    doc_idx = np.repeat(np.arange(nd, dtype=np.int64), nbig)
+    return doc_idx, big[valid], nbig
+
+
+def q_lm_quality_scores(sf_dir: str):
+    """Bigram-LM quality scoring — the perplexity-proxy filter of a
+    training-data stack, integer-exact: pass 1 learns a pruned bigram
+    'language model' (every word bigram holding >= 1000 ppm of the
+    corpus's bigram mass), pass 2 scores each document by the fraction
+    of its bigram occurrences covered by that vocabulary
+    (lm_vocab_ppm). Low scores flag rare/garbled constructions exactly
+    the way a low LM log-prob would, with none of the float
+    reproducibility hazards.
+
+    Scale posture: pass 1 pre-counts bigram hashes per batch, so the
+    one bigram-grain exchange carries (hash, count) partials only; the
+    ppm threshold bounds the vocabulary at 10^6 / LM_VOCAB_MIN_PPM = 1000
+    entries BY CONSTRUCTION regardless of corpus size (the decontam
+    broadcast contract), shipped once as a sorted uint64 array; pass 2
+    is one vectorized searchsorted probe per batch — no second shuffle,
+    no driver row ever wider than the bounded vocab."""
+    import ray as _ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        _, big, _ = _doc_bigram_hashes(b.column("text").to_pylist())
+        bg, cnt = np.unique(big, return_counts=True)
+        return pa.table(
+            {
+                "bg": pa.array(bg.view(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = docs.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bg").aggregate(Sum("cnt", alias_name="cnt")).materialize()
+    tot_row = counts.aggregate(Sum("cnt", alias_name="t"))["t"]
+    tot = int(tot_row) if tot_row is not None else 0
+    vocab_parts = []
+    if tot:
+        kept = counts.map_batches(
+            lambda b: b.filter(
+                pa.array(
+                    b.column("cnt").to_numpy(zero_copy_only=False)
+                    * 1_000_000
+                    >= tot * LM_VOCAB_MIN_PPM
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        for b in kept.iter_batches(batch_format="pyarrow"):
+            vocab_parts.append(
+                b.column("bg").to_numpy(zero_copy_only=False)
+            )
+    vocab = (
+        np.sort(np.concatenate(vocab_parts).view(np.uint64))
+        if vocab_parts
+        else np.empty(0, dtype=np.uint64)
+    )
+    vocab_ref = _ray.put(vocab)
+
+    def score(b: pa.Table) -> pa.Table:
+        v = _ray.get(vocab_ref)
+        doc_idx, big, nbig = _doc_bigram_hashes(
+            b.column("text").to_pylist()
+        )
+        n_in = np.zeros(b.num_rows, dtype=np.int64)
+        if big.size and v.size:
+            pos = np.searchsorted(v, big)
+            pos[pos >= v.size] = 0
+            hit = v[pos] == big
+            n_in = np.bincount(
+                doc_idx[hit], minlength=b.num_rows
+            ).astype(np.int64)
+        ppm = np.zeros(b.num_rows, dtype=np.int64)
+        nz = nbig > 0
+        ppm[nz] = n_in[nz] * 1_000_000 // nbig[nz]
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "n_bigrams": pa.array(nbig),
+                "lm_vocab_ppm": pa.array(ppm),
+            }
+        )
+
+    return docs.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_LM_QUALITY_SCORES = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), b2 AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 2 THEN []
+              ELSE [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+         END AS bgs
+  FROM d
+), occ AS (
+  SELECT doc_id, unnest(bgs) AS bg FROM b2
+), g AS (
+  SELECT bg, count(*) AS cnt FROM occ GROUP BY 1
+), t AS (
+  SELECT sum(cnt) AS tot FROM g
+), v AS (
+  SELECT bg FROM g, t
+  WHERE CAST(cnt AS HUGEINT) * 1000000
+        >= CAST(tot AS HUGEINT) * {LM_VOCAB_MIN_PPM}
+), per AS (
+  SELECT occ.doc_id, count(*) AS n_in
+  FROM occ JOIN v USING (bg) GROUP BY 1
+)
+SELECT b2.doc_id,
+       CAST(len(b2.bgs) AS BIGINT) AS n_bigrams,
+       CAST(CASE WHEN len(b2.bgs) = 0 THEN 0
+            ELSE COALESCE(per.n_in, 0) * 1000000 // len(b2.bgs)
+            END AS BIGINT) AS lm_vocab_ppm
+FROM b2 LEFT JOIN per USING (doc_id)
+"""
+
+
 NUM_SHINGLE_BUCKETS = 256
 
 
@@ -9768,6 +9928,7 @@ QUERIES = {
     "union_distinct_orderkeys": q_union_distinct_orderkeys,
     "click_events_filtered": q_click_events_filtered,
     "repetition_scores": q_repetition_scores,
+    "lm_quality_scores": q_lm_quality_scores,
     "dup_shingle_stats": q_dup_shingle_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "late_events": q_late_events,
@@ -9899,6 +10060,7 @@ ORACLE_SQL = {
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "mixture_upsample": SQL_MIXTURE_UPSAMPLE,
     "repetition_scores": SQL_REPETITION_SCORES,
+    "lm_quality_scores": SQL_LM_QUALITY_SCORES,
     "dup_shingle_stats": SQL_DUP_SHINGLE_STATS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "late_events": SQL_LATE_EVENTS,

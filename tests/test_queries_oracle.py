@@ -1573,3 +1573,44 @@ def test_mixture_upsample_whole_and_fractional_epochs(tmp_path):
         assert per_doc.loc[i, "count"] == reps, (i, reps)
         assert per_doc.loc[i, "min"] == 0
         assert per_doc.loc[i, "max"] == reps - 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lm_quality_scores_vocab_threshold_boundary(tmp_path):
+    """Vocabulary admission is >= 1000 ppm of total bigram mass: with
+    2003 total bigram occurrences, 'a a' (x2000) is in-vocab while
+    'b c' (x2, = 998.5 ppm) and 'a b' (x1) just miss — so the mixed doc
+    scores exactly 1/3 coverage and the empty doc scores 0."""
+    import pyarrow.parquet as pq
+
+    from headson_ray.pipelines.queries import q_lm_quality_scores
+
+    texts = [
+        "a " * 2000,     # 1999 x 'a a'
+        "b c",           # 1 x 'b c'
+        "a a b c",       # 'a a' (in), 'a b' (out), 'b c' (out)
+        "",              # no bigrams
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(["s"] * 4),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = _to_frame(q_lm_quality_scores(str(tmp_path)))
+    rows = {
+        r.doc_id: (r.n_bigrams, r.lm_vocab_ppm)
+        for r in got.itertuples()
+    }
+    assert rows == {
+        1: (1999, 1_000_000),
+        2: (1, 0),
+        3: (3, 333_333),
+        4: (0, 0),
+    }
