@@ -8666,14 +8666,14 @@ def q_vocab_growth_by_source(sf_dir: str):
     def tok_partial(b: pa.Table) -> pa.Table:
         counts: dict[tuple[str, str], int] = {}
         for s, t in zip(
-            b.column("lang").to_pylist(), b.column("text").to_pylist()
+            b.column("source").to_pylist(), b.column("text").to_pylist()
         ):
             for tok in (t or "").split():
                 counts[(s, tok)] = counts.get((s, tok), 0) + 1
         if not counts:
             return pa.table(
                 {
-                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
                     "tok": pa.array([], pa.string()),
                     "cnt": pa.array([], pa.int64()),
                     "bucket": pa.array([], pa.int64()),
@@ -8719,7 +8719,7 @@ def q_vocab_growth_by_source(sf_dir: str):
         )
         .groupby("bucket")
         .map_groups(bucket_fold, batch_format="pyarrow")
-        .groupby("lang")
+        .groupby("source")
         .aggregate(
             Sum("n_tokens", alias_name="n_tokens"),
             Sum("n_distinct_tokens", alias_name="n_distinct_tokens"),
@@ -8731,7 +8731,7 @@ def q_vocab_growth_by_source(sf_dir: str):
         nd = b.column("n_distinct_tokens").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "lang": b.column("lang"),
+                "source": b.column("source"),
                 "n_tokens": b.column("n_tokens"),
                 "n_distinct_tokens": b.column("n_distinct_tokens"),
                 "ttr_ppm": pa.array(
@@ -8747,12 +8747,12 @@ def q_vocab_growth_by_source(sf_dir: str):
 
 SQL_VOCAB_GROWTH_BY_SOURCE = r"""
 WITH toks AS (
-  SELECT lang,
+  SELECT source,
          unnest(list_filter(string_split_regex(text, '\s+'),
                             x -> x <> '')) AS tok
   FROM documents
 )
-SELECT lang,
+SELECT source,
        CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
        CAST(count(DISTINCT tok) * 1000000 // count(*) AS BIGINT)
