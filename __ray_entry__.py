@@ -485,6 +485,21 @@ def _q_cep_sessions(sf_dir: str):
     )
 
 
+def _q_cep_topk_hosts(sf_dir: str):
+    """Streaming hot-host dashboard: each tumbling window's top-10
+    hosts by routed page count, computed THROUGH the CEP engine —
+    micro-batched stream, watermark finalization, exactly-once pane
+    commits — then a two-phase distributed top-k fold over the
+    committed panes (per-batch trims bound the shuffle at k rows per
+    (window, block)). Oracle = ROW_NUMBER over the pane SQL, the same
+    (n_pages DESC, domain ASC) total order."""
+    from headson_ray.pipelines.webtext import topk_hosts_from_panes
+
+    return _stream_panes_fold(
+        sf_dir, topk_hosts_from_panes, with_prior=False
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = dict(QUERIES)
     q["summarize_pages"] = _q_summarize_pages
@@ -516,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cep_window_coverage"] = _q_cep_window_coverage
     q["cep_crawl_delta"] = _q_cep_crawl_delta
     q["cep_sessions"] = _q_cep_sessions
+    q["cep_topk_hosts"] = _q_cep_topk_hosts
     q["window_host_hll"] = _q_window_host_hll
     return q
 
@@ -623,6 +639,26 @@ SELECT CAST(window_id * {_CEP_WINDOW_US} AS BIGINT) AS win_start,
        CAST(sum(n_pages) AS BIGINT) AS n_pages,
        CAST(count(*) AS BIGINT) AS n_hosts
 FROM w GROUP BY window_id
+"""
+
+
+from headson_ray.pipelines.webtext import CEP_TOPK_HOSTS as _CEP_TOPK_K
+
+# Streaming top-k = ROW_NUMBER over the pane oracle with the fold's
+# exact total order (n_pages DESC, domain ASC) — rank ties impossible.
+SQL_CEP_TOPK_HOSTS = f"""
+WITH w AS ({SQL_CEP_STREAM_WINDOWS}), r AS (
+  SELECT window_id, domain, n_pages,
+         ROW_NUMBER() OVER (
+           PARTITION BY window_id
+           ORDER BY n_pages DESC, domain
+         ) AS rnk
+  FROM w
+)
+SELECT CAST(window_id * {_CEP_WINDOW_US} AS BIGINT) AS win_start,
+       CAST(rnk AS BIGINT) AS rnk, domain,
+       CAST(n_pages AS BIGINT) AS n_pages
+FROM r WHERE rnk <= {_CEP_TOPK_K}
 """
 
 
@@ -1363,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
     o["cep_window_coverage"] = SQL_CEP_WINDOW_COVERAGE
     o["cep_crawl_delta"] = SQL_CEP_CRAWL_DELTA
     o["cep_sessions"] = SQL_CEP_SESSIONS
+    o["cep_topk_hosts"] = SQL_CEP_TOPK_HOSTS
     o["window_host_hll"] = SQL_WINDOW_HOST_HLL
     o["summarize_pages"] = SQL_SUMMARIZE_PAGES
     return o

@@ -184,7 +184,8 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
             "host_anchor_terms", "host_change_rate", "host_crawl_budget",
             "host_dup_rate", "frontier_topk", "window_host_coverage",
             "host_crawl_delta", "cep_window_coverage", "cep_crawl_delta",
-            "window_host_hll", "cep_sessions", "mirror_alias_clusters",
+            "window_host_hll", "cep_sessions", "cep_topk_hosts",
+            "mirror_alias_clusters",
             "host_triangles", "host_components", "host_reciprocity",
             "host_outdegree_hist", "host_transitivity",
         ]:

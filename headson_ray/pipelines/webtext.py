@@ -2080,6 +2080,74 @@ def window_coverage_from_panes(panes: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+CEP_TOPK_HOSTS = 10
+
+
+def _pane_topk_sort(t: pa.Table) -> pa.Table:
+    return t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[
+                ("win_start", "ascending"),
+                ("n_pages", "descending"),
+                ("domain", "ascending"),
+            ],
+        )
+    )
+
+
+def _pane_topk_partial(b: pa.Table) -> pa.Table:
+    """Per-batch trim of finalized tumbling panes to the k
+    highest-traffic hosts per window: at most k rows per (window,
+    block) enter the shuffle, whatever the host cardinality."""
+    from .queries import _trim_topk_runs
+
+    t = pa.table(
+        {
+            "win_start": pc.multiply(
+                pc.cast(b.column("window_id"), pa.int64()),
+                COVERAGE_WINDOW_US,
+            ),
+            "domain": b.column("domain"),
+            "n_pages": pc.cast(b.column("n_pages"), pa.int64()),
+        }
+    )
+    return _trim_topk_runs(
+        _pane_topk_sort(t), ["win_start"], CEP_TOPK_HOSTS
+    )
+
+
+def _pane_topk_final(g: pa.Table) -> pa.Table:
+    """One window's surviving candidates -> its ranked top-k rows
+    (rank by n_pages DESC, domain ASC — total order, tie-stable)."""
+    s = _pane_topk_sort(g)
+    k = min(CEP_TOPK_HOSTS, s.num_rows)
+    s = s.slice(0, k)
+    return pa.table(
+        {
+            "win_start": s.column("win_start"),
+            "rnk": pa.array(np.arange(1, k + 1, dtype=np.int64)),
+            "domain": s.column("domain"),
+            "n_pages": s.column("n_pages"),
+        }
+    )
+
+
+def topk_hosts_from_panes(panes: "ray.data.Dataset") -> "ray.data.Dataset":
+    """The streaming form of a windowed hot-host dashboard: fold
+    watermark-finalized tumbling panes (one globally-unique row per
+    (domain, window), exactly-once sink) to each window's top-k hosts
+    by routed page count. Two-phase top-k: per-batch trims bound the
+    shuffle at k rows per (window, block); the window-grain map_groups
+    finishes ranking — nothing driver-side."""
+    partials = panes.map_batches(
+        _pane_topk_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("win_start").map_groups(
+        _pane_topk_final, batch_format="pyarrow"
+    )
+
+
 def _pane_delta_partial(b: pa.Table) -> pa.Table:
     """Per-batch host-grain fold of finalized tumbling panes: the
     prior-crawl delta counters the CEP join already computed per

@@ -1478,3 +1478,75 @@ def test_triangle_census_fast_path_equals_distributed(pages, monkeypatch):
     tri_dist = wt.host_triangles(cur, ROWS).to_pandas()
     pd.testing.assert_frame_equal(fast, dist)
     pd.testing.assert_frame_equal(tri_fast, tri_dist)
+
+
+def test_pane_topk_two_phase_equals_brute_force_fuzz():
+    """Per-batch pane trim + per-window final over arbitrary batch
+    splits equals the global (n_pages DESC, domain ASC) top-k cut —
+    including n_pages ties resolved by domain order."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from headson_ray.pipelines.webtext import (
+        CEP_TOPK_HOSTS,
+        COVERAGE_WINDOW_US,
+        _pane_topk_final,
+        _pane_topk_partial,
+    )
+
+    rng = np.random.RandomState(9)
+    for trial in range(50):
+        n_win = rng.randint(1, 4)
+        rows = []
+        for w in range(n_win):
+            n_hosts = rng.randint(1, 20)
+            hosts = rng.choice(40, n_hosts, replace=False)
+            for hidx in hosts:
+                # small value range forces plenty of ties
+                rows.append((w, f"h{hidx}.com", int(rng.randint(1, 5))))
+        rng.shuffle(rows)
+        t = pa.table(
+            {
+                "window_id": pa.array(
+                    [r[0] for r in rows], pa.int64()
+                ),
+                "domain": pa.array([r[1] for r in rows]),
+                "n_pages": pa.array(
+                    [r[2] for r in rows], pa.int64()
+                ),
+            }
+        )
+        n = t.num_rows
+        cut = sorted(rng.choice(n + 1, 2, replace=True))
+        parts = [
+            _pane_topk_partial(t.slice(a, b - a))
+            for a, b in zip([0, *cut], [*cut, n])
+            if b > a
+        ]
+        cand = pa.concat_tables([p for p in parts if p.num_rows])
+        got = []
+        for w in sorted(set(r[0] for r in rows)):
+            g = cand.filter(
+                pc.equal(
+                    cand.column("win_start"),
+                    w * COVERAGE_WINDOW_US,
+                )
+            )
+            if g.num_rows:
+                got.extend(_pane_topk_final(g).to_pylist())
+        exp = []
+        for w in sorted(set(r[0] for r in rows)):
+            wr = sorted(
+                (r for r in rows if r[0] == w),
+                key=lambda r: (-r[2], r[1]),
+            )[:CEP_TOPK_HOSTS]
+            exp.extend(
+                {
+                    "win_start": w * COVERAGE_WINDOW_US,
+                    "rnk": i + 1,
+                    "domain": d,
+                    "n_pages": p,
+                }
+                for i, (_w, d, p) in enumerate(wr)
+            )
+        assert got == exp, f"trial {trial}"
