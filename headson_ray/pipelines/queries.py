@@ -4691,6 +4691,17 @@ def q_lm_quality_scores(sf_dir: str):
     ).groupby("bg").aggregate(Sum("cnt", alias_name="cnt")).materialize()
     tot_row = counts.aggregate(Sum("cnt", alias_name="t"))["t"]
     tot = int(tot_row) if tot_row is not None else 0
+    if tot == 0 and docs.count() == 0:
+        # zero documents: a mapped empty read carries no schema, so
+        # return the typed empty result directly (tot == 0 with docs
+        # present still flows through — every doc scores 0)
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "lm_vocab_ppm": pa.array([], pa.int64()),
+            }
+        )
     vocab_parts = []
     if tot:
         kept = counts.map_batches(

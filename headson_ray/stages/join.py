@@ -73,6 +73,16 @@ def hash_join(
         raise ValueError("bucket_post requires salt=1 (key co-location)")
     lsch = left.schema()
     rsch = right.schema()
+    if lsch is None or rsch is None:
+        # A side was empty with no recoverable schema (e.g. map_batches
+        # over an empty read). The inner join is empty by definition;
+        # emit a zero-column empty dataset — callers' empty guards
+        # supply the typed output schema.
+        if how == "inner":
+            return ray.data.from_arrow(pa.table({}))
+        raise ValueError(
+            "outer hash_join needs a known schema on both sides"
+        )
     ltypes = dict(zip(lsch.names, lsch.types))
     rtypes = dict(zip(rsch.names, rsch.types))
     lcols = [c for c in lsch.names if c != key]

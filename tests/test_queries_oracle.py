@@ -1614,3 +1614,88 @@ def test_lm_quality_scores_vocab_threshold_boundary(tmp_path):
         3: (3, 333_333),
         4: (0, 0),
     }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_new_ops_empty_inputs(tmp_path):
+    """Every end-of-round op returns an empty, correctly-typed result on
+    empty inputs instead of raising (None-sum / max() / division-by-zero
+    hazards all guarded)."""
+    import pyarrow.parquet as pq
+
+    from headson_ray.pipelines.queries import (
+        q_lm_quality_scores,
+        q_mixture_sample,
+        q_mixture_upsample,
+        q_part_value_threshold,
+        q_returnflag_priority_counts,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([8], pa.int64()),
+                "n_name": pa.array(["NATION_8"]),
+            }
+        ),
+        tmp_path / "nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1], pa.int64()),
+                "s_nationkey": pa.array([8], pa.int64()),
+            }
+        ),
+        tmp_path / "supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "l_partkey": pa.array([], pa.int64()),
+                "l_suppkey": pa.array([], pa.int64()),
+                "l_extendedprice": pa.array([], pa.float64()),
+                "l_discount": pa.array([], pa.float64()),
+                "l_returnflag": pa.array([], pa.string()),
+                "l_shipdate": pa.array([], pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_orderpriority": pa.array([], pa.string()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    sf = str(tmp_path)
+    for fn, cols in [
+        (q_part_value_threshold, ["p_partkey", "value_cents"]),
+        (
+            q_returnflag_priority_counts,
+            ["l_returnflag", "high_line_count", "low_line_count"],
+        ),
+        (q_mixture_sample, ["doc_id", "lang"]),
+        (q_mixture_upsample, ["doc_id", "lang", "copy"]),
+        (q_lm_quality_scores, ["doc_id", "n_bigrams", "lm_vocab_ppm"]),
+    ]:
+        got = _to_frame(fn(sf))
+        assert len(got) == 0, fn.__name__
+        assert list(got.columns) == cols, fn.__name__
