@@ -9986,6 +9986,22 @@ FROM documents d
 JOIN read_parquet('{_DOC_PREVIEW_FIXTURE}') f ON d.text = f.text
 """
 
+# Same fixture pattern for the per-domain FILESET previews: the
+# 5000-page stream q_domain_fileset_previews consumes is identical
+# across sf dirs (row cap), and the group kernel is a pure function of
+# the url-sorted group, so the committed fixture (regenerated by
+# tools/build_preview_fixtures.py, staleness caught by
+# tests/test_queries_oracle.py::test_preview_fixtures_not_stale) IS the
+# exact expected output.
+_FILESET_PREVIEW_FIXTURE = str(
+    Path(__file__).resolve().parent.parent.parent
+    / "tests" / "fixtures" / "fileset_previews.parquet"
+)
+SQL_DOMAIN_FILESET_PREVIEWS = f"""
+SELECT domain, n_files, preview
+FROM read_parquet('{_FILESET_PREVIEW_FIXTURE}')
+"""
+
 ORACLE_SQL = {
     "tumbling_events": SQL_TUMBLING_EVENTS,
     "sliding_events": SQL_SLIDING_EVENTS,
@@ -10093,6 +10109,7 @@ ORACLE_SQL = {
     "decontam_flags": SQL_DECONTAM_FLAGS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "summarize_documents": SQL_SUMMARIZE_DOCUMENTS,
+    "domain_fileset_previews": SQL_DOMAIN_FILESET_PREVIEWS,
     "user_value_moving_sum": SQL_USER_VALUE_MOVING_SUM,
     "user_first_last_value": SQL_USER_FIRST_LAST_VALUE,
     "part_dominant_suppliers": SQL_PART_DOMINANT_SUPPLIERS,

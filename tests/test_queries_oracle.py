@@ -753,6 +753,47 @@ def test_preview_fixtures_not_stale():
     assert m == shard.num_rows > 0
 
 
+def test_fileset_preview_fixture_not_stale():
+    """The committed per-domain fileset-preview fixture (the DuckDB
+    oracle for domain_fileset_previews) must match a FRESH in-process
+    recomputation of the same pure group kernel over the same
+    deterministic 5000-page stream."""
+    import pyarrow.parquet as pq
+
+    from headson_ray.sources.pages import materialize_pages
+    from headson_ray.stages.derive import add_domain
+    from headson_ray.stages.summarize import fileset_preview_group
+
+    fx = pq.read_table(
+        Path(__file__).parent / "fixtures" / "fileset_previews.parquet"
+    )
+    by_domain = {
+        d: (n, p)
+        for d, n, p in zip(
+            fx.column("domain").to_pylist(),
+            fx.column("n_files").to_pylist(),
+            fx.column("preview").to_pylist(),
+        )
+    }
+    paths = materialize_pages(5000, tag="q-5000")
+    t = pa.concat_tables(
+        [pq.read_table(p, columns=["url", "text"]) for p in paths]
+    )
+    t = add_domain(t)
+    groups: dict[str, list[int]] = {}
+    for i, d in enumerate(t.column("domain").to_pylist()):
+        groups.setdefault(d, []).append(i)
+    assert len(groups) == fx.num_rows
+    for d, idx in groups.items():
+        out = fileset_preview_group(
+            t.take(pa.array(idx)), budget=400, max_files=6
+        )
+        assert by_domain[d] == (
+            out.column("n_files")[0].as_py(),
+            out.column("preview")[0].as_py(),
+        ), d
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_minhash_near_dups_precision_and_high_sim_recall():
     """Verification makes precision exactly 1 (every emitted pair has

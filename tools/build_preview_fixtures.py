@@ -94,7 +94,41 @@ def build_page_previews() -> None:
     ray.shutdown()
 
 
+def build_fileset_previews() -> None:
+    """Fixture for q_domain_fileset_previews: one budgeted FILESET
+    preview per domain over the same deterministic 5000-page stream
+    (budget=400, max_files=6). Computed here WITHOUT Ray — the group
+    kernel is a pure function of the sorted group, so an in-process
+    groupby reproduces the distributed map_groups bit-for-bit."""
+    from headson_ray.sources.pages import materialize_pages
+    from headson_ray.stages.derive import add_domain
+    from headson_ray.stages.summarize import fileset_preview_group
+
+    paths = materialize_pages(5000, tag="q-5000")
+    t = pa.concat_tables(
+        [pq.read_table(p, columns=["url", "text"]) for p in paths]
+    )
+    t = add_domain(t)
+    groups: dict[str, list[int]] = {}
+    for i, d in enumerate(t.column("domain").to_pylist()):
+        groups.setdefault(d, []).append(i)
+    parts = [
+        fileset_preview_group(
+            t.take(pa.array(idx)), budget=400, max_files=6
+        )
+        for _, idx in sorted(groups.items())
+    ]
+    out = pa.concat_tables(parts)
+    pq.write_table(
+        out,
+        os.path.join(FIXTURE_DIR, "fileset_previews.parquet"),
+        compression="zstd",
+    )
+    print(f"fileset_previews.parquet: {out.num_rows} domains")
+
+
 if __name__ == "__main__":
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     build_doc_previews()
     build_page_previews()
+    build_fileset_previews()
