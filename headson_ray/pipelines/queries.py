@@ -4916,6 +4916,78 @@ FROM per
 """
 
 
+def q_substring_dup_spans(sf_dir: str):
+    """Exact substring-level dedup spans (Lee et al. 2021, arXiv
+    2107.06499: drop every character span whose length-40 window occurs
+    >= 2 times anywhere in the corpus — the suffix-array dedup's output
+    semantics, realized Ray-Data-first). Emits (doc_id, span_start,
+    span_end) maximal merged spans, codepoint offsets.
+
+    Scale design: windows never exist as strings outside their batch —
+    substring_window_explode hashes every window of the batch's
+    CONCATENATED codepoint array in `window` vectorized passes and emits
+    (window_hash, doc_id, pos) int64 triples; one hash-bucket shuffle
+    counts corpus-wide occurrences in-bucket (every occurrence of a
+    window co-locates, the dup_shingle_stats posture); only duplicated
+    positions (a small fraction of the corpus) re-shuffle once by doc
+    bucket for the vectorized interval merge. No broadcast, no driver
+    structure; two shuffles of 3-4 int64 columns regardless of text
+    width. Collision note: windows compare by mixed 64-bit Horner hash
+    (stages/hashing.py), so two DISTINCT windows collide with prob
+    ~n^2/2^64 — at 10^12-window scale widen to 128 bits, same shuffle."""
+    from ..stages.dedup import (
+        substring_bucket_dups,
+        substring_merge_spans,
+        substring_window_explode,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], heavy=True)
+    exploded = ds.map_batches(
+        substring_window_explode,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    dups = exploded.groupby("bucket").map_groups(
+        substring_bucket_dups, batch_format="pyarrow"
+    )
+    return dups.groupby("dbucket").map_groups(
+        substring_merge_spans, batch_format="pyarrow"
+    )
+
+
+# Oracle groups the raw substrings themselves (exact semantics); the Ray
+# side groups their 64-bit hashes — bit-identical output unless two
+# distinct windows collide (prob ~1e-7 over this corpus). Interval
+# merge = gaps-and-islands over duplicated positions.
+SQL_SUBSTRING_DUP_SPANS = """
+WITH w AS (
+  SELECT doc_id, unnest(range(0, length(text) - 39)) AS pos, text
+  FROM documents WHERE length(text) >= 40
+), s AS (
+  SELECT doc_id, pos,
+         substr(text, CAST(pos AS INTEGER) + 1, 40) AS win
+  FROM w
+), dup AS (
+  SELECT win FROM s GROUP BY win HAVING count(*) >= 2
+), d AS (
+  SELECT s.doc_id, s.pos FROM s JOIN dup USING (win)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) <= 40
+              THEN 0 ELSE 1 END AS brk
+  FROM d
+), g AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM isl
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 40 AS BIGINT) AS span_end
+FROM g GROUP BY doc_id, grp
+"""
+
+
 def _doc_term_counts(texts: list):
     """Vectorized per-doc term frequencies for a batch: one lexsort over
     (doc_idx, token) and a run-length pass. Returns (doc_idx, term, tf)
@@ -9941,6 +10013,7 @@ QUERIES = {
     "repetition_scores": q_repetition_scores,
     "lm_quality_scores": q_lm_quality_scores,
     "dup_shingle_stats": q_dup_shingle_stats,
+    "substring_dup_spans": q_substring_dup_spans,
     "tfidf_top_terms": q_tfidf_top_terms,
     "late_events": q_late_events,
     "quality_filter": q_quality_filter,
@@ -10089,6 +10162,7 @@ ORACLE_SQL = {
     "repetition_scores": SQL_REPETITION_SCORES,
     "lm_quality_scores": SQL_LM_QUALITY_SCORES,
     "dup_shingle_stats": SQL_DUP_SHINGLE_STATS,
+    "substring_dup_spans": SQL_SUBSTRING_DUP_SPANS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "late_events": SQL_LATE_EVENTS,
     "quality_filter": SQL_QUALITY_FILTER,

@@ -1097,3 +1097,120 @@ def exact_dedup(
     return hashed.groupby("key_hash").aggregate(
         Min(id_column, alias_name="keep_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level dedup spans (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better": remove every character
+# span whose length-L window occurs more than once in the corpus).
+# Scale design: windows never leave their batch as strings — only
+# (window_hash, doc_id, pos) int64 triples shuffle, bucketed by hash so
+# corpus-wide occurrence counting completes inside each bucket; the
+# duplicated positions (a small fraction) re-shuffle once by doc bucket
+# for the vectorized interval merge. Driver holds nothing.
+
+SUBSTR_WINDOW = 40
+NUM_SUBSTR_BUCKETS = 256
+NUM_SPAN_DOC_BUCKETS = 64
+
+
+def substring_window_explode(
+    b: pa.Table, *, window: int = SUBSTR_WINDOW
+) -> pa.Table:
+    """Explode a batch of docs into (bucket, wh, doc_id, pos) rows — one
+    per length-`window` character window. All texts concatenate into ONE
+    codepoint array; rolling_window_hashes runs `window` vectorized
+    passes over it and windows crossing a doc boundary are masked out,
+    so the kernel is loop-free over rows. ASCII or not, positions are
+    CODEPOINT offsets (matching SQL substr semantics)."""
+    from .hashing import mix_rounds, rolling_window_hashes
+
+    texts = [t or "" for t in b.column("text").to_pylist()]
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+    lens = np.fromiter((len(t) for t in texts), np.int64, count=len(texts))
+    total = int(lens.sum())
+    empty = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "wh": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+        }
+    )
+    if total < window:
+        return empty
+    codes = np.frombuffer(
+        "".join(texts).encode("utf-32-le"), dtype=np.uint32
+    )
+    h = rolling_window_hashes(codes, window)  # n - window + 1 lanes
+    doc_idx = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    starts = np.cumsum(lens) - lens
+    # window at global p is valid iff its last char is in the same doc
+    valid = doc_idx[: h.size] == doc_idx[window - 1 :]
+    if not valid.any():
+        return empty
+    p = np.flatnonzero(valid)
+    d = doc_idx[p]
+    wh = mix_rounds(h[p])
+    return pa.table(
+        {
+            "bucket": pa.array(
+                (wh % np.uint64(NUM_SUBSTR_BUCKETS)).astype(np.int64)
+            ),
+            "wh": pa.array(wh.view(np.int64)),
+            "doc_id": pa.array(ids[d].astype(np.int64)),
+            "pos": pa.array(p - starts[d]),
+        }
+    )
+
+
+def substring_bucket_dups(g: pa.Table) -> pa.Table:
+    """One window-hash bucket: corpus-wide occurrence counts complete
+    locally (every occurrence of a window lands in its bucket); only the
+    positions of windows seen >= 2 times leave, tagged with the doc
+    bucket for the interval-merge shuffle."""
+    wh = g.column("wh").to_numpy(zero_copy_only=False).view(np.uint64)
+    _, inv, cnt = np.unique(wh, return_inverse=True, return_counts=True)
+    keep = (cnt >= 2)[inv]
+    doc = g.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+    pos = g.column("pos").to_numpy(zero_copy_only=False)[keep]
+    return pa.table(
+        {
+            "dbucket": pa.array(doc % np.int64(NUM_SPAN_DOC_BUCKETS)),
+            "doc_id": pa.array(doc),
+            "pos": pa.array(pos),
+        }
+    )
+
+
+def substring_merge_spans(
+    g: pa.Table, *, window: int = SUBSTR_WINDOW
+) -> pa.Table:
+    """One doc bucket: merge each doc's duplicated-window positions into
+    maximal character spans [span_start, span_end). Two windows at p < q
+    of one doc merge iff q - p <= window (their spans overlap or touch).
+    Vectorized: one lexsort + run-break cumsum over the whole bucket."""
+    doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+    pos = g.column("pos").to_numpy(zero_copy_only=False)
+    if doc.size == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "span_start": pa.array([], pa.int64()),
+                "span_end": pa.array([], pa.int64()),
+            }
+        )
+    order = np.lexsort((pos, doc))
+    d_s, p_s = doc[order], pos[order]
+    brk = np.empty(d_s.size, dtype=bool)
+    brk[0] = True
+    brk[1:] = (d_s[1:] != d_s[:-1]) | (p_s[1:] - p_s[:-1] > window)
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], d_s.size) - 1
+    return pa.table(
+        {
+            "doc_id": pa.array(d_s[starts]),
+            "span_start": pa.array(p_s[starts]),
+            "span_end": pa.array(p_s[ends] + window),
+        }
+    )

@@ -182,3 +182,73 @@ def test_trim_topk_runs_equals_per_key_head(keys, k):
             expected.append((key, v))
     assert list(zip(got.column("key").to_pylist(),
                     got.column("v").to_pylist())) == expected
+
+
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.sampled_from("ab é中"), max_size=40
+            ),
+        ),
+        max_size=10,
+    ),
+    window=st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=150, deadline=None)
+def test_substring_dup_spans_equal_brute_force(texts, window):
+    """The three substring-dedup kernels composed in-process must equal
+    an O(n^2) brute force over arbitrary (incl. non-ASCII, empty, None)
+    docs: positions are codepoint offsets, duplication counts every
+    occurrence corpus-wide (within-doc repeats included), and spans at
+    gap <= window merge."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from headson_ray.stages.dedup import (
+        substring_bucket_dups,
+        substring_merge_spans,
+        substring_window_explode,
+    )
+
+    b = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ex = substring_window_explode(b, window=window)
+    spans = substring_merge_spans(
+        substring_bucket_dups(ex), window=window
+    )
+    got = sorted(
+        zip(
+            spans.column("doc_id").to_pylist(),
+            spans.column("span_start").to_pylist(),
+            spans.column("span_end").to_pylist(),
+        )
+    )
+
+    c = Counter()
+    for t in texts:
+        t = t or ""
+        for p in range(len(t) - window + 1):
+            c[t[p : p + window]] += 1
+    exp = []
+    for i, t in enumerate(texts):
+        t = t or ""
+        run: list[int] = []
+        for p in range(len(t) - window + 1):
+            if c[t[p : p + window]] < 2:
+                continue
+            if run and p - run[-1] <= window:
+                run.append(p)
+            else:
+                if run:
+                    exp.append((i, run[0], run[-1] + window))
+                run = [p]
+        if run:
+            exp.append((i, run[0], run[-1] + window))
+    assert got == sorted(exp)
