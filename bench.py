@@ -305,12 +305,31 @@ def _emit(payload: dict) -> None:
           flush=True)
 
 
+def _page_cache_gb() -> float:
+    """Page-cache size (GiB) from /proc/meminfo — passive, no I/O
+    against the inputs, so recording it cannot perturb the legs."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("Cached:"):
+                    return round(int(line.split()[1]) / (1 << 20), 2)
+    except OSError:
+        pass
+    return -1.0
+
+
 def _run_leg(cpus: int) -> tuple[dict, dict]:
     """One headline-only bench leg in a fresh subprocess; returns
     (parsed summary, host-state snapshot)."""
     state = {
         "started_unix": time.time(),
         "loadavg_1m_before": os.getloadavg()[0],
+        # passive page-cache snapshot: a leg whose INPUT is already
+        # resident reads systematically hot (r5 runs 7/9/10: 8-legs at
+        # 7.8-10.8k docs/s vs 3-4k cold deflate the pair ratio); the
+        # cached size before each leg makes that signature objective
+        # in the trace instead of inferred from throughput.
+        "page_cache_gb": _page_cache_gb(),
     }
     proc = subprocess.run(
         [sys.executable, __file__, "--single", str(cpus),
@@ -340,7 +359,12 @@ def main() -> None:
         # a trough instead of arguing normalization afterwards.
         gate_min = float(os.environ.get("GRAFT_MEMBW_GATE", "0.7"))
         gate_tries = int(os.environ.get("GRAFT_MEMBW_RETRIES", "3"))
+        # r5 run 10 lesson: a single green probe between two 0.44-0.45
+        # reads means the ceiling is FLAPPING, not recovered — require
+        # GRAFT_MEMBW_CONSEC consecutive green probes before starting.
+        gate_consec = int(os.environ.get("GRAFT_MEMBW_CONSEC", "2"))
         gate_trace = []
+        green_run = 0
         for attempt in range(gate_tries):
             probe = _membw_scaling_baseline(lows, highs)
             gate_trace.append(
@@ -350,7 +374,8 @@ def main() -> None:
                     "unix": time.time(),
                 }
             )
-            if probe >= gate_min:
+            green_run = green_run + 1 if probe >= gate_min else 0
+            if green_run >= gate_consec:
                 break
             time.sleep(float(os.environ.get("GRAFT_MEMBW_COOLDOWN", "25")))
         membw_eff = gate_trace[-1]["membw_scaling_efficiency"]
@@ -424,7 +449,8 @@ def main() -> None:
                     "membw_scaling_efficiency": membw_eff,
                     "membw_gate": {
                         "min": gate_min,
-                        "passed": membw_eff >= gate_min,
+                        "passed": green_run >= gate_consec,
+                        "consecutive_required": gate_consec,
                         "trace": gate_trace,
                     },
                     "normalized_efficiency": eff / hw_eff,
