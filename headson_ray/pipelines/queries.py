@@ -4988,6 +4988,236 @@ FROM g GROUP BY doc_id, grp
 """
 
 
+# --------------------------------------------------------------------------
+# BPE merge learning (tokenizer training's core loop, Sennrich et al.
+# 2016): m rounds of (count adjacent token pairs weighted by word
+# frequency -> merge the argmax pair everywhere). State is the WORD
+# VOCABULARY (Heaps-law small relative to the corpus), encoded as a
+# separator string so the merge step is ONE vectorized replace kernel:
+#   s = SEP + tok + SEP2 + tok + ... + SEP   (SEP=\x1f, SEP2=SEP+SEP)
+#   merge (a,b): replace(SEP+a+SEP2+b+SEP -> SEP+ab+SEP)
+# The double separator makes the single left-to-right replace pass equal
+# BPE's leftmost-greedy merge even for overlapping occurrences
+# ([a,a,a] -> [aa,a]; [a,b,a,b] -> [ab,ab]) because each replacement
+# re-emits the boundary SEP the next match needs — verified identical
+# between pyarrow replace_substring and DuckDB replace.
+# --------------------------------------------------------------------------
+BPE_SEP = "\x1f"
+BPE_SEP2 = BPE_SEP + BPE_SEP
+BPE_MERGES = 8
+
+
+def _bpe_word_partial(b: pa.Table) -> pa.Table:
+    """Per-batch word-frequency partials (words containing the \\x1f /
+    \\x1e control separators are dropped on BOTH sides — absent from the
+    corpus by construction)."""
+    words = [
+        w
+        for t in b.column("text").to_pylist()
+        for w in (t or "").split()
+        if "\x1f" not in w and "\x1e" not in w
+    ]
+    t = pa.table({"word": pa.array(words, pa.string())})
+    g = t.group_by(["word"]).aggregate([([], "count_all")])
+    return g.rename_columns(["word", "freq"])
+
+
+def _bpe_pair_partial(b: pa.Table) -> pa.Table:
+    """Per-batch adjacent-pair counts over encoded vocab rows: flatten
+    the token lists once, gather (left, right) neighbours by offset
+    arithmetic, weight by word frequency — loop-free."""
+    s = b.column("s")
+    freq = pc.cast(b.column("freq"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    toks = pc.split_pattern(
+        pc.utf8_trim(s, BPE_SEP), pattern=BPE_SEP2
+    ).combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = toks.values
+    n_per = np.diff(offs)
+    pair_n = np.maximum(n_per - 1, 0)
+    total = int(pair_n.sum())
+    if total == 0:
+        return pa.table(
+            {
+                "pair": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    word_of = np.repeat(np.arange(pair_n.size, dtype=np.int64), pair_n)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(pair_n) - pair_n, pair_n
+    )
+    idx = offs[:-1][word_of] + within
+    pair = pc.binary_join_element_wise(
+        pc.take(vals, pa.array(idx)),
+        pc.take(vals, pa.array(idx + 1)),
+        BPE_SEP,
+    )
+    t = pa.table(
+        {"pair": pair, "cnt": pa.array(freq[word_of], pa.int64())}
+    )
+    g = t.group_by(["pair"]).aggregate([("cnt", "sum")])
+    return g.rename_columns(["pair", "cnt"])
+
+
+def _bpe_block_top1(b: pa.Table) -> pa.Table:
+    """Block-local argmax (cnt DESC, pair ASC): at most ONE row per
+    block reaches the driver's final fold."""
+    if b.num_rows == 0:
+        return b
+    cnt = pc.cast(b.column("cnt"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    at = np.flatnonzero(cnt == cnt.max())
+    if at.size > 1:
+        pairs = b.column("pair").take(pa.array(at)).to_pylist()
+        at = at[int(np.argmin(np.array(pairs, dtype=object)))]
+    else:
+        at = at[0]
+    return b.slice(int(at), 1)
+
+
+def q_bpe_merges(sf_dir: str):
+    """Learn the first BPE_MERGES byte-pair-encoding merges over the
+    whitespace-token vocabulary of the documents corpus; emit
+    (merge_rank, lhs, rhs, pair_count).
+
+    Scale design: the corpus is touched ONCE (word-frequency two-phase
+    fold); every iteration runs over the materialized vocab dataset —
+    pair counting is a pre-aggregated two-phase groupby, the argmax
+    reaches the driver as <= one row per block, and the chosen merge is
+    applied as a single broadcast replace_substring kernel (the kmeans
+    broadcast-fold shape). Driver state: m pair strings."""
+    ds = _read(sf_dir, "documents", ["text"], heavy=True)
+    wf = _two_phase_sum(ds, ["word"], _bpe_word_partial, ["freq"])
+
+    def encode(b: pa.Table) -> pa.Table:
+        words = b.column("word").to_pylist()
+        return pa.table(
+            {
+                "s": pa.array(
+                    [BPE_SEP + BPE_SEP2.join(w) + BPE_SEP for w in words],
+                    pa.string(),
+                ),
+                "freq": pc.cast(b.column("freq"), pa.int64()),
+            }
+        )
+
+    vocab = wf.map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    ranks, lhss, rhss, cnts = [], [], [], []
+    for rank in range(1, BPE_MERGES + 1):
+        counts = vocab.map_batches(
+            _bpe_pair_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).groupby("pair").aggregate(Sum("cnt", alias_name="cnt"))
+        tops = counts.map_batches(
+            _bpe_block_top1, batch_format="pyarrow"
+        ).take_all()  # <= one row per block
+        if not tops:
+            break
+        best = min(tops, key=lambda r: (-r["cnt"], r["pair"]))
+        lhs, rhs = best["pair"].split(BPE_SEP)
+        ranks.append(rank)
+        lhss.append(lhs)
+        rhss.append(rhs)
+        cnts.append(int(best["cnt"]))
+        pat = BPE_SEP + lhs + BPE_SEP2 + rhs + BPE_SEP
+        rep = BPE_SEP + lhs + rhs + BPE_SEP
+
+        def apply(b: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            return pa.table(
+                {
+                    "s": pc.replace_substring(
+                        b.column("s"), pattern=pat, replacement=rep
+                    ),
+                    "freq": b.column("freq"),
+                }
+            )
+
+        vocab = vocab.map_batches(
+            apply, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+    return pa.table(
+        {
+            "merge_rank": pa.array(ranks, pa.int64()),
+            "lhs": pa.array(lhss, pa.string()),
+            "rhs": pa.array(rhss, pa.string()),
+            "pair_count": pa.array(cnts, pa.int64()),
+        }
+    )
+
+
+def _bpe_sql(m: int = BPE_MERGES) -> str:
+    """Chained-CTE oracle: each round counts pairs via a list transform
+    over the separator-encoded vocab and applies the argmax merge with
+    the same double-separator replace. coalesce to chr(30) (absent from
+    every word by the shared filter) keeps later rounds no-ops if the
+    corpus runs out of pairs."""
+    sep = "chr(31)"
+    sep2 = "chr(31) || chr(31)"
+    ctes = [
+        f"""w AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents)
+  WHERE instr(word, chr(31)) = 0 AND instr(word, chr(30)) = 0
+  GROUP BY word
+), v0 AS MATERIALIZED (
+  SELECT {sep} || array_to_string(string_split_regex(word, ''), {sep2})
+           || {sep} AS s,
+         freq
+  FROM w
+)"""
+    ]
+    for k in range(m):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT pair, sum(freq) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(sp)),
+                                 i -> sp[i] || {sep} || sp[i+1])) AS pair,
+           freq
+    FROM (SELECT string_split(trim(s, {sep}), {sep2}) AS sp, freq
+          FROM v{k})
+  ) GROUP BY pair
+), m{k} AS MATERIALIZED (
+  SELECT pair, cnt FROM p{k} ORDER BY cnt DESC, pair ASC LIMIT 1
+), v{k + 1} AS MATERIALIZED (
+  SELECT replace(s,
+                 coalesce({sep} || replace((SELECT pair FROM m{k}),
+                                           {sep}, {sep2}) || {sep},
+                          chr(30)),
+                 coalesce({sep} || replace((SELECT pair FROM m{k}),
+                                           {sep}, '') || {sep},
+                          chr(30))) AS s,
+         freq
+  FROM v{k}
+)"""
+        )
+    selects = [
+        f"""SELECT CAST({k + 1} AS BIGINT) AS merge_rank,
+       split_part(pair, chr(31), 1) AS lhs,
+       split_part(pair, chr(31), 2) AS rhs,
+       CAST(cnt AS BIGINT) AS pair_count
+FROM m{k}"""
+        for k in range(m)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+SQL_BPE_MERGES = _bpe_sql()
+
+
 def _doc_term_counts(texts: list):
     """Vectorized per-doc term frequencies for a batch: one lexsort over
     (doc_idx, token) and a run-length pass. Returns (doc_idx, term, tf)
@@ -10014,6 +10244,7 @@ QUERIES = {
     "lm_quality_scores": q_lm_quality_scores,
     "dup_shingle_stats": q_dup_shingle_stats,
     "substring_dup_spans": q_substring_dup_spans,
+    "bpe_merges": q_bpe_merges,
     "tfidf_top_terms": q_tfidf_top_terms,
     "late_events": q_late_events,
     "quality_filter": q_quality_filter,
@@ -10163,6 +10394,7 @@ ORACLE_SQL = {
     "lm_quality_scores": SQL_LM_QUALITY_SCORES,
     "dup_shingle_stats": SQL_DUP_SHINGLE_STATS,
     "substring_dup_spans": SQL_SUBSTRING_DUP_SPANS,
+    "bpe_merges": SQL_BPE_MERGES,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "late_events": SQL_LATE_EVENTS,
     "quality_filter": SQL_QUALITY_FILTER,
