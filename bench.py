@@ -135,7 +135,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "ngram_jaccard_pairs", "simhash_near_dups", "near_dup_canonical",
         "heavy_hitter_tokens", "value_rank_select", "regex_token_counts",
         "repetition_scores", "dup_shingle_stats", "substring_dup_spans",
-        "bpe_merges", "tfidf_top_terms",
+        "bpe_merges", "domain_fileset_previews", "tfidf_top_terms",
         "late_events", "quality_filter", "windowed_topk_events",
         "event_transitions", "user_running_value", "kmeans_clusters",
         "stratified_sample", "cluster_label_purity",
