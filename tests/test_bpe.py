@@ -142,3 +142,50 @@ def test_bpe_pair_partial_equals_brute_force(words, freqs):
         for i in range(len(w) - 1):
             exp[w[i] + BPE_SEP + w[i + 1]] += f
     assert got == dict(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_merges_driver_bounded(tmp_path, monkeypatch):
+    """The iteration's only driver reads are the block-local argmax
+    partials: every take_all during q_bpe_merges must deliver <= one
+    row per block of a tiny (pair, cnt) table — never the vocab, never
+    the corpus — and nothing larger than the merge strings is ray.put
+    (no ndarray/dict broadcasts)."""
+    import ray
+    import ray.data
+
+    texts = ["abab aaaa xyxy", "abab the the quick", "aaaa xyxy the"] * 40
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    put_types = []
+    orig_put = ray.put
+    taken_sizes = []
+    orig_take_all = ray.data.Dataset.take_all
+
+    def spy_put(value, *a, **kw):
+        put_types.append(type(value))
+        return orig_put(value, *a, **kw)
+
+    def spy_take_all(self, *a, **kw):
+        rows = orig_take_all(self, *a, **kw)
+        taken_sizes.append(len(rows))
+        assert rows and set(rows[0].keys()) == {"pair", "cnt"}, (
+            "driver take_all of a non-argmax dataset during bpe_merges"
+        )
+        return rows
+
+    with monkeypatch.context() as m:
+        m.setattr(ray, "put", spy_put)
+        m.setattr(ray.data.Dataset, "take_all", spy_take_all)
+        out = q_bpe_merges(str(tmp_path))
+    assert out.num_rows == 8
+    assert taken_sizes and max(taken_sizes) <= 16, taken_sizes
+    assert not any(
+        tp is np.ndarray or tp is dict for tp in put_types
+    ), put_types
