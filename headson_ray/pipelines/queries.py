@@ -1511,10 +1511,12 @@ def q_ivf_topk(sf_dir: str):
 
 
 def q_lsh_topk(sf_dir: str):
-    """Random-hyperplane LSH approximate top-k (rows-only; recall vs the
-    exact knn_topk asserted in tests). Only vectors whose bucket code
-    matches a query bucket are scored — the in-stream ANN variant that
-    needs no prebuilt layout."""
+    """Random-hyperplane LSH approximate top-k (recall vs the exact
+    knn_topk asserted in tests). Only vectors whose bucket code matches
+    a query bucket are scored — the in-stream ANN variant that needs no
+    prebuilt layout. Hash-oracled: SQL_LSH_TOPK re-derives the exact
+    bucket codes from inlined plane literals, so DuckDB reproduces the
+    same approximation bit-for-bit."""
     from ..stages.similarity import lsh_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1526,8 +1528,9 @@ def q_lsh_topk(sf_dir: str):
 
 
 def q_embedding_near_dups_lsh(sf_dir: str):
-    """LSH-blocked near-dup pairs — the scale path (rows-only; recall vs
-    the exact variant asserted in tests)."""
+    """LSH-blocked near-dup pairs — the scale path (recall vs the exact
+    variant asserted in tests). Hash-oracled via the same inlined-plane
+    code CTE as SQL_LSH_TOPK."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return embedding_near_dup_pairs_lsh(ds, threshold=NEAR_DUP_TAU)
 
@@ -1545,6 +1548,94 @@ SELECT a.vec_id AS a, b.vec_id AS b
 FROM e a, e b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.emb, b.emb) >= {NEAR_DUP_TAU}
+"""
+
+# LSH oracle machinery: the random-hyperplane bucket codes used by
+# lsh_topk / embedding_near_dup_pairs_lsh are DETERMINISTIC given
+# (seed, num_tables, num_planes, dim) — RandomState(42) Gaussians —
+# and sign(normalized_v . p) == sign(raw_v . p) because normalization
+# scales by a positive number. So the exact candidate sets are
+# SQL-expressible by inlining the plane vectors as DOUBLE[] literals
+# (repr() round-trips float64 exactly; DuckDB parses correctly-rounded)
+# and re-deriving each vector's per-table code with list_dot_product.
+# This turns both previously rows-only approximate-ANN entries into
+# hash-checked oracles: SQL reproduces the same approximation, not a
+# ground truth it approximates.
+LSH_DIM = 64  # embeddings.embedding is list<float>[64] in testdata
+LSH_NUM_TABLES = 10
+LSH_NUM_PLANES = 3
+LSH_SEED = 42
+
+
+def _lsh_planes_values() -> str:
+    """VALUES rows (t, p, w DOUBLE[]) for the LSH hyperplanes — the same
+    RandomState(seed).standard_normal((T, P, dim)) draw as
+    stages/similarity.py lsh_topk / embedding_near_dup_pairs_lsh."""
+    planes = np.random.RandomState(LSH_SEED).standard_normal(
+        (LSH_NUM_TABLES, LSH_NUM_PLANES, LSH_DIM)
+    )
+    rows = []
+    for t in range(LSH_NUM_TABLES):
+        for p in range(LSH_NUM_PLANES):
+            lst = ", ".join(repr(float(x)) for x in planes[t, p])
+            rows.append(f"({t}, {p}, [{lst}]::DOUBLE[])")
+    return ",\n".join(rows)
+
+
+def _sql_lsh_codes() -> str:
+    """Shared CTE prefix: per-(vec_id, table) bucket code c, exactly the
+    (bits * 2^p).sum() code of the Ray kernels."""
+    return f"""
+WITH planes(t, p, w) AS (VALUES
+{_lsh_planes_values()}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+proj AS (
+  SELECT e.vec_id, pl.t, pl.p, list_dot_product(e.emb, pl.w) AS d
+  FROM e, planes pl
+),
+code AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS c
+  FROM proj GROUP BY vec_id, t
+)"""
+
+
+SQL_LSH_TOPK = f"""{_sql_lsh_codes()},
+qc AS (SELECT DISTINCT t, c FROM code WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT code.vec_id
+  FROM code JOIN qc ON code.t = qc.t AND code.c = qc.c
+),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {N_QUERIES}),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.emb) AS sim
+  FROM q, e
+  JOIN cand ON e.vec_id = cand.vec_id
+  WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank"
+FROM r WHERE rnk <= {TOPK}
+"""
+
+SQL_EMBEDDING_NEAR_DUPS_LSH = f"""{_sql_lsh_codes()},
+cand AS (
+  SELECT DISTINCT c1.vec_id AS a, c2.vec_id AS b
+  FROM code c1
+  JOIN code c2 ON c1.t = c2.t AND c1.c = c2.c AND c1.vec_id < c2.vec_id
+)
+SELECT cand.a, cand.b
+FROM cand
+JOIN e ea ON ea.vec_id = cand.a
+JOIN e eb ON eb.vec_id = cand.b
+WHERE list_cosine_similarity(ea.emb, eb.emb) >= {NEAR_DUP_TAU}
 """
 
 
@@ -10316,6 +10407,8 @@ ORACLE_SQL = {
     "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
     "knn_topk": SQL_KNN_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "lsh_topk": SQL_LSH_TOPK,
+    "embedding_near_dups_lsh": SQL_EMBEDDING_NEAR_DUPS_LSH,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
     "top_orders": SQL_TOP_ORDERS,
