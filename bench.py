@@ -74,8 +74,12 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         paths,
         budget=500,
         # fixed-size actor pool: autoscaling from a small floor leaves the
-        # pool under-provisioned for most of a short run
-        concurrency=max(2, num_cpus - 2),
+        # pool under-provisioned for most of a short run. Reserve
+        # ~num_cpus/8 slots for the read/write task stages: at 32 CPUs a
+        # 30-actor pool starves them (27.0k docs/s vs 31.4k at 28 in the
+        # session-3 A/B; at 8 CPUs 6 actors is the measured optimum, and
+        # 8 - max(2, 1) = 6 keeps it).
+        concurrency=max(2, num_cpus - max(2, num_cpus // 8)),
         batch_size=128,
     )
     # realistic consumption: parallel parquet sink (read -> map -> write)
