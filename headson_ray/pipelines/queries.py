@@ -1490,10 +1490,13 @@ NEAR_DUP_TAU = 0.4
 
 
 def q_ivf_topk(sf_dir: str):
-    """IVF approximate top-k over the PARTITIONED layout (rows-only;
-    recall vs brute force is asserted in tests): one pass writes the
-    corpus bucketed by nearest centroid under /tmp, then the query reads
-    ONLY the probed hive partitions."""
+    """IVF approximate top-k over the PARTITIONED layout (recall vs
+    brute force is asserted in tests): one pass writes the corpus
+    bucketed by nearest centroid under /tmp, then the query reads ONLY
+    the probed hive partitions. Hash-oracled: the coarse quantizer is
+    the exact-integer Lloyd trainer (stages/cluster.py), so
+    SQL_IVF_TOPK re-derives centroids, cell assignment and the probe
+    set bit-for-bit with the chained-CTE kmeans machinery."""
     import tempfile
 
     from ..stages.similarity import build_ivf_index, ivf_topk_indexed
@@ -5874,10 +5877,11 @@ def q_kmeans_clusters(sf_dir: str):
     return kmeans_assign(ds, k=KMEANS_K, iters=KMEANS_ITERS)
 
 
-def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    """Chained-CTE mirror of kmeans_assign: floor-quantized int grid,
-    HUGEINT-exact distances, row_number tie-break on (dist, cluster),
-    floor(sum/count) updates with empty-cluster carry."""
+def _kmeans_cte_chain(k: int, iters: int) -> tuple[str, str]:
+    """Shared chained-CTE centroid trainer (mirror of
+    stages/cluster.py kmeans_centroids): returns (cte_sql, final_name)
+    where final_name is the centroid CTE in (cluster, d, v) layout.
+    Used by both SQL_KMEANS_CLUSTERS and SQL_IVF_TOPK."""
     parts = [
         f"""
 WITH e AS (
@@ -5922,8 +5926,17 @@ WITH e AS (
 )"""
         )
         prev = f"c{i}"
-    parts.append(
-        f""", dfin AS (
+    return "".join(parts), prev
+
+
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Chained-CTE mirror of kmeans_assign: floor-quantized int grid,
+    HUGEINT-exact distances, row_number tie-break on (dist, cluster),
+    floor(sum/count) updates with empty-cluster carry."""
+    chain, prev = _kmeans_cte_chain(k, iters)
+    return (
+        chain
+        + f""", dfin AS (
   SELECT ed.vec_id, {prev}.cluster,
          sum((ed.v - {prev}.v) * (ed.v - {prev}.v)) AS dist
   FROM ed JOIN {prev} ON ed.d = {prev}.d
@@ -5935,10 +5948,71 @@ SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
   FROM dfin
 ) WHERE rk = 1"""
     )
-    return "".join(parts)
 
 
 SQL_KMEANS_CLUSTERS = _kmeans_sql()
+
+
+def _ivf_topk_sql(
+    *,
+    num_centroids: int = 16,
+    iters: int = 2,
+    nprobe: int = 4,
+    n_queries: int = 5,
+    topk: int = 10,
+) -> str:
+    """Chained-CTE mirror of q_ivf_topk: the SAME integer centroid
+    trainer as SQL_KMEANS_CLUSTERS (k=16 cells), integer-exact cell
+    assignment and probe choice (row_number ORDER BY dist, cell), then
+    float cosine top-k over the probed cells only — SQL reproduces the
+    exact approximation, pruning included."""
+    chain, cfin = _kmeans_cte_chain(num_centroids, iters)
+    return (
+        chain
+        + f""", dcell AS (
+  SELECT ed.vec_id, {cfin}.cluster,
+         sum((ed.v - {cfin}.v) * (ed.v - {cfin}.v)) AS dist
+  FROM ed JOIN {cfin} ON ed.d = {cfin}.d
+  GROUP BY 1, 2
+), cellassign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rk
+    FROM dcell
+  ) WHERE rk = 1
+), qprobe AS (
+  SELECT DISTINCT cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rk
+    FROM dcell WHERE vec_id < {n_queries}
+  ) WHERE rk <= {nprobe}
+), cand AS (
+  SELECT vec_id FROM cellassign
+  WHERE cluster IN (SELECT cluster FROM qprobe)
+), raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS qe FROM raw WHERE vec_id < {n_queries}
+), s AS (
+  SELECT q.query_id, raw.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, raw.emb) AS sim
+  FROM q, raw
+  JOIN cand ON raw.vec_id = cand.vec_id
+  WHERE raw.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank"
+FROM r WHERE rnk <= {topk}"""
+    )
+
+
+SQL_IVF_TOPK = _ivf_topk_sql()
 
 
 STRATUM_RATES = {"view": 1, "click": 10, "purchase": 100}
@@ -10409,6 +10483,7 @@ ORACLE_SQL = {
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "lsh_topk": SQL_LSH_TOPK,
     "embedding_near_dups_lsh": SQL_EMBEDDING_NEAR_DUPS_LSH,
+    "ivf_topk": SQL_IVF_TOPK,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
     "top_orders": SQL_TOP_ORDERS,

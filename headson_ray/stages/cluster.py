@@ -70,34 +70,26 @@ def _init_centroids(
     return np.stack([m for _, m in best])
 
 
-def kmeans_assign(
+def kmeans_centroids(
     ds,
     *,
     k: int = 4,
     iters: int = 2,
     id_column: str = "vec_id",
     vec_column: str = "embedding",
-    passthrough: tuple = (),
-):
-    """Lloyd's k-means, `iters` exact integer update steps, then a final
-    assignment pass. Returns a Dataset of (id_column, *passthrough,
-    cluster) — passthrough columns ride along the final map so callers
-    never need a post-hoc join back to the input. Empty clusters keep
-    their previous centroid (the oracle mirrors this with a LEFT JOIN +
-    COALESCE)."""
-    import ray
-
-    # init/update passes re-execute the (lazy) input per scan: prune to
-    # the two needed columns so passthrough columns are only read by the
-    # final assignment pass that emits them
-    core = (
-        ds.select_columns([id_column, vec_column]) if passthrough else ds
-    )
+) -> np.ndarray:
+    """Exact-integer Lloyd centroids: k-lowest-id init, `iters` exact
+    update steps (each a streaming distributed partial-sum fold — the
+    driver only ever holds the O(k*d) integer centroid matrix). Shared
+    by kmeans_assign and the IVF coarse quantizer, so both stay
+    bit-reproducible in the DuckDB chained-CTE oracle."""
     C = _init_centroids(
-        core, k=k, id_column=id_column, vec_column=vec_column
+        ds, k=k, id_column=id_column, vec_column=vec_column
     )
 
     for _ in range(iters):
+        import ray
+
         cent_ref = ray.put(C)
 
         def partials(b: pa.Table) -> pa.Table:
@@ -129,7 +121,7 @@ def kmeans_assign(
 
         tot_counts = np.zeros(k, dtype=np.int64)
         tot_sums = np.zeros_like(C)
-        for b in core.map_batches(
+        for b in ds.map_batches(
             partials, batch_format="pyarrow", zero_copy_batch=True
         ).iter_batches(batch_format="pyarrow", batch_size=4096):
             # one iter-batch stacks partials from MANY map tasks:
@@ -147,6 +139,36 @@ def kmeans_assign(
         # exact floor(sum/count): int64 // floors like SQL floor(s/n)
         C = C.copy()
         C[nonempty] = tot_sums[nonempty] // tot_counts[nonempty, None]
+
+    return C
+
+
+def kmeans_assign(
+    ds,
+    *,
+    k: int = 4,
+    iters: int = 2,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    passthrough: tuple = (),
+):
+    """Lloyd's k-means, `iters` exact integer update steps, then a final
+    assignment pass. Returns a Dataset of (id_column, *passthrough,
+    cluster) — passthrough columns ride along the final map so callers
+    never need a post-hoc join back to the input. Empty clusters keep
+    their previous centroid (the oracle mirrors this with a LEFT JOIN +
+    COALESCE)."""
+    import ray
+
+    # init/update passes re-execute the (lazy) input per scan: prune to
+    # the two needed columns so passthrough columns are only read by the
+    # final assignment pass that emits them
+    core = (
+        ds.select_columns([id_column, vec_column]) if passthrough else ds
+    )
+    C = kmeans_centroids(
+        core, k=k, iters=iters, id_column=id_column, vec_column=vec_column
+    )
 
     final_ref = ray.put(C)
 

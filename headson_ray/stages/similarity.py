@@ -204,45 +204,73 @@ def train_centroids(
     ds: "ray.data.Dataset",
     *,
     num_centroids: int = 16,
-    train_sample: int = 2048,
+    iters: int = 2,
+    id_column: str = "vec_id",
     vec_column: str = "embedding",
-    seed: int = 42,
 ) -> np.ndarray:
-    """Deterministic spherical k-means over a bounded sample (driver-side
-    numpy: the sample is `train_sample` rows regardless of corpus size)."""
-    sample = ds.limit(train_sample)
-    train = _normalize(
-        np.concatenate(
-            [
-                _matrix(b, vec_column)
-                for b in sample.iter_batches(
-                    batch_format="pyarrow", batch_size=train_sample
-                )
-            ]
-        )
+    """Exact-integer Lloyd coarse quantizer on the floor-quantized 2^20
+    grid (stages/cluster.py kmeans_centroids): k-lowest-id init, `iters`
+    distributed partial-sum update passes, driver state bounded at
+    O(k*d) integers. Replaces the earlier float spherical trainer: the
+    integer metric makes every IVF decision (training, cell assignment,
+    probe choice) bit-reproducible in the DuckDB chained-CTE oracle,
+    and training streams the full corpus distributed instead of folding
+    a driver-side sample."""
+    from .cluster import kmeans_centroids
+
+    return kmeans_centroids(
+        ds.select_columns([id_column, vec_column]),
+        k=num_centroids,
+        iters=iters,
+        id_column=id_column,
+        vec_column=vec_column,
     )
-    rng = np.random.RandomState(seed)
-    cents = train[rng.choice(len(train), num_centroids, replace=False)]
-    for _ in range(8):  # Lloyd iterations; deterministic
-        assign = np.argmax(train @ cents.T, axis=1)
-        for c in range(num_centroids):
-            members = train[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cents[c] = v / n
-    return cents
+
+
+def _quantize(m: np.ndarray) -> np.ndarray:
+    """floor(x * 2^20) int64 grid — the same exact-arithmetic embedding
+    quantization as stages/cluster.py (QUANT), so every IVF decision is
+    integer math a SQL oracle reproduces bit-for-bit."""
+    from .cluster import QUANT
+
+    return np.floor(np.asarray(m, dtype=np.float64) * QUANT).astype(
+        np.int64
+    )
+
+
+def _int_d2(M: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, k) exact int64 squared L2 distances on the quantized grid."""
+    return (
+        (M * M).sum(1)[:, None]
+        + (cents * cents).sum(1)[None, :]
+        - 2 * (M @ cents.T)
+    )
+
+
+def _assign_cells(m_raw: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest-centroid cell per vector: exact integer L2 argmin, ties
+    to the lowest cell id (np.argmin == row_number ORDER BY dist, cell)."""
+    if m_raw.shape[0] == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.argmin(_int_d2(_quantize(m_raw), cents), axis=1).astype(
+        np.int64
+    )
 
 
 def _probe_cells(
     cents: np.ndarray, queries: np.ndarray, nprobe: int
 ) -> list[int]:
-    """Union of every query's `nprobe` nearest centroid ids (sorted)."""
-    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    """Union of every query's `nprobe` nearest centroid ids (sorted) —
+    the same exact integer metric as cell assignment, so the probe set
+    is SQL-reproducible."""
+    d2 = _int_d2(_quantize(np.asarray(queries, dtype=np.float64)), cents)
     probe: set[int] = set()
-    for row in qn @ cents.T:
-        probe.update(np.argsort(-row)[:nprobe].tolist())
+    k = cents.shape[0]
+    for row in d2:
+        # nprobe nearest by (dist asc, cell id asc) — lexsort's last key
+        # is primary
+        order = np.lexsort((np.arange(k), row))[:nprobe]
+        probe.update(order.tolist())
     return sorted(probe)
 
 
@@ -251,9 +279,9 @@ def build_ivf_index(
     path: str,
     *,
     num_centroids: int = 16,
-    train_sample: int = 2048,
+    iters: int = 2,
+    id_column: str = "vec_id",
     vec_column: str = "embedding",
-    seed: int = 42,
 ) -> np.ndarray:
     """ONE pass over the corpus writes the IVF partitioned layout: each
     row lands in `path`/cells/ivf_cell=<nearest centroid>/ (hive
@@ -267,9 +295,9 @@ def build_ivf_index(
     cents = train_centroids(
         ds,
         num_centroids=num_centroids,
-        train_sample=train_sample,
+        iters=iters,
+        id_column=id_column,
         vec_column=vec_column,
-        seed=seed,
     )
     os.makedirs(path, exist_ok=True)
     np.save(os.path.join(path, "centroids.npy"), cents)
@@ -277,12 +305,7 @@ def build_ivf_index(
 
     def assign(batch: pa.Table) -> pa.Table:
         cs = ray.get(cents_ref)
-        m = _normalize(_matrix(batch, vec_column))
-        cell = (
-            np.argmax(m @ cs.T, axis=1).astype(np.int64)
-            if m.shape[0]
-            else np.empty(0, dtype=np.int64)
-        )
+        cell = _assign_cells(_matrix(batch, vec_column), cs)
         return batch.append_column("ivf_cell", pa.array(cell, pa.int64()))
 
     ds.map_batches(
@@ -348,32 +371,34 @@ def ivf_topk(
     k: int = 10,
     num_centroids: int = 16,
     nprobe: int = 4,
-    train_sample: int = 2048,
+    iters: int = 2,
     id_column: str = "vec_id",
     vec_column: str = "embedding",
-    seed: int = 42,
     query_ids: list[int] | None = None,
 ) -> pa.Table:
     """Single-pass in-stream IVF approximate top-k (no prebuilt layout):
 
-    1. train centroids over a bounded sample (train_centroids);
+    1. train the exact-integer coarse quantizer (train_centroids);
     2. broadcast centroids; each batch keeps only vectors whose nearest
        centroid is among the union of every query's `nprobe` closest
        centroids;
     3. exact cosine top-k over the surviving ~nprobe/num_centroids of the
        corpus.
 
-    For repeated query batches over a stable corpus, build_ivf_index +
-    ivf_topk_indexed is the scale path: it pays the assignment pass once
-    and then reads only the probed partitions per query batch, instead
-    of re-scanning (and re-assigning) the full corpus every time.
+    Every pruning decision (training, assignment, probing) is integer
+    math, so the whole approximation is reproduced bit-for-bit by the
+    SQL_IVF_TOPK chained-CTE oracle. For repeated query batches over a
+    stable corpus, build_ivf_index + ivf_topk_indexed is the scale path:
+    it pays the assignment pass once and then reads only the probed
+    partitions per query batch, instead of re-scanning (and
+    re-assigning) the full corpus every time.
     """
     cents = train_centroids(
         ds,
         num_centroids=num_centroids,
-        train_sample=train_sample,
+        iters=iters,
+        id_column=id_column,
         vec_column=vec_column,
-        seed=seed,
     )
     probe = _probe_cells(cents, queries, nprobe)
     cents_ref = ray.put(cents)
@@ -382,8 +407,7 @@ def ivf_topk(
     def probe_filter(batch: pa.Table) -> pa.Table:
         cs = ray.get(cents_ref)
         pr = ray.get(probe_ref)
-        m = _normalize(_matrix(batch, vec_column))
-        nearest = np.argmax(m @ cs.T, axis=1)
+        nearest = _assign_cells(_matrix(batch, vec_column), cs)
         mask = np.isin(nearest, pr)
         return batch.filter(pa.array(mask))
 

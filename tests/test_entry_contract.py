@@ -39,12 +39,14 @@ def test_oracle_keys_subset_of_queries():
     # oracled via read_parquet over their deterministic /tmp page shards
     # (round 3); summarize previews stay rows-only (the per-document
     # algorithm's oracle is the byte-exact reference snapshot corpus).
-    # lsh_topk / embedding_near_dups_lsh graduated to hash-oracles in
-    # round 5: their bucket codes are deterministic given the seeded
-    # planes, so SQL re-derives the same approximation from inlined
-    # plane literals (SQL_LSH_TOPK).
+    # lsh_topk / embedding_near_dups_lsh / ivf_topk graduated to
+    # hash-oracles in round 5: LSH bucket codes are deterministic given
+    # the seeded planes (SQL re-derives them from inlined plane
+    # literals, SQL_LSH_TOPK), and the IVF coarse quantizer is the
+    # exact-integer Lloyd trainer (SQL_IVF_TOPK reuses the kmeans
+    # chained-CTE). Only genuinely SQL-invisible ops remain rows-only.
     assert missing_oracle <= {
-        "image_features", "ivf_topk",
+        "image_features",
         "domain_fileset_previews",
         # lineage audit: output is the engine's own checkpoint log (no
         # SQL-visible input); exactly-once semantics are pinned by the

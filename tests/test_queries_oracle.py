@@ -134,7 +134,7 @@ def test_ivf_index_reads_only_probed_partitions(tmp_path, monkeypatch):
     )
     ds = ray.data.from_arrow(t).repartition(8)
     idx = str(tmp_path / "ivf")
-    cents = build_ivf_index(ds, idx, num_centroids=8, train_sample=512)
+    cents = build_ivf_index(ds, idx, num_centroids=8)
     cell_dirs = sorted(os.listdir(os.path.join(idx, "cells")))
     assert len(cell_dirs) >= 4  # clusters spread over several cells
 
