@@ -134,7 +134,8 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
     # --- catalog queries --------------------------------------------------
     for name in [] if headline_only else [
         "tumbling_events", "sliding_events", "session_events",
-        "dedup_exact", "token_stats", "knn_topk", "lineitem_agg",
+        "dedup_exact", "token_stats", "knn_topk", "ivf_topk", "lsh_topk",
+        "embedding_near_dups", "embedding_near_dups_lsh", "lineitem_agg",
         "orders_by_segment", "minhash_near_dups",
         "ngram_jaccard_pairs", "simhash_near_dups", "near_dup_canonical",
         "heavy_hitter_tokens", "value_rank_select", "regex_token_counts",
