@@ -857,6 +857,56 @@ WHERE un = 0 OR inter * 1000000 >= 500000 * un
 SQL_MINHASH_NEAR_DUPS = _minhash_near_dups_sql()
 
 
+def q_cep_near_dup_stream(sf_dir: str):
+    """Streaming MinHash near-dup suppression THROUGH the stateful
+    engine machinery (pipelines/streamdedup.py): documents arrive in 8
+    doc-id-ordered micro-batches, band codes register into tiered
+    partitioned BandRegistry actors, and each doc is suppressed when any
+    of its 16 LSH band codes was registered by an earlier doc — first
+    occurrence per near-dup cluster survives, exactly-once ledger
+    commits per micro-batch, kill/resume byte-equality pinned in
+    tests/test_streamdedup.py. Hash-oracled: register-all semantics
+    depend only on smaller doc ids, so SQL replays the stream as an
+    exists-earlier band self-join over the bit-exact signature CTE."""
+    import shutil
+    import tempfile
+
+    from .streamdedup import NearDupStream, doc_range_groups
+
+    paths = [str(Path(sf_dir) / "documents.parquet")]
+    work = tempfile.mkdtemp(prefix="headson-neardup-stream-")
+    try:
+        eng = NearDupStream(
+            out_dir=f"{work}/out",
+            checkpoint_dir=f"{work}/ckpt",
+            num_state_actors=4,
+        )
+        eng.run(doc_range_groups(paths, 8))
+        return eng.read_ledger()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SQL_CEP_NEAR_DUP_STREAM = f"""
+WITH sigrows AS (
+{_minhash_sig_sql()}
+), bands AS (
+  SELECT doc_id, perm // 4 AS band, list(sig ORDER BY perm) AS code
+  FROM sigrows GROUP BY doc_id, perm // 4
+), firsts AS (
+  SELECT y.doc_id, min(x.doc_id) AS first_src
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.code = y.code AND x.doc_id < y.doc_id
+  GROUP BY y.doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN f.first_src IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS is_dup,
+       CAST(COALESCE(f.first_src, -1) AS BIGINT) AS first_src
+FROM documents d LEFT JOIN firsts f ON d.doc_id = f.doc_id
+"""
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Exact word-3-gram Jaccard near-dup pairs via distributed inverted
     index with prefix filtering; jaccard emitted as integer ppm
@@ -10327,6 +10377,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "minhash_near_dups": q_minhash_near_dups,
+    "cep_near_dup_stream": q_cep_near_dup_stream,
     "minhash_signatures": q_minhash_signatures,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "simhash": q_simhash,
@@ -10549,6 +10600,7 @@ ORACLE_SQL = {
     "simhash": SQL_SIMHASH,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
+    "cep_near_dup_stream": SQL_CEP_NEAR_DUP_STREAM,
     "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "near_dup_canonical": SQL_NEAR_DUP_CANONICAL,
     "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,

@@ -276,6 +276,136 @@ class SeenStore:
         self.current_batch = batch_idx + 1
 
 
+class BandRegistry:
+    """Tiered (LSH band code -> min doc id) registry for the streaming
+    near-dup flow (pipelines/streamdedup.py) — the SeenStore tiering
+    contract: a bounded hot dict plus an append-only sqlite cold tier,
+    so actor memory stays flat however many distinct band codes stream
+    through.
+
+    The cold tier is APPEND-ONLY (code, mn, batch) rows rather than a
+    min-updated upsert: a probe takes MIN(mn) over a code's rows, and a
+    resume rolls back by deleting rows with batch > restore point — an
+    in-place min-update could not be rolled back (the pre-update min
+    would be lost). The hot tier flushes to the cold tier only at
+    snapshot time, tagged with the completing batch, so every flushed
+    row is provably part of that batch's committed state; the pickled
+    snapshot of an EARLIER batch still carries those entries hot, which
+    keeps restore exact in both directions."""
+
+    _PROBE_CHUNK = 900
+
+    def __init__(self, spill_path: str, *, max_mem_entries: int = 500_000):
+        self.spill_path = spill_path
+        self.max_mem = max_mem_entries
+        self.mem: dict[int, int] = {}
+        self.spilled = False
+        self.con: sqlite3.Connection | None = None
+
+    def _ensure_db(self) -> sqlite3.Connection:
+        if self.con is None:
+            os.makedirs(os.path.dirname(self.spill_path), exist_ok=True)
+            self.con = sqlite3.connect(self.spill_path)
+            self.con.execute(
+                "CREATE TABLE IF NOT EXISTS bands ("
+                "code INTEGER, mn INTEGER, batch INTEGER)"
+            )
+            self.con.execute(
+                "CREATE INDEX IF NOT EXISTS bands_code ON bands (code)"
+            )
+        return self.con
+
+    def register_batch(self, codes: np.ndarray, ids: np.ndarray) -> None:
+        """Fold candidate minima into the hot tier (vectorized per-code
+        min first, one dict op per DISTINCT code in the call)."""
+        order = np.lexsort((ids, codes))
+        c_s, i_s = codes[order], ids[order]
+        first = np.ones(c_s.size, dtype=bool)
+        first[1:] = c_s[1:] != c_s[:-1]
+        mem = self.mem
+        for c, i in zip(c_s[first].tolist(), i_s[first].tolist()):
+            prev = mem.get(c)
+            if prev is None or i < prev:
+                mem[c] = i
+
+    def probe_batch(self, codes: np.ndarray) -> np.ndarray:
+        """Per code: min registered doc id across both tiers (2**62
+        sentinel when the code was never seen)."""
+        n = codes.shape[0]
+        out = np.full(n, 1 << 62, dtype=np.int64)
+        mem = self.mem
+        for i, c in enumerate(codes.tolist()):
+            v = mem.get(c)
+            if v is not None:
+                out[i] = v
+        if self.spilled:
+            uniq = np.unique(codes)
+            lookup: dict[int, int] = {}
+            con = self._ensure_db()
+            u = uniq.tolist()
+            for ofs in range(0, len(u), self._PROBE_CHUNK):
+                chunk = u[ofs : ofs + self._PROBE_CHUNK]
+                ph = ",".join(["?"] * len(chunk))
+                cur = con.execute(
+                    "SELECT code, MIN(mn) FROM bands WHERE code IN "
+                    f"({ph}) GROUP BY code",
+                    chunk,
+                )
+                lookup.update(cur.fetchall())
+            if lookup:
+                for i, c in enumerate(codes.tolist()):
+                    v = lookup.get(c)
+                    if v is not None and v < out[i]:
+                        out[i] = v
+        return out
+
+    def checkpoint_commit(self, batch_idx: int) -> None:
+        """Snapshot-time spill: flush the hot tier to the cold tier
+        (tagged with the completing batch) when it exceeds the cap, then
+        commit. Mid-batch the hot dict may exceed the cap by one batch's
+        distinct codes — bounded by micro-batch sizing."""
+        if len(self.mem) > self.max_mem:
+            con = self._ensure_db()
+            con.executemany(
+                "INSERT INTO bands VALUES (?, ?, ?)",
+                [(c, m, batch_idx) for c, m in self.mem.items()],
+            )
+            self.mem.clear()
+            self.spilled = True
+        if self.con is not None:
+            self.con.commit()
+
+    def snapshot_state(self) -> dict:
+        return {"mem": dict(self.mem), "spilled": self.spilled}
+
+    def restore_state(self, state: dict, batch_idx: int) -> None:
+        self.mem = dict(state["mem"])
+        self.spilled = state["spilled"]
+        # roll the cold tier back whenever a db file exists (the crashed
+        # batch may have been the first to spill — SeenStore contract)
+        if self.spilled or os.path.exists(self.spill_path):
+            con = self._ensure_db()
+            con.execute("DELETE FROM bands WHERE batch > ?", (batch_idx,))
+            con.commit()
+
+    def reset_cold_tier(self) -> None:
+        if self.con is not None:
+            self.con.close()
+            self.con = None
+        if os.path.exists(self.spill_path):
+            os.remove(self.spill_path)
+        self.spilled = False
+        self.mem.clear()
+
+    def __len__(self) -> int:
+        n = len(self.mem)
+        if self.spilled:
+            n += self._ensure_db().execute(
+                "SELECT count(DISTINCT code) FROM bands"
+            ).fetchone()[0]
+        return n
+
+
 class PriorIndex:
     """url -> fingerprint index for the prior-crawl delta join, with the
     same memory tiering as SeenStore (hot dict up to a cap, then sqlite).
