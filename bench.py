@@ -137,6 +137,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
         "dedup_exact", "token_stats", "knn_topk", "ivf_topk", "lsh_topk",
         "embedding_near_dups", "embedding_near_dups_lsh", "lineitem_agg",
         "orders_by_segment", "minhash_near_dups", "cep_near_dup_stream",
+        "cep_stream_join",
         "ngram_jaccard_pairs", "simhash_near_dups", "near_dup_canonical",
         "heavy_hitter_tokens", "value_rank_select", "regex_token_counts",
         "repetition_scores", "dup_shingle_stats", "substring_dup_spans",

@@ -2347,6 +2347,47 @@ GROUP BY c.user_id
 """
 
 
+def q_cep_stream_join(sf_dir: str):
+    """Stateful stream-stream interval join THROUGH the engine
+    machinery (pipelines/streamjoin.py): events stream in 8 event-time
+    micro-batches, clicks accumulate in watermark-evicted per-user
+    actor state, and each purchase emits its qualifying (click ->
+    purchase within 1h, strictly earlier) pairs exactly-once in its
+    batch — the incremental, pair-grain form of click_purchase_pairs.
+    Hash-oracled: the join is a pure function of event time, so SQL
+    replays the whole stream as the plain interval self-join;
+    kill/resume byte-equality pinned in tests/test_streamjoin.py."""
+    import shutil
+    import tempfile
+
+    from .streamjoin import StreamJoin, ts_range_groups
+
+    paths = [str(Path(sf_dir) / "events.parquet")]
+    work = tempfile.mkdtemp(prefix="headson-stream-join-")
+    try:
+        eng = StreamJoin(
+            out_dir=f"{work}/out",
+            checkpoint_dir=f"{work}/ckpt",
+            num_state_actors=4,
+        )
+        eng.run(ts_range_groups(paths, 8))
+        return eng.read_pairs()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SQL_CEP_STREAM_JOIN = f"""
+SELECT c.user_id,
+       epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) AS purchase_ts_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(c.ts) < epoch_us(p.ts)
+ AND epoch_us(p.ts) - epoch_us(c.ts) <= {HOUR_US}
+"""
+
+
 _PATTERN = ("click", "click", "purchase")
 
 
@@ -10378,6 +10419,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "minhash_near_dups": q_minhash_near_dups,
     "cep_near_dup_stream": q_cep_near_dup_stream,
+    "cep_stream_join": q_cep_stream_join,
     "minhash_signatures": q_minhash_signatures,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "simhash": q_simhash,
@@ -10601,6 +10643,7 @@ ORACLE_SQL = {
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
     "cep_near_dup_stream": SQL_CEP_NEAR_DUP_STREAM,
+    "cep_stream_join": SQL_CEP_STREAM_JOIN,
     "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "near_dup_canonical": SQL_NEAR_DUP_CANONICAL,
     "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
