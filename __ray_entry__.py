@@ -485,6 +485,36 @@ def _q_cep_sessions(sf_dir: str):
     )
 
 
+def _q_cep_late_updates(sf_dir: str):
+    """UPDATE-MODE lateness (pipelines/streamlate.py): the page stream
+    arrives in pair-swapped event-time ranges, so half the batches are
+    genuinely late behind the watermark — instead of dropping them
+    (the engine's n_late contract), every pane folds all arrivals and
+    RE-EMITS with a bumped version; the returned materialized view
+    (latest version per (domain, window)) therefore converges to the
+    exact batch aggregate, which is the oracle. Re-emission counts and
+    kill/resume byte-equality are pinned in tests/test_streamlate.py."""
+    from headson_ray.pipelines.streamlate import (
+        LateUpdateStream,
+        late_shuffled_groups,
+    )
+    from headson_ray.sources.pages import materialize_pages, rows_for_sf_dir
+
+    rows = min(rows_for_sf_dir(sf_dir), 20000)
+    paths = materialize_pages(rows, tag=f"q-{rows}")
+    work = tempfile.mkdtemp(prefix="headson-late-upd-")
+    try:
+        eng = LateUpdateStream(
+            out_dir=f"{work}/out",
+            checkpoint_dir=f"{work}/ckpt",
+            num_state_actors=4,
+        )
+        eng.run(late_shuffled_groups(paths, 8))
+        return eng.materialized_view().materialize()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_cep_topk_hosts(sf_dir: str):
     """Streaming hot-host dashboard: each tumbling window's top-10
     hosts by routed page count, computed THROUGH the CEP engine —
@@ -532,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cep_crawl_delta"] = _q_cep_crawl_delta
     q["cep_sessions"] = _q_cep_sessions
     q["cep_topk_hosts"] = _q_cep_topk_hosts
+    q["cep_late_updates"] = _q_cep_late_updates
     q["window_host_hll"] = _q_window_host_hll
     return q
 
@@ -641,6 +672,19 @@ SELECT CAST(window_id * {_CEP_WINDOW_US} AS BIGINT) AS win_start,
 FROM w GROUP BY window_id
 """
 
+
+# Update-mode lateness: the converged materialized view equals the
+# plain batch aggregate over the same stream, whatever the (deliberately
+# disordered) arrival schedule — that convergence IS the contract.
+SQL_CEP_LATE_UPDATES = f"""
+SELECT regexp_extract(url, {_DOMAIN_RE}, 1) AS domain,
+       CAST(epoch_us(warc_ts) // {_CEP_WINDOW_US} * {_CEP_WINDOW_US}
+            AS BIGINT) AS win_start,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM read_parquet('{_PAGES_GLOB}')
+GROUP BY 1, 2
+"""
 
 from headson_ray.pipelines.webtext import CEP_TOPK_HOSTS as _CEP_TOPK_K
 
@@ -1400,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
     o["cep_crawl_delta"] = SQL_CEP_CRAWL_DELTA
     o["cep_sessions"] = SQL_CEP_SESSIONS
     o["cep_topk_hosts"] = SQL_CEP_TOPK_HOSTS
+    o["cep_late_updates"] = SQL_CEP_LATE_UPDATES
     o["window_host_hll"] = SQL_WINDOW_HOST_HLL
     o["summarize_pages"] = SQL_SUMMARIZE_PAGES
     return o

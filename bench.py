@@ -192,6 +192,7 @@ def run_benchmarks(num_cpus: int, headline_only: bool = False) -> dict:
             "host_dup_rate", "frontier_topk", "window_host_coverage",
             "host_crawl_delta", "cep_window_coverage", "cep_crawl_delta",
             "window_host_hll", "cep_sessions", "cep_topk_hosts",
+            "cep_late_updates",
             "mirror_alias_clusters",
             "host_triangles", "host_components", "host_reciprocity",
             "host_outdegree_hist", "host_transitivity",
