@@ -199,6 +199,16 @@ def _scatter_probe(actors: list):
         codes = batch.column("code").to_numpy(zero_copy_only=False)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         ids = np.ascontiguousarray(ids, dtype=np.int64)
+        # the per-block verdict fold is only complete if every doc's
+        # NUM_BANDS rows landed in this block — guaranteed by the
+        # _band_code_rows emission layout, but a silent Ray block split
+        # would corrupt verdicts, so fail loudly instead
+        if ids.size:
+            _, cnt = np.unique(ids, return_counts=True)
+            if not (cnt == NUM_BANDS).all():
+                raise AssertionError(
+                    "band rows of a doc split across blocks"
+                )
         mins = np.full(codes.shape[0], ABSENT, dtype=np.int64)
         parts = codes % p
         slices = []
@@ -371,6 +381,8 @@ def doc_range_groups(
     one distributed max (no driver id materialization) and rebuild
     identically on resume."""
     hi = ray.data.read_parquet(paths, columns=["doc_id"]).max("doc_id")
+    if hi is None:  # empty table -> empty stream, not a max() crash
+        return []
     span = max(1, (int(hi) + num_batches) // num_batches)
     cols = list(columns)
 

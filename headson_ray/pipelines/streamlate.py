@@ -413,7 +413,10 @@ def late_shuffled_groups(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    lo = int(ds.min("ts_us"))
+    lo = ds.min("ts_us")
+    if lo is None:  # empty table -> empty stream, not a min() crash
+        return []
+    lo = int(lo)
     hi = int(ds.max("ts_us")) + 1
     span = max(1, (hi - lo + num_batches - 1) // num_batches)
 

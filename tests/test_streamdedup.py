@@ -166,3 +166,49 @@ def test_band_registry_rollback(tmp_path):
     assert reg.probe_batch(
         np.array([12345], dtype=np.int64)
     )[0] == (1 << 62)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stream_empty_input(tmp_path):
+    """Empty inputs yield empty streams, not min()/max() crashes (the
+    ADVICE-class guard), for all three session-3 flows."""
+    from headson_ray.pipelines.streamdedup import (
+        NearDupStream,
+        doc_range_groups,
+    )
+    from headson_ray.pipelines.streamjoin import ts_range_groups
+    from headson_ray.pipelines.streamlate import late_shuffled_groups
+
+    docs = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "text": pa.array([], pa.string())}
+    )
+    pq.write_table(docs, tmp_path / "docs.parquet")
+    assert doc_range_groups([str(tmp_path / "docs.parquet")], 8) == []
+
+    events = pa.table(
+        {"user_id": pa.array([], pa.int64()),
+         "event_type": pa.array([], pa.string()),
+         "ts": pa.array([], pa.timestamp("us"))}
+    )
+    pq.write_table(events, tmp_path / "events.parquet")
+    assert ts_range_groups([str(tmp_path / "events.parquet")], 8) == []
+
+    pages = pa.table(
+        {"url": pa.array([], pa.string()),
+         "warc_ts": pa.array([], pa.timestamp("us")),
+         "text": pa.array([], pa.string())}
+    )
+    pq.write_table(pages, tmp_path / "pages.parquet")
+    assert late_shuffled_groups(
+        [str(tmp_path / "pages.parquet")], 8
+    ) == []
+
+    eng = NearDupStream(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_state_actors=2,
+    )
+    m = eng.run([])
+    assert m["rows_processed"] == 0 and m["dups"] == 0
+    assert eng.read_ledger().num_rows == 0
